@@ -1,0 +1,390 @@
+"""Graphlet decomposition (k ≤ 4) — the Ray-Data re-expression of the
+reference's core algorithm (graphlet_core.cpp:1366-1625).
+
+Per canonical edge (v,u) with v the LOWER-degree endpoint (the
+reference's skew optimization, graphlet_core.cpp:938-946):
+
+  T  = N(v) ∩ N(u)                        triangles     (cpp:1136-1152)
+  A  = N(u) \\ N(v) \\ {v}  ("W_u")        wedges at u
+  B  = N(v) \\ N(u) \\ {u}                 wedges at v
+  cycle4  = |E(A,B)|   — per-edge induced 4-cycles      (cpp:1167-1176)
+  clique4 = |E(T,T)|   — per-edge 4-cliques             (cpp:1230-1240)
+
+plus the O(1) combinatorial closure (solve_graphlet_equations,
+cpp:1326-1364) and the final automorphism division
+(cpp:1449-1473) that yield all 17 macro counts.
+
+Execution model: the CSR arrays live in the object store (one
+``ray.put``, zero-copy views in every kernel actor — the Ray analogue
+of the reference's shared-memory adjacency); the canonical edge table
+streams through ``map_batches`` over an actor pool whose per-actor
+scratch (the int8 ``ind`` perfect-hash array, cpp:1069-1088) is
+allocated once in ``__init__`` exactly like the reference's
+``firstprivate`` per-thread scratch.  Each batch emits one partial-sum
+row (macro) or a per-edge Arrow table (micro); partials are combined
+on the driver in arbitrary-precision Python ints, so the engine is
+exact where the reference's u64 arithmetic overflows (SURVEY.md Q3).
+
+Overflow discipline: every per-batch int64 sum is bounded by
+``batch_size * (2*max_degree+2)^2``; n-dependent terms (the
+disconnected-motif equations) are re-expanded on the driver from
+scale-free sums (Σs, Σs², ...) so no n² product ever enters a numpy
+array.  Keep ``batch_size ≤ 8192`` for graphs with max_degree ≥ 1e7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from pgd_ray.graph.csr import CSRGraph
+
+MACRO_KEYS = [
+    "total_2_1edge",
+    "total_2_indep",
+    "total_3_tris",
+    "total_2_star",
+    "total_3_1edge",
+    "total_3_indep",
+    "total_4_clique",
+    "total_4_chordcycle",
+    "total_4_tailed_tris",
+    "total_4_cycle",
+    "total_3_star",
+    "total_4_path",
+    "total_4_1edge",
+    "total_4_2edge",
+    "total_4_2star",
+    "total_4_tri",
+    "total_4_indep",
+]
+
+_PARTIAL_COLS = [
+    "cnt",
+    "s_tri",
+    "s_star3",
+    "s_cliq",
+    "s_cyc",
+    "n1",
+    "n2",
+    "n3",
+    "n4",
+    "n5",
+    "n6",
+    "s_dvdu",
+    "s_s",
+    "s_s2",
+    "s_star3_s",
+    "s_tri_s",
+]
+
+
+def _gather_rows(indptr: np.ndarray, indices: np.ndarray, ws: np.ndarray) -> np.ndarray:
+    """Concatenate neighbor lists of all vertices in ``ws`` — the
+    vectorized multi-row CSR gather (no Python loop)."""
+    if ws.size == 0:
+        return np.empty(0, dtype=indices.dtype)
+    starts = indptr[ws]
+    lens = indptr[ws + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=indices.dtype)
+    offs = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    return indices[offs + np.arange(total, dtype=np.int64)]
+
+
+class GraphletKernel:
+    """Actor-pool stage: per-edge triangle/wedge/4-cycle/4-clique
+    counting against the broadcast CSR.
+
+    mode='macro'  → one partial-sums row per batch
+    mode='micro'  → per-edge count table (PGD micro columns)
+    tailed_mode   → 'zero' reproduces the reference's always-0 micro
+                    4-tailed-triangle column (SURVEY.md Q1, the
+                    committed golden behavior); 'micro' computes the
+                    value the reference's dead ``cycle_micro`` code
+                    intended (2·|E(A,A)|, graphlet_core.cpp:1193-1204).
+    """
+
+    def __init__(self, indptr_ref, indices_ref, mode: str = "macro", tailed_mode: str = "zero"):
+        self.indptr = ray.get(indptr_ref)
+        self.indices = ray.get(indices_ref)
+        self.n = len(self.indptr) - 1
+        self.deg = np.diff(self.indptr)
+        self.ind = np.zeros(self.n, dtype=np.int8)  # per-actor perfect hash scratch
+        self.mode = mode
+        self.tailed_mode = tailed_mode
+
+    def _edge_counts(self, src: np.ndarray, dst: np.ndarray):
+        """Core loop: returns per-edge (tri, cycle4, clique4, tailed)."""
+        indptr, indices, ind = self.indptr, self.indices, self.ind
+        deg = self.deg
+        # lower-degree endpoint becomes v (hash the small side, Q8)
+        dv_raw = deg[src]
+        du_raw = deg[dst]
+        swap = dv_raw > du_raw
+        v_arr = np.where(swap, dst, src)
+        u_arr = np.where(swap, src, dst)
+        k = len(src)
+        tri = np.zeros(k, dtype=np.int64)
+        cyc = np.zeros(k, dtype=np.int64)
+        clq = np.zeros(k, dtype=np.int64)
+        tail = np.zeros(k, dtype=np.int64)
+        want_tail = self.tailed_mode == "micro"
+        for i in range(k):
+            v = v_arr[i]
+            u = u_arr[i]
+            Nv = indices[indptr[v] : indptr[v + 1]]
+            Nu = indices[indptr[u] : indptr[u + 1]]
+            ind[Nv] = 1
+            ind[u] = 0
+            marks = ind[Nu]
+            tmask = marks == 1
+            T = Nu[tmask]
+            A = Nu[~tmask]
+            A = A[A != v]
+            tri[i] = T.size
+            ind[T] = 3
+            if A.size:
+                ind[A] = 2
+                xs = _gather_rows(indptr, indices, A)
+                xm = ind[xs]
+                cyc[i] = np.count_nonzero(xm == 1)
+                if want_tail:
+                    tail[i] = np.count_nonzero(xm == 2)
+            if T.size > 1:
+                ys = _gather_rows(indptr, indices, T)
+                clq[i] = np.count_nonzero(ind[ys] == 3) >> 1
+            # reset scratch (O(|N(v)| + |A|), cpp:1086-1088)
+            ind[Nv] = 0
+            if A.size:
+                ind[A] = 0
+        return tri, cyc, clq, tail, deg[src], deg[dst]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            if self.mode == "macro":
+                return pa.table({c: pa.array([], pa.int64()) for c in _PARTIAL_COLS})
+            return _micro_table(src, dst, *[np.array([], np.int64)] * 8)
+        tri, cyc, clq, tail, dv, du = self._edge_counts(src, dst)
+        wv = dv - tri - 1
+        wu = du - tri - 1
+        star3 = wv + wu
+        if self.mode == "micro":
+            chordal = tri * (tri - 1) // 2 - clq
+            path4 = wv * wu - cyc
+            star3_local = wv * (wv - 1) // 2 + wu * (wu - 1) // 2 - tail
+            return _micro_table(src, dst, tri, star3, clq, chordal, tail, cyc, star3_local, path4)
+        s = star3 + tri + 2  # |N(v) ∪ N(u)|
+        ts = tri + star3
+        vals = [
+            len(src),
+            int(tri.sum()),
+            int(star3.sum()),
+            int(clq.sum()),
+            int(cyc.sum()),
+            int((ts * (ts - 1) // 2).sum()),          # n1
+            int((star3 * (star3 - 1) // 2).sum()),    # n2
+            int((tri * (tri - 1) // 2).sum()),        # n3
+            int((tri * star3).sum()),                 # n4
+            int((wv * wu).sum()),                     # n5
+            int((wv * (wv - 1) // 2 + wu * (wu - 1) // 2).sum()),  # n6
+            int((dv + du).sum()),                     # for N7 on driver
+            int(s.sum()),                             # Σs
+            int((s * s).sum()),                       # Σs²
+            int((star3 * s).sum()),                   # for N9
+            int((tri * s).sum()),                     # for N10
+        ]
+        return pa.table({c: pa.array([v], pa.int64()) for c, v in zip(_PARTIAL_COLS, vals)})
+
+
+def _micro_table(src, dst, tri, star2, clq, chordal, tail, cyc, star3, path4) -> pa.Table:
+    return pa.table(
+        {
+            "src": np.asarray(src, np.int64),
+            "dst": np.asarray(dst, np.int64),
+            "triangle": tri,
+            "star2": star2,
+            "clique4": clq,
+            "chordal4": chordal,
+            "tailed4": tail,
+            "cycle4": cyc,
+            "star3": star3,
+            "path4": path4,
+        }
+    )
+
+
+@dataclass
+class MacroCounts:
+    """All 17 graphlet totals + derived scalars, exact Python ints."""
+
+    counts: dict
+    total_wedges: int
+    global_cc: float
+
+    def __getitem__(self, k):
+        return self.counts[k]
+
+    def as_dict(self) -> dict:
+        d = dict(self.counts)
+        d["total_wedges"] = self.total_wedges
+        d["global_cc"] = self.global_cc
+        return d
+
+
+def _comb2(x: int) -> int:
+    return x * (x - 1) // 2
+
+
+def macro_from_partials(acc: dict, n: int, m: int) -> MacroCounts:
+    """Closed-form final combination (graphlet_core.cpp:1449-1473),
+    arbitrary-precision."""
+    S_tri, S_star3 = acc["s_tri"], acc["s_star3"]
+    N3, N4, N5, N6 = acc["n3"], acc["n4"], acc["n5"], acc["n6"]
+    # re-expand the n-dependent sums exactly (see module docstring)
+    N7 = acc["cnt"] * (m + 1) - acc["s_dvdu"]
+    N8 = acc["cnt"] * _comb2(n) - n * acc["s_s"] + (acc["s_s2"] + acc["s_s"]) // 2
+    N9 = n * S_star3 - acc["s_star3_s"]
+    N10 = n * S_tri - acc["s_tri_s"]
+    S_31 = acc["cnt"] * n - acc["s_s"]  # Σ (n - s) = Σ disconn
+
+    c: dict = {}
+    c["total_2_1edge"] = m
+    c["total_2_indep"] = _comb2(n) - m
+    tris = S_tri // 3
+    c["total_3_tris"] = tris
+    star2 = S_star3 // 2
+    c["total_2_star"] = star2
+    c["total_3_1edge"] = S_31
+    c["total_3_indep"] = n * (n - 1) * (n - 2) // 6 - (tris + star2 + S_31)
+    wedges = 3 * tris + star2
+    cc = (3.0 * tris / wedges) if wedges else 0.0
+    clique = acc["s_cliq"] // 6
+    c["total_4_clique"] = clique
+    chord = N3 - 6 * clique
+    c["total_4_chordcycle"] = chord
+    cyc = acc["s_cyc"] // 4
+    c["total_4_cycle"] = cyc
+    path = N5 - 4 * cyc
+    c["total_4_path"] = path
+    tailed = (N4 - 4 * chord) // 2
+    c["total_4_tailed_tris"] = tailed
+    c["total_3_star"] = (N6 - tailed) // 3
+    e2 = (N7 - 6 * clique - 4 * cyc - 4 * chord - 2 * path - 2 * tailed) // 2
+    c["total_4_2edge"] = e2
+    c["total_4_1edge"] = N8 - 2 * e2
+    c["total_4_2star"] = (N9 - 2 * path) // 2
+    c["total_4_tri"] = (N10 - tailed) // 3
+    # 4-independent: C(n,4) minus everything else, exact
+    # (the reference's u64 version overflows for n ≳ 55k, Q3)
+    others = (
+        clique
+        + chord
+        + c["total_4_tailed_tris"]
+        + cyc
+        + c["total_3_star"]
+        + path
+        + c["total_4_1edge"]
+        + c["total_4_2edge"]
+        + c["total_4_2star"]
+        + c["total_4_tri"]
+    )
+    c["total_4_indep"] = n * (n - 1) * (n - 2) * (n - 3) // 24 - others
+    return MacroCounts(counts=c, total_wedges=wedges, global_cc=cc)
+
+
+def graphlet_macro(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    batch_size: int = 4096,
+    concurrency=(1, 32),
+) -> MacroCounts:
+    """Macro decomposition: stream canonical edges through the kernel
+    actor pool, combine per-batch partials in Python ints on the
+    driver, apply the closure."""
+    indptr_ref, indices_ref = csr.put()
+    partials = canonical_ds.map_batches(
+        GraphletKernel,
+        fn_constructor_kwargs={
+            "indptr_ref": indptr_ref,
+            "indices_ref": indices_ref,
+            "mode": "macro",
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    acc = {k: 0 for k in _PARTIAL_COLS}
+    for b in partials.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for k in _PARTIAL_COLS:
+            col = b[k].to_numpy(zero_copy_only=False)
+            acc[k] += int(col.sum())
+    return macro_from_partials(acc, csr.n, csr.m)
+
+
+def graphlet_micro(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    tailed_mode: str = "zero",
+    batch_size: int = 4096,
+    concurrency=(1, 32),
+) -> ray.data.Dataset:
+    """Micro decomposition: per-edge count table
+    (src, dst, triangle, star2, clique4, chordal4, tailed4, cycle4,
+    star3, path4) — the reference's 7 per-edge arrays plus derived
+    columns (graphlet_core.cpp:1483-1625)."""
+    indptr_ref, indices_ref = csr.put()
+    return canonical_ds.map_batches(
+        GraphletKernel,
+        fn_constructor_kwargs={
+            "indptr_ref": indptr_ref,
+            "indices_ref": indices_ref,
+            "mode": "micro",
+            "tailed_mode": tailed_mode,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def gfd(mac: MacroCounts, kind: str = "all") -> np.ndarray:
+    """Graphlet frequency distribution (graphlet_core.cpp:1955-2041).
+
+    kind='connected' → the 6 connected k=4 motifs normalized;
+    kind='disconnected' → the 5 disconnected ones;
+    kind='all' → all 11.
+    """
+    conn = [
+        "total_4_clique",
+        "total_4_chordcycle",
+        "total_4_tailed_tris",
+        "total_4_cycle",
+        "total_3_star",
+        "total_4_path",
+    ]
+    disc = [
+        "total_4_2star",
+        "total_4_tri",
+        "total_4_2edge",
+        "total_4_1edge",
+        "total_4_indep",
+    ]
+    if kind == "connected":
+        keys = conn
+    elif kind == "disconnected":
+        keys = disc
+    else:
+        keys = conn + disc
+    vals = np.array([float(mac[k]) for k in keys])
+    tot = vals.sum()
+    return vals / tot if tot > 0 else vals

@@ -1,0 +1,150 @@
+"""Conversation-transcript table: the engine's external input shape.
+
+Schema (BASELINE.json input_hint / FIXTURES.md §1):
+    (conv_id: string, turn_idx: int32, role: string, text: string,
+     tool: string, ts: timestamp[us])
+
+Three producers:
+  * ``derive_transcripts(sf_dir)`` — deterministic derivation from the
+    driver-generated ``events`` table (so the DuckDB oracle can compute
+    the identical table with window functions; see
+    ``__ray_entry__.oracle_sql``).
+  * ``transcripts_from_edges(src,dst)`` — golden re-encoding: one
+    two-turn conversation per edge so the transcript→edge stage
+    reproduces an arbitrary target graph exactly (FIXTURES.md §1).
+  * ``synth_transcripts`` — seeded random transcripts for property
+    tests and large-scale benchmarks.
+
+Invariant carried through every downstream stage: per-turn ``text``
+equality under stable ``(conv_id, turn_idx)`` ordering
+(``stable_turns`` materializes that ordering for comparison).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+_ROLES = np.array(["user", "assistant", "tool"])
+
+
+def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
+    """events → transcripts, deterministically.
+
+    Rule (mirrored 1:1 in SQL by the oracle):
+      conv_id  = 'c' || user_id
+      turn_idx = rank of the event within its user, ordered by
+                 (ts, event_id), 0-based
+      role     = ['user','assistant','tool'][event_id % 3]
+      text     = props        (carried byte-identical)
+      tool     = event_type
+      ts       = ts
+
+    The per-conversation rank is a ``groupby(user_id).map_groups`` —
+    one hash shuffle on the conversation key; each group is one
+    conversation, so groups stay small regardless of total scale.
+    """
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        out = pd.DataFrame(
+            {
+                "conv_id": "c" + g["user_id"].astype(str),
+                "turn_idx": np.arange(len(g), dtype=np.int32),
+                "role": _ROLES[(g["event_id"] % 3).to_numpy()],
+                "text": g["props"].to_numpy(),
+                "tool": g["event_type"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+            }
+        )
+        return out
+
+    return ev.groupby("user_id").map_groups(per_conv, batch_format="pandas")
+
+
+def transcripts_from_edges(src, dst, start_ts: int = 0) -> pa.Table:
+    """Golden re-encoding: edge i → conversation ``e{i}`` with two
+    turns whose ``tool`` fields carry the endpoint ids (``v{id}``).
+
+    Running the transcript→edge stage over this table reproduces the
+    input edge list exactly (used to replay the reference's golden
+    graphs through the full pipeline, FIXTURES.md §1).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    k = len(src)
+    conv = np.repeat(np.char.add("e", np.arange(k).astype(str)), 2)
+    turn = np.tile(np.array([0, 1], dtype=np.int32), k)
+    tools = np.empty(2 * k, dtype=object)
+    tools[0::2] = np.char.add("v", src.astype(str))
+    tools[1::2] = np.char.add("v", dst.astype(str))
+    roles = np.where(turn == 0, "user", "assistant")
+    text = np.char.add("turn-text-", np.arange(2 * k).astype(str))
+    ts = (start_ts + np.arange(2 * k)).astype("datetime64[us]")
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(roles.astype(object), pa.string()),
+            "text": pa.array(text.astype(object), pa.string()),
+            "tool": pa.array(list(tools), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def synth_transcripts(
+    n_convs: int,
+    mean_turns: int = 8,
+    n_tools: int = 50,
+    seed: int = 7,
+) -> pa.Table:
+    """Seeded synthetic transcripts (no external data; deterministic)."""
+    rng = np.random.default_rng(seed)
+    turns_per_conv = 1 + rng.poisson(mean_turns - 1, n_convs)
+    total = int(turns_per_conv.sum())
+    conv = np.repeat(np.char.add("c", np.arange(n_convs).astype(str)), turns_per_conv)
+    turn = np.concatenate([np.arange(t, dtype=np.int32) for t in turns_per_conv])
+    role = _ROLES[rng.integers(0, 3, total)]
+    # zipf-ish tool popularity → realistic hub skew in the tool graph
+    ranks = np.arange(1, n_tools + 1)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    tool = np.char.add("tool", rng.choice(n_tools, total, p=probs).astype(str))
+    text = np.char.add("text-", rng.integers(0, 1 << 30, total).astype(str))
+    ts = (np.arange(total) * 1000).astype("datetime64[us]")
+    return pa.table(
+        {
+            "conv_id": pa.array(conv.astype(object), pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(role.astype(object), pa.string()),
+            "text": pa.array(text.astype(object), pa.string()),
+            "tool": pa.array(tool.astype(object), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def stable_turns(tds: ray.data.Dataset) -> ray.data.Dataset:
+    """The transcript table in its stable ``(conv_id, turn_idx)``
+    ordering, text carried through — the per-row invariant surface."""
+    return tds.select_columns(["conv_id", "turn_idx", "text"]).sort(
+        ["conv_id", "turn_idx"]
+    )
