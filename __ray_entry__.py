@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (transcripts → edge table →
+CSR → PageRank + CC + graphlet counts) on sf0.001; ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2; and
+``oracle_sql()`` provides the DuckDB-equivalent SQL for every
+SQL-expressible query (iterative engines, LSH sketches and the
+language heuristic are rows-only checked).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init`` / ``ray.shutdown`` anywhere below.
 """
 
 from __future__ import annotations
@@ -18,27 +16,548 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror pgd_ray.sources 1:1)
+# ---------------------------------------------------------------------------
+
+# transcripts derived from events — pgd_ray.sources.transcripts.derive_transcripts
+_T_CTE = """
+t AS (
+  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         props AS text,
+         event_type AS tool,
+         ts
+  FROM events)
+"""
+
+# tool-transition edges — pgd_ray.sources.edges.edges_from_transcripts
+_TE_CTE = (
+    _T_CTE
+    + """,
+vocab AS (SELECT tool, CAST(row_number() OVER (ORDER BY tool) - 1 AS BIGINT) AS tid
+          FROM (SELECT DISTINCT tool FROM t)),
+pairs AS (SELECT a.tool AS ta, b.tool AS tb
+          FROM t a JOIN t b ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1),
+e AS (SELECT DISTINCT least(va.tid, vb.tid) AS src, greatest(va.tid, vb.tid) AS dst
+      FROM pairs JOIN vocab va ON pairs.ta = va.tool JOIN vocab vb ON pairs.tb = vb.tool
+      WHERE va.tid <> vb.tid)
+"""
+)
+
+# co-purchase edges — pgd_ray.sources.edges.edges_copurchase
+_E_CTE = """
+e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+_S_CTE = """
+s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+"""
+
+_D_CTE = """
+d AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM s GROUP BY src)
+"""
+
+
+def _macro17_sql(edge_cte: str, n_expr: str) -> str:
+    """Full 17-count graphlet SQL over a (small) edge CTE ``e`` —
+    per-edge tri / 4-clique-pair / induced-4-cycle-pair counts via
+    correlated subqueries, then the identical closed-form closure as
+    pgd_ray.graph.graphlets.macro_from_partials."""
+    return f"""
+WITH {edge_cte},
+{_S_CTE},
+{_D_CTE},
+nn AS (SELECT CAST({n_expr} AS BIGINT) AS n),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+pe AS (
+  SELECT e.src, e.dst, d1.degree AS dv, d2.degree AS du,
+    (SELECT COUNT(*) FROM s s1 JOIN s s2 ON s1.dst = s2.dst
+      WHERE s1.src = e.src AND s2.src = e.dst) AS tri,
+    (SELECT COUNT(*) FROM e wx
+      WHERE EXISTS (SELECT 1 FROM s WHERE s.src = e.src AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.src AND s.dst = wx.dst)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.dst AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.dst AND s.dst = wx.dst)) AS clq,
+    (SELECT COUNT(*) FROM s w_adj, s x_adj, s wx
+      WHERE w_adj.src = e.dst AND w_adj.dst <> e.src
+        AND w_adj.dst NOT IN (SELECT s2.dst FROM s s2 WHERE s2.src = e.src)
+        AND x_adj.src = e.src AND x_adj.dst <> e.dst
+        AND x_adj.dst NOT IN (SELECT s3.dst FROM s s3 WHERE s3.src = e.dst)
+        AND wx.src = w_adj.dst AND wx.dst = x_adj.dst) AS cyc
+  FROM e JOIN d d1 ON d1.v = e.src JOIN d d2 ON d2.v = e.dst),
+pe2 AS (
+  SELECT *, dv - tri - 1 AS wv, du - tri - 1 AS wu,
+         (dv - tri - 1) + (du - tri - 1) AS s3,
+         (dv - tri - 1) + (du - tri - 1) + tri + 2 AS un
+  FROM pe),
+agg AS (
+  SELECT CAST(COALESCE(SUM(tri),0) AS BIGINT) AS stri,
+         CAST(COALESCE(SUM(s3),0) AS BIGINT) AS sstar3,
+         CAST(COALESCE(SUM(clq),0) AS BIGINT) AS sclq,
+         CAST(COALESCE(SUM(cyc),0) AS BIGINT) AS scyc,
+         CAST(COALESCE(SUM((tri+s3)*(tri+s3-1)//2),0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(tri*(tri-1)//2),0) AS BIGINT) AS n3,
+         CAST(COALESCE(SUM(tri*s3),0) AS BIGINT) AS n4,
+         CAST(COALESCE(SUM(wv*wu),0) AS BIGINT) AS n5,
+         CAST(COALESCE(SUM(wv*(wv-1)//2 + wu*(wu-1)//2),0) AS BIGINT) AS n6,
+         CAST(COALESCE(SUM((SELECT m FROM mm) - dv - du + 1),0) AS BIGINT) AS n7,
+         CAST(COALESCE(SUM(((SELECT n FROM nn)-un)*(((SELECT n FROM nn)-un)-1)//2),0) AS BIGINT) AS n8,
+         CAST(COALESCE(SUM(s3*((SELECT n FROM nn)-un)),0) AS BIGINT) AS n9,
+         CAST(COALESCE(SUM(tri*((SELECT n FROM nn)-un)),0) AS BIGINT) AS n10,
+         CAST(COALESCE(SUM((SELECT n FROM nn)-un),0) AS BIGINT) AS s31
+  FROM pe2),
+cl AS (
+  SELECT (SELECT n FROM nn) AS n, (SELECT m FROM mm) AS m, a.*,
+         a.stri // 3 AS tris, a.sstar3 // 2 AS star2,
+         a.sclq // 6 AS clique, a.scyc // 4 AS cycle
+  FROM agg a),
+cl2 AS (
+  SELECT *, n3 - 6*clique AS chord, n5 - 4*cycle AS path,
+         (n4 - 4*(n3 - 6*clique)) // 2 AS tailed
+  FROM cl),
+cl3 AS (
+  SELECT *,
+    (n6 - tailed) // 3 AS star3t,
+    (n7 - 6*clique - 4*cycle - 4*chord - 2*path - 2*tailed) // 2 AS e2
+  FROM cl2)
+SELECT
+  CAST(m AS BIGINT) AS total_2_1edge,
+  CAST(n*(n-1)//2 - m AS BIGINT) AS total_2_indep,
+  CAST(tris AS BIGINT) AS total_3_tris,
+  CAST(star2 AS BIGINT) AS total_2_star,
+  CAST(s31 AS BIGINT) AS total_3_1edge,
+  CAST(n*(n-1)*(n-2)//6 - (tris + star2 + s31) AS BIGINT) AS total_3_indep,
+  CAST(clique AS BIGINT) AS total_4_clique,
+  CAST(chord AS BIGINT) AS total_4_chordcycle,
+  CAST(tailed AS BIGINT) AS total_4_tailed_tris,
+  CAST(cycle AS BIGINT) AS total_4_cycle,
+  CAST(star3t AS BIGINT) AS total_3_star,
+  CAST(path AS BIGINT) AS total_4_path,
+  CAST(n8 - 2*e2 AS BIGINT) AS total_4_1edge,
+  CAST(e2 AS BIGINT) AS total_4_2edge,
+  CAST((n9 - 2*path) // 2 AS BIGINT) AS total_4_2star,
+  CAST((n10 - tailed) // 3 AS BIGINT) AS total_4_tri,
+  CAST(n*(n-1)*(n-2)*(n-3)//24
+       - (clique + chord + tailed + cycle + star3t + path
+          + (n8 - 2*e2) + e2 + (n9 - 2*path)//2 + (n10 - tailed)//3)
+       AS BIGINT) AS total_4_indep
+FROM cl3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ray-side helpers
+# ---------------------------------------------------------------------------
+
+def _transcripts_ds(sf_dir):
+    from pgd_ray.sources.transcripts import derive_transcripts
+
+    return derive_transcripts(sf_dir)
+
+
+def _copurchase_bundle(sf_dir):
+    """Canonical copurchase edges (raw part ids) + dense CSR + id map."""
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.graph.normalize import densify, vertex_ids
+    from pgd_ray.sources.edges import edges_copurchase
+
+    eds = edges_copurchase(sf_dir).materialize()
+    vids = vertex_ids(eds)
+    dense = densify(eds, vids).materialize()
+    csr = build_csr(dense, n=len(vids))
+    return eds, dense, csr, vids
+
+
+def _tool_graph(sf_dir):
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.sources.edges import edges_from_transcripts, tool_vocab
+
+    tds = _transcripts_ds(sf_dir)
+    vocab = tool_vocab(tds)
+    eds = edges_from_transcripts(tds, vocab=vocab).materialize()
+    return eds, build_csr(eds, n=len(vocab)), vocab
+
+
+def _macro_frame(mac) -> pd.DataFrame:
+    from pgd_ray.graph.graphlets import MACRO_KEYS
+
+    return pd.DataFrame([{k: np.int64(mac[k]) for k in MACRO_KEYS}])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_transcripts(sf_dir):
+    return _transcripts_ds(sf_dir)
+
+
+def _q_transcript_edges(sf_dir):
+    from pgd_ray.sources.edges import edges_from_transcripts
+
+    return edges_from_transcripts(_transcripts_ds(sf_dir))
+
+
+def _q_edges_copurchase(sf_dir):
+    from pgd_ray.sources.edges import edges_copurchase
+
+    return edges_copurchase(sf_dir)
+
+
+def _q_degree_table(sf_dir):
+    from pgd_ray.graph.degrees import degree_table
+    from pgd_ray.sources.edges import edges_copurchase
+
+    return degree_table(edges_copurchase(sf_dir))
+
+
+def _q_graph_stats(sf_dir):
+    from pgd_ray.graph.degrees import graph_stats
+    from pgd_ray.sources.edges import edges_copurchase
+
+    df = graph_stats(edges_copurchase(sf_dir).materialize())
+    df["density"] = df["density"].round(9)
+    df["d_avg"] = df["d_avg"].round(9)
+    return df
+
+
+def _q_assortativity(sf_dir):
+    from pgd_ray.graph.degrees import assortativity
+    from pgd_ray.sources.edges import edges_copurchase
+
+    r = assortativity(edges_copurchase(sf_dir).materialize())
+    return pd.DataFrame([{"r": round(r, 9)}])
+
+
+def _q_triangle_count(sf_dir):
+    from pgd_ray.graph.graphlets import edge_triangles
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    tri = edge_triangles(dense, csr)
+    total = 0
+    for b in tri.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        total += int(b["triangle"].to_numpy(zero_copy_only=False).sum())
+    return pd.DataFrame([{"total_3_tris": np.int64(total // 3)}])
+
+
+def _q_edge_triangles(sf_dir):
+    from pgd_ray.graph.graphlets import edge_triangles
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    tri = edge_triangles(dense, csr).to_pandas()
+    # map dense ids back to raw part keys for the SQL comparison
+    tri["src"] = vids[tri["src"].to_numpy()]
+    tri["dst"] = vids[tri["dst"].to_numpy()]
+    return tri[["src", "dst", "triangle"]]
+
+
+def _q_wedges_cc(sf_dir):
+    from pgd_ray.graph.degrees import degree_array
+    from pgd_ray.graph.graphlets import edge_triangles
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    deg = csr.degrees().astype(np.int64)
+    tris = 0
+    for b in edge_triangles(dense, csr).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        tris += int(b["triangle"].to_numpy(zero_copy_only=False).sum())
+    tris //= 3
+    wedges = int((deg * (deg - 1) // 2).sum())
+    cc = round(3.0 * tris / wedges, 9) if wedges else 0.0
+    return pd.DataFrame(
+        [{"total_wedges": np.int64(wedges), "global_cc": cc}]
+    )
+
+
+def _q_macro_tool_graph(sf_dir):
+    from pgd_ray.graph.graphlets import graphlet_macro
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    return _macro_frame(graphlet_macro(eds, csr, concurrency=(1, 4)))
+
+
+def _q_cc_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import connected_components
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    comp = connected_components(csr)
+    return pd.DataFrame({"v": vids, "component": vids[comp]})
+
+
+def _q_pagerank_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import pagerank
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    pr = pagerank(csr, tol=1e-12)
+    return pd.DataFrame({"v": vids, "score": np.round(pr, 9)})
+
+
+def _q_kcore_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import kcore
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    return pd.DataFrame({"v": vids, "core": kcore(csr).astype(np.int64)})
+
+
+def _q_label_prop_tool(sf_dir):
+    from pgd_ray.graph.iterative import label_propagation
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    lab = label_propagation(csr, max_iter=20)
+    return pd.DataFrame({"tool_id": np.arange(csr.n, dtype=np.int64),
+                         "label": lab.astype(np.int64)})
+
+
+def _q_text_stats(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.analysis import text_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return text_stats(docs)
+
+
+def _q_fingerprints(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.analysis import fingerprints
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return fingerprints(docs).select_columns(["doc_id", "md5"])
+
+
+def _q_exact_dedup(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def _q_lang_id(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.analysis import lang_id
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return lang_id(docs)
+
+
+def _q_minhash_dedup(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.7)
+
+
+def _q_simhash_pairs(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.dedup import simhash_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def _q_topk_cosine(sf_dir):
+    import ray.data
+
+    from pgd_ray.stages.similarity import topk_cosine
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 4").to_pandas().sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    top = topk_cosine(emb, q, k=10, dtype=np.float64)
+    top["cosine"] = top["cosine"].round(6)
+    return top
+
+
+def _q_embedding_neardup(sf_dir):
+    import ray.data
+
+    from pgd_ray.text.dedup import embedding_neardup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = embedding_neardup(emb, threshold=0.45, dtype=np.float64)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def _q_univar_clique4(sf_dir):
+    from pgd_ray.graph.graphlets import graphlet_micro
+    from pgd_ray.stages.univar import univar_stats
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    micro = graphlet_micro(eds, csr, concurrency=(1, 4))
+    st = univar_stats(micro, "clique4")
+    return pd.DataFrame([{k: float(v) for k, v in st.items()}])
+
+
+def _q_media_decode(sf_dir):
+    import ray.data
+
+    from pgd_ray.stages.multimodal import decode_images, media_from_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return decode_images(media_from_documents(docs)).select_columns(
+        ["media_id", "width", "height"]
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
+    from pgd_ray.pipelines.flagship import flagship
+
+    summary, mac = flagship(SF_SMOKE, n_workers=4)
+    return summary
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": _q_transcripts,
+        "transcript_edges": _q_transcript_edges,
+        "edges_copurchase": _q_edges_copurchase,
+        "degree_table": _q_degree_table,
+        "graph_stats": _q_graph_stats,
+        "assortativity": _q_assortativity,
+        "triangle_count": _q_triangle_count,
+        "edge_triangles": _q_edge_triangles,
+        "wedges_cc": _q_wedges_cc,
+        "macro_tool_graph": _q_macro_tool_graph,
+        "cc_copurchase": _q_cc_copurchase,
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "kcore_copurchase": _q_kcore_copurchase,
+        "label_prop_tool": _q_label_prop_tool,
+        "text_stats": _q_text_stats,
+        "fingerprints": _q_fingerprints,
+        "exact_dedup": _q_exact_dedup,
+        "lang_id": _q_lang_id,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "topk_cosine": _q_topk_cosine,
+        "embedding_neardup": _q_embedding_neardup,
+        "univar_clique4": _q_univar_clique4,
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": f"WITH {_T_CTE} SELECT conv_id, turn_idx, role, text, tool, ts FROM t",
+        "transcript_edges": f"WITH {_TE_CTE} SELECT src, dst FROM e",
+        "edges_copurchase": f"WITH {_E_CTE} SELECT src, dst FROM e",
+        "degree_table": f"WITH {_E_CTE}, {_S_CTE}, {_D_CTE} SELECT v, degree FROM d",
+        "graph_stats": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+base AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS m,
+                (SELECT CAST(MAX(degree) AS BIGINT) FROM d) AS d_max)
+SELECT n, m,
+       ROUND(2.0*m / (n*(n-1.0)), 9) AS density,
+       d_max,
+       ROUND(2.0*m / n, 9) AS d_avg
+FROM base""",
+        "assortativity": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+j AS (SELECT d1.degree AS dv, d2.degree AS du
+      FROM e JOIN d d1 ON d1.v = e.src JOIN d d2 ON d2.v = e.dst),
+a AS (SELECT SUM(CAST(dv AS DOUBLE)*du) AS mu,
+             SUM((dv+du)/2.0) AS jd,
+             SUM((CAST(dv AS DOUBLE)*dv + CAST(du AS DOUBLE)*du)/2.0) AS psi,
+             CAST(COUNT(*) AS DOUBLE) AS m FROM j),
+rr AS (SELECT CASE WHEN m = 0 THEN 0.0
+              ELSE ((mu/m) - (jd/m)*(jd/m)) / ((psi/m) - (jd/m)*(jd/m)) END AS r0, m FROM a)
+SELECT ROUND(CASE WHEN m = 0 THEN 0.0
+             WHEN isnan(r0) OR r0 < -1.0 OR r0 > 1.0 THEN 1.0
+             ELSE r0 END, 9) AS r
+FROM rr""",
+        "triangle_count": f"""
+WITH {_E_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS total_3_tris
+FROM e ab JOIN e bc ON ab.dst = bc.src JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst""",
+        "edge_triangles": f"""
+WITH {_E_CTE}, {_S_CTE}
+SELECT e.src, e.dst,
+       CAST(COUNT(s2.dst) AS BIGINT) AS triangle
+FROM e LEFT JOIN s s1 ON s1.src = e.src
+       LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+GROUP BY e.src, e.dst""",
+        "wedges_cc": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e ab
+       JOIN e bc ON ab.dst = bc.src JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+w AS (SELECT CAST(SUM(degree*(degree-1)//2) AS BIGINT) AS wedges FROM d)
+SELECT (SELECT wedges FROM w) AS total_wedges,
+       ROUND(3.0*(SELECT t FROM tr) / (SELECT wedges FROM w), 9) AS global_cc""",
+        "macro_tool_graph": _macro17_sql(
+            _TE_CTE, "(SELECT COUNT(DISTINCT tool) FROM t)"
+        ),
+        "cc_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE},
+vtx AS (SELECT DISTINCT src AS v FROM s),
+walk(v, comp) AS (
+  SELECT v, v FROM vtx
+  UNION
+  SELECT s.dst, walk.comp FROM walk JOIN s ON s.src = walk.v
+)
+SELECT v, CAST(MIN(comp) AS BIGINT) AS component FROM walk GROUP BY v""",
+        "text_stats": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS token_count,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS word_count,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count
+  FROM documents)
+SELECT doc_id, n_chars, token_count, word_count, punct_count, digit_count,
+       ROUND(0.4*least(n_chars/200.0, 1.0)
+             + 0.5*(word_count/CAST(greatest(token_count,1) AS DOUBLE))
+             + 0.1*(1.0 - digit_count/CAST(greatest(n_chars,1) AS DOUBLE)), 6) AS quality
+FROM b""",
+        "fingerprints": """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS md5
+FROM documents""",
+        "exact_dedup": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)""",
+        "topk_cosine": """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+sims AS (SELECT q.qid AS query_id, e.vec_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS c
+         FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, c,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank
+      FROM sims)
+SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10""",
+        "embedding_neardup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+    }

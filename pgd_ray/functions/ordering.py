@@ -1,0 +1,122 @@
+"""Edge-ordering strategies (SURVEY.md §2.4 O1-O5).
+
+The reference sorts its edge work list so heavy edges schedule first
+under dynamic OpenMP scheduling (graphlet_core.cpp:853-867; key
+functions cpp:774-834).  Ordering never changes any count — it is a
+scheduling / output-order contract only — so here it serves (a) skew
+mitigation: a degree-descending sort before the kernel stage makes
+early blocks carry the hubs, and (b) the micro-CSV compat writer's
+row order (SURVEY.md W2).
+
+All nine implemented reference strategies are reproduced as vectorized
+key computations over broadcast degree / kcore arrays inside one
+``map_batches``; ``rand`` uses a FIXED seed (the reference seeds with
+wall time — SURVEY.md Q5 — which we deliberately make deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from pgd_ray.graph.csr import CSRGraph
+
+ORDERINGS = [
+    "natural",
+    "rand",
+    "degree",
+    "kcore",
+    "kcore_degree",
+    "degree_vol",
+    "kcore_vol",
+    "degree_kcore_vol",
+    "var",
+]
+
+
+def _vol(csr: CSRGraph, weights: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Σ_{w∈N(v)} weights[w], vectorized over a vertex array."""
+    cs = np.concatenate(([0], np.cumsum(weights[csr.indices])))
+    return cs[csr.indptr[v + 1]] - cs[csr.indptr[v]]
+
+
+def edge_ordering_keys(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    strategy: str = "degree",
+    kcore_vec: np.ndarray | None = None,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Append an int64 ``key`` column per edge for the chosen strategy
+    (graphlet_core.cpp:774-834 semantics)."""
+    if strategy not in ORDERINGS:
+        raise ValueError(f"unknown ordering {strategy!r}; one of {ORDERINGS}")
+    if strategy in ("kcore", "kcore_degree", "kcore_vol", "degree_kcore_vol", "var") and kcore_vec is None:
+        from pgd_ray.graph.iterative import kcore as _kcore
+
+        kcore_vec = _kcore(csr)
+    deg = csr.degrees()
+    refs = {
+        "deg": ray.put(deg),
+        "kc": ray.put(kcore_vec if kcore_vec is not None else np.zeros(csr.n, np.int64)),
+        "indptr": csr.put()[0],
+        "indices": csr.put()[1],
+    }
+
+    def keys(t: pa.Table) -> pa.Table:
+        d = ray.get(refs["deg"])
+        kc = ray.get(refs["kc"])
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        if strategy == "natural":
+            val = np.zeros(len(src), np.int64)
+        elif strategy == "rand":
+            rng = np.random.default_rng(seed)  # deterministic (Q5 fixed)
+            val = rng.integers(0, 1 << 31, len(src))
+        elif strategy == "degree":
+            val = d[src] + d[dst]
+        elif strategy == "kcore":
+            val = kc[src] + kc[dst]
+        elif strategy == "kcore_degree":
+            val = (d[src] + d[dst]) * (kc[src] + kc[dst])
+        elif strategy in ("degree_vol", "kcore_vol", "degree_kcore_vol"):
+            indptr = ray.get(refs["indptr"])
+            indices = ray.get(refs["indices"])
+            local = CSRGraph(csr.n, csr.m, indptr, indices)
+            if strategy == "degree_vol":
+                w = d
+            elif strategy == "kcore_vol":
+                w = kc
+            else:
+                w = d * kc
+            val = _vol(local, w, src) + _vol(local, w, dst)
+        elif strategy == "var":
+            kcs = np.maximum(kc, 1)
+            val = kc[src] * (d[src] // kcs[src]) + kc[dst] * (d[dst] // kcs[dst])
+        return t.append_column("key", pa.array(val.astype(np.int64)))
+
+    return canonical_ds.map_batches(keys, batch_format="pyarrow")
+
+
+def sort_edges(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    strategy: str = "degree",
+    descending: bool = True,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    **kw,
+) -> ray.data.Dataset:
+    """Globally sorted edge work list (E_ordered analogue).
+
+    ``sample_fraction`` reproduces the sampled-sort approximation hook
+    (graphlet_core.cpp:837-851) with a fixed seed.  ``descending=False``
+    is the reference's ``--s2l`` flag.
+    """
+    ds = canonical_ds
+    if sample_fraction is not None:
+        ds = ds.random_sample(sample_fraction, seed=seed)
+    keyed = edge_ordering_keys(ds, csr, strategy, seed=seed, **kw)
+    return keyed.sort(["key", "src", "dst"], descending=[descending, descending, descending])

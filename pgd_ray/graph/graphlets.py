@@ -135,6 +135,18 @@ class GraphletKernel:
         clq = np.zeros(k, dtype=np.int64)
         tail = np.zeros(k, dtype=np.int64)
         want_tail = self.tailed_mode == "micro"
+        two_hop = self.mode != "tri"
+        if not two_hop:
+            # triangles only: sorted-intersection, no scratch writes
+            for i in range(k):
+                v = v_arr[i]
+                u = u_arr[i]
+                Nv = indices[indptr[v] : indptr[v + 1]]
+                Nu = indices[indptr[u] : indptr[u + 1]]
+                pos = np.searchsorted(Nu, Nv)
+                pos[pos == len(Nu)] = 0
+                tri[i] = int(np.count_nonzero(Nu[pos] == Nv)) if len(Nu) else 0
+            return tri, cyc, clq, tail, deg[src], deg[dst]
         for i in range(k):
             v = v_arr[i]
             u = u_arr[i]
@@ -171,8 +183,18 @@ class GraphletKernel:
         if len(src) == 0:
             if self.mode == "macro":
                 return pa.table({c: pa.array([], pa.int64()) for c in _PARTIAL_COLS})
+            if self.mode == "tri":
+                return pa.table(
+                    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                     "triangle": pa.array([], pa.int64())}
+                )
             return _micro_table(src, dst, *[np.array([], np.int64)] * 8)
         tri, cyc, clq, tail, dv, du = self._edge_counts(src, dst)
+        if self.mode == "tri":
+            return pa.table(
+                {"src": np.asarray(src, np.int64), "dst": np.asarray(dst, np.int64),
+                 "triangle": tri}
+            )
         wv = dv - tri - 1
         wu = du - tri - 1
         star3 = wv + wu
@@ -300,6 +322,29 @@ def macro_from_partials(acc: dict, n: int, m: int) -> MacroCounts:
     return MacroCounts(counts=c, total_wedges=wedges, global_cc=cc)
 
 
+_KERNEL_CACHE: dict = {}
+
+
+def _kernel_stage(csr: CSRGraph, mode: str, tailed_mode: str = "zero"):
+    """Stateless-task kernel stage: the CSR is fetched zero-copy from
+    plasma once per worker process and the kernel object (with its
+    reusable scratch array) is cached there — same amortization as an
+    actor pool without paying pool construction per pipeline stage.
+    On a multi-node cluster each node fetches the CSR once."""
+    indptr_ref, indices_ref = csr.put()
+    key = (indptr_ref.binary(), mode, tailed_mode)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kern = _KERNEL_CACHE.get(key)
+        if kern is None:
+            kern = GraphletKernel(indptr_ref, indices_ref, mode=mode, tailed_mode=tailed_mode)
+            _KERNEL_CACHE.clear()  # one graph at a time per worker
+            _KERNEL_CACHE[key] = kern
+        return kern(batch)
+
+    return fn
+
+
 def graphlet_macro(
     canonical_ds: ray.data.Dataset,
     csr: CSRGraph,
@@ -307,19 +352,13 @@ def graphlet_macro(
     concurrency=(1, 32),
 ) -> MacroCounts:
     """Macro decomposition: stream canonical edges through the kernel
-    actor pool, combine per-batch partials in Python ints on the
-    driver, apply the closure."""
-    indptr_ref, indices_ref = csr.put()
+    stage, combine per-batch partials in Python ints on the driver,
+    apply the closure.  ``concurrency`` is an upper bound on in-flight
+    tasks (parallelism itself follows the input's block count)."""
     partials = canonical_ds.map_batches(
-        GraphletKernel,
-        fn_constructor_kwargs={
-            "indptr_ref": indptr_ref,
-            "indices_ref": indices_ref,
-            "mode": "macro",
-        },
+        _kernel_stage(csr, "macro"),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )
     acc = {k: 0 for k in _PARTIAL_COLS}
@@ -328,6 +367,22 @@ def graphlet_macro(
             col = b[k].to_numpy(zero_copy_only=False)
             acc[k] += int(col.sum())
     return macro_from_partials(acc, csr.n, csr.m)
+
+
+def edge_triangles(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    batch_size: int = 8192,
+    concurrency=(1, 32),
+) -> ray.data.Dataset:
+    """Per-edge triangle counts only (src, dst, triangle) — the cheap
+    O(d_v+d_u) sorted-intersection path, no 2-hop gathers."""
+    return canonical_ds.map_batches(
+        _kernel_stage(csr, "tri"),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
 
 
 def graphlet_micro(
@@ -341,18 +396,10 @@ def graphlet_micro(
     (src, dst, triangle, star2, clique4, chordal4, tailed4, cycle4,
     star3, path4) — the reference's 7 per-edge arrays plus derived
     columns (graphlet_core.cpp:1483-1625)."""
-    indptr_ref, indices_ref = csr.put()
     return canonical_ds.map_batches(
-        GraphletKernel,
-        fn_constructor_kwargs={
-            "indptr_ref": indptr_ref,
-            "indices_ref": indices_ref,
-            "mode": "micro",
-            "tailed_mode": tailed_mode,
-        },
+        _kernel_stage(csr, "micro", tailed_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )
 

@@ -154,6 +154,9 @@ class _PullWorker:
         self.indptr = indptr
         self.indices = indices
 
+    def ping(self):
+        return True
+
     def step(self, program, state, extras, blocks):
         precomp = _precompute(program, self.indptr, state, extras)
         return [
@@ -190,6 +193,22 @@ class _PullBlockStage:
         )
 
 
+def worker_pool(csr: CSRGraph, n_workers: int) -> list:
+    """Spawn a persistent _PullWorker pool for a CSR.  Pass the result
+    as ``workers=`` to several IterativeEngine runs (PageRank → CC →
+    k-core on the same graph) to pay actor startup once; caller kills
+    the actors (ray.kill) when done."""
+    indptr_ref, indices_ref = csr.put()
+    pool = [_PullWorker.remote(indptr_ref, indices_ref) for _ in range(max(1, n_workers))]
+    ray.get([w.ping.remote() for w in pool])  # force startup now, not in round 1
+    return pool
+
+
+def kill_pool(workers: list) -> None:
+    for w in workers:
+        ray.kill(w)
+
+
 # --------------------------------------------------------------------
 # driver-side harness
 # --------------------------------------------------------------------
@@ -219,6 +238,7 @@ class IterativeEngine:
         engine: str = "actors",
         checkpoint_dir: str | Path | None = None,
         checkpoint_every: int = 5,
+        workers: list | None = None,
     ):
         self.csr = csr
         self.program = program
@@ -229,19 +249,16 @@ class IterativeEngine:
         self.checkpoint_every = checkpoint_every
         self.metrics: list[dict] = []
         self._refs = csr.put()
-        self._workers = None
+        self._workers = workers  # shared pool (pool spawn ~seconds; amortize
+        self._owns_workers = workers is None  # it across engines, see worker_pool)
         self._block_ds = None
 
     def _ensure_workers(self):
         if self._workers is None:
-            indptr_ref, indices_ref = self._refs
-            self._workers = [
-                _PullWorker.remote(indptr_ref, indices_ref)
-                for _ in range(min(self.n_workers, max(1, len(self.blocks))))
-            ]
+            self._workers = worker_pool(self.csr, min(self.n_workers, max(1, len(self.blocks))))
 
     def close(self):
-        if self._workers:
+        if self._workers and self._owns_workers:
             for w in self._workers:
                 ray.kill(w)
             self._workers = None
@@ -379,6 +396,7 @@ def pagerank(
     resume: bool = False,
     n_workers: int = 8,
     engine: str = "actors",
+    workers: list | None = None,
 ) -> np.ndarray:
     """PageRank over the undirected graph (out-degree = degree),
     uniform teleport, dangling mass redistributed uniformly.  Matches
@@ -390,7 +408,7 @@ def pagerank(
     dangling_mask = deg == 0
     eng = IterativeEngine(
         csr, "pagerank", n_workers=n_workers, engine=engine,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, workers=workers,
     )
 
     def extras(state):
@@ -405,12 +423,12 @@ def pagerank(
 
 def connected_components(
     csr: CSRGraph, max_iter: int = 10_000, checkpoint_dir=None, resume=False,
-    n_workers: int = 8, engine: str = "actors",
+    n_workers: int = 8, engine: str = "actors", workers: list | None = None,
 ) -> np.ndarray:
     """Min-label propagation; converges in O(diameter) rounds; the
     component id is the smallest vertex id in the component."""
     eng = IterativeEngine(csr, "cc", n_workers=n_workers, engine=engine,
-                          checkpoint_dir=checkpoint_dir)
+                          checkpoint_dir=checkpoint_dir, workers=workers)
     state, _ = eng.run(
         np.arange(csr.n, dtype=np.int64), lambda s: {}, lambda d: d == 0.0, max_iter,
         resume=resume,
@@ -420,14 +438,14 @@ def connected_components(
 
 def label_propagation(
     csr: CSRGraph, max_iter: int = 20, checkpoint_dir=None, resume=False,
-    n_workers: int = 8, engine: str = "actors",
+    n_workers: int = 8, engine: str = "actors", workers: list | None = None,
 ) -> np.ndarray:
     """Synchronous community label propagation: each round every vertex
     adopts the most frequent neighbor label (ties → smallest label).
     Deterministic; stops early at a fixpoint (oscillation bounded by
     max_iter).  Isolated vertices keep their own label."""
     eng = IterativeEngine(csr, "lp", n_workers=n_workers, engine=engine,
-                          checkpoint_dir=checkpoint_dir)
+                          checkpoint_dir=checkpoint_dir, workers=workers)
     state, _ = eng.run(
         np.arange(csr.n, dtype=np.int64), lambda s: {}, lambda d: d == 0.0, max_iter,
         resume=resume,
@@ -437,13 +455,13 @@ def label_propagation(
 
 def kcore(
     csr: CSRGraph, max_iter: int = 10_000, checkpoint_dir=None, resume=False,
-    n_workers: int = 8, engine: str = "actors",
+    n_workers: int = 8, engine: str = "actors", workers: list | None = None,
 ) -> np.ndarray:
     """Exact core numbers via the iterated neighborhood h-index
     (fixpoint = coreness), matching the reference's bucket peeling
     (graphlet_core.cpp:958-1018) without its sequential order."""
     eng = IterativeEngine(csr, "kcore", n_workers=n_workers, engine=engine,
-                          checkpoint_dir=checkpoint_dir)
+                          checkpoint_dir=checkpoint_dir, workers=workers)
     state, _ = eng.run(
         csr.degrees().astype(np.int64), lambda s: {}, lambda d: d == 0.0, max_iter,
         resume=resume,

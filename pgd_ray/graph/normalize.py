@@ -137,18 +137,17 @@ def densify(ds: ray.data.Dataset, vids: np.ndarray) -> ray.data.Dataset:
     with ``np.searchsorted`` inside each batch — a broadcast join, no
     shuffle (SURVEY.md §2.8).
     """
+    from pgd_ray.graph.cache import get_cached
+
     ref = ray.put(np.ascontiguousarray(vids))
 
-    class Remap:
-        def __init__(self):
-            self.vids = ray.get(ref)
+    def remap(t: pa.Table) -> pa.Table:
+        vv = get_cached(ref)
+        src = np.searchsorted(vv, t["src"].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(vv, t["dst"].to_numpy(zero_copy_only=False))
+        return _edge_table(src.astype(np.int64), dst.astype(np.int64))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            src = np.searchsorted(self.vids, t["src"].to_numpy(zero_copy_only=False))
-            dst = np.searchsorted(self.vids, t["dst"].to_numpy(zero_copy_only=False))
-            return _edge_table(src.astype(np.int64), dst.astype(np.int64))
-
-    return ds.map_batches(Remap, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(remap, batch_format="pyarrow")
 
 
 def normalize_edges(

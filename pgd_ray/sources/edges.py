@@ -64,49 +64,155 @@ def edges_from_transcripts(
         vocab = tool_vocab(tds)
     vocab_ref = ray.put(np.asarray(vocab, dtype=object))
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        vv = ray.get(vocab_ref)
-        g = g.sort_values("turn_idx", kind="stable")
-        tools = g["tool"].to_numpy()
-        if len(tools) < 2:
-            return pd.DataFrame({"src": np.array([], np.int64), "dst": np.array([], np.int64)})
-        a = np.searchsorted(vv, tools[:-1])
-        b = np.searchsorted(vv, tools[1:])
+    srt = (
+        tds.select_columns(["conv_id", "turn_idx", "tool"])
+        .sort(["conv_id", "turn_idx"])
+        .materialize()
+    )
+
+    def pairs_in_block(t: pa.Table) -> pa.Table:
+        from pgd_ray.graph.cache import get_cached
+
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        vv = get_cached(vocab_ref)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        same = conv[1:] == conv[:-1]
+        a = np.searchsorted(vv, tool[:-1][same])
+        b = np.searchsorted(vv, tool[1:][same])
         lo = np.minimum(a, b).astype(np.int64)
         hi = np.maximum(a, b).astype(np.int64)
         keep = lo != hi
-        return pd.DataFrame({"src": lo[keep], "dst": hi[keep]})
+        return pa.table({"src": lo[keep], "dst": hi[keep]})
 
-    raw = tds.select_columns(["conv_id", "turn_idx", "tool"]).groupby(
-        "conv_id"
-    ).map_groups(per_conv, batch_format="pandas")
+    raw = srt.map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
+
+    # stitch pairs that span block boundaries: one summary row per block
+    def block_edges(t: pa.Table) -> pa.Table:
+        cols = {"fconv": pa.string(), "fturn": pa.int64(), "lconv": pa.string(),
+                "lturn": pa.int64(), "ltool": pa.string(), "ftool": pa.string()}
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], v) for k, v in cols.items()})
+        return pa.table(
+            {
+                "fconv": pa.array([t["conv_id"][0].as_py()], pa.string()),
+                "fturn": pa.array([int(t["turn_idx"][0].as_py())], pa.int64()),
+                "lconv": pa.array([t["conv_id"][-1].as_py()], pa.string()),
+                "lturn": pa.array([int(t["turn_idx"][-1].as_py())], pa.int64()),
+                "ltool": pa.array([t["tool"][-1].as_py()], pa.string()),
+                "ftool": pa.array([t["tool"][0].as_py()], pa.string()),
+            }
+        )
+
+    bdf = srt.map_batches(block_edges, batch_format="pyarrow", batch_size=None).to_pandas()
+    extra_src, extra_dst = [], []
+    if len(bdf) > 1:
+        vv = np.asarray(vocab, dtype=object)
+        # blocks ordered by their first (conv, turn) — unique per block
+        bdf = bdf.sort_values(["fconv", "fturn"], kind="stable").reset_index(drop=True)
+        for bidx in range(len(bdf) - 1):
+            if (
+                bdf.loc[bidx, "lconv"] == bdf.loc[bidx + 1, "fconv"]
+                and int(bdf.loc[bidx + 1, "fturn"]) == int(bdf.loc[bidx, "lturn"]) + 1
+            ):
+                x = int(np.searchsorted(vv, bdf.loc[bidx, "ltool"]))
+                y = int(np.searchsorted(vv, bdf.loc[bidx + 1, "ftool"]))
+                if x != y:
+                    extra_src.append(min(x, y))
+                    extra_dst.append(max(x, y))
+    if extra_src:
+        raw = raw.union(
+            ray.data.from_arrow(
+                pa.table({"src": pa.array(extra_src, pa.int64()),
+                          "dst": pa.array(extra_dst, pa.int64())})
+            )
+        )
     return dedup_edges(raw)
 
 
-def edges_copurchase(sf_dir: str) -> ray.data.Dataset:
-    """Parts co-occurring in the same order → canonical deduped edges.
+def _segment_pairs(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment value pairs of a key-sorted array, fully
+    vectorized (no per-group Python): for each row r at position p in
+    its segment, pair it with the p earlier rows."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = keys[1:] != keys[:-1]
+    seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+    pos = np.arange(n) - seg_start
+    total = int(pos.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    j_idx = np.repeat(np.arange(n), pos)
+    offs = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(pos)[:-1])), pos)
+    i_idx = np.repeat(seg_start, pos) + offs
+    a, b = vals[i_idx], vals[j_idx]
+    lo = np.minimum(a, b).astype(np.int64)
+    hi = np.maximum(a, b).astype(np.int64)
+    keep = lo != hi
+    return lo[keep], hi[keep]
+
+
+def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Raw (pre-dedup) co-purchase pairs — see ``edges_copurchase``.
 
     SQL equivalent:  SELECT DISTINCT a.l_partkey src, b.l_partkey dst
     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
     AND a.l_partkey < b.l_partkey.
 
-    Ray realization: ``groupby(l_orderkey).map_groups`` (orders are
-    tiny groups → no skew), per-group pair expansion with numpy
-    triangular indices, then global exact dedup.
+    Ray realization (vectorized — a per-group ``map_groups`` pays one
+    Python call per order, which dominates at millions of orders):
+    global ``sort(l_orderkey)`` (the one shuffle), then per-BLOCK
+    segment pair expansion in pure numpy.  An order whose rows straddle
+    a block boundary is excluded from in-block expansion (its rows are
+    emitted as marker rows ``dst = -(orderkey+1)``) and completed on
+    the driver — at most 2 boundary orders per block, so the driver
+    work is O(#blocks × order size).
     """
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    )
+    from pgd_ray.util import default_blocks
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["l_partkey"].to_numpy())
-        k = len(parts)
-        if k < 2:
-            return pd.DataFrame({"src": np.array([], np.int64), "dst": np.array([], np.int64)})
-        iu, ju = np.triu_indices(k, 1)
-        return pd.DataFrame(
-            {"src": parts[iu].astype(np.int64), "dst": parts[ju].astype(np.int64)}
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=default_blocks(),
+    )
+    srt = li.sort("l_orderkey")
+
+    def expand(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        interior = (ok != ok[0]) & (ok != ok[-1])
+        lo, hi = _segment_pairs(ok[interior], pk[interior])
+        bmask = ~interior
+        bsrc = pk[bmask].astype(np.int64)
+        bdst = -(ok[bmask].astype(np.int64) + 1)  # marker rows
+        return pa.table(
+            {"src": np.concatenate([lo, bsrc]), "dst": np.concatenate([hi, bdst])}
         )
 
-    raw = li.groupby("l_orderkey").map_groups(per_order, batch_format="pandas")
-    return dedup_edges(raw)
+    raw = srt.map_batches(expand, batch_format="pyarrow", batch_size=None).materialize()
+
+    # complete the boundary orders on the driver (tiny)
+    markers = raw.filter(expr="dst < 0")
+    bm = markers.to_pandas()
+    okeys = -(bm["dst"].to_numpy()) - 1
+    order = np.argsort(okeys, kind="stable")
+    extra_lo, extra_hi = _segment_pairs(okeys[order], bm["src"].to_numpy()[order])
+    pairs = raw.filter(expr="dst >= 0")
+    if len(extra_lo):
+        pairs = pairs.union(
+            ray.data.from_arrow(pa.table({"src": extra_lo, "dst": extra_hi}))
+        )
+    return pairs
+
+
+def edges_copurchase(sf_dir: str) -> ray.data.Dataset:
+    """Parts co-occurring in the same order → canonical deduped edges
+    (the composable-operator form; the benchmark path fuses the dedup
+    into ``pipelines.graph_build.build_graph``)."""
+    return dedup_edges(copurchase_pairs(sf_dir))

@@ -41,6 +41,9 @@ TRANSCRIPT_SCHEMA = pa.schema(
 _ROLES = np.array(["user", "assistant", "tool"])
 
 
+from pgd_ray.util import default_blocks as _block_count
+
+
 def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
     """events → transcripts, deterministically.
 
@@ -53,30 +56,87 @@ def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
       tool     = event_type
       ts       = ts
 
-    The per-conversation rank is a ``groupby(user_id).map_groups`` —
-    one hash shuffle on the conversation key; each group is one
-    conversation, so groups stay small regardless of total scale.
+    The partition-rank is computed WITHOUT per-group Python (a
+    ``map_groups`` call per conversation would cost one interpreter
+    round-trip per conversation — untenable at 10⁹ conversations):
+    one global ``sort(user_id, ts, event_id)`` shuffle, then per-block
+    vectorized segment ranks.  A conversation whose rows straddle block
+    boundaries gets its rank offset fixed by a tiny driver-side pass
+    over per-block fragment summaries (#fragments ≤ 2 × #blocks).
     """
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
+        override_num_blocks=_block_count(),
     )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        out = pd.DataFrame(
+    # pass 1 (cheap): per-block fragment summary of the boundary users
+    def frag_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "min_eid": pa.array([], pa.int64()),
+                             "min_ts": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        tsv = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        out_u, out_e, out_t, out_c = [], [], [], []
+        for key in {uid[0], uid[-1]}:
+            mask = uid == key
+            out_u.append(int(key))
+            out_e.append(int(eid[mask][0]))  # sorted → first row = fragment min
+            out_t.append(int(tsv[mask][0]))
+            out_c.append(int(mask.sum()))
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "min_eid": pa.array(out_e, pa.int64()),
+                         "min_ts": pa.array(out_t, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    frags = srt.map_batches(frag_summary, batch_format="pyarrow", batch_size=None).to_pandas()
+    # offsets: fragments of one user ordered by their (sorted) min event
+    # fragments ordered by the global sort key (ts, event_id) within user
+    frags = frags.sort_values(["user_id", "min_ts", "min_eid"], kind="stable")
+    frags["offset"] = frags.groupby("user_id")["cnt"].cumsum() - frags["cnt"]
+    offset_map = {
+        (int(u), int(e)): int(o)
+        for u, e, o in zip(frags["user_id"], frags["min_eid"], frags["offset"])
+    }
+    offset_ref = ray.put(offset_map)
+
+    def emit(t: pa.Table) -> pa.Table:
+        from pgd_ray.graph.cache import get_cached
+
+        if t.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in TRANSCRIPT_SCHEMA})
+        offs = get_cached(offset_ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        rank = np.arange(n) - seg_start
+        # boundary users: add this fragment's global offset
+        for key in {int(uid[0]), int(uid[-1])}:
+            mask = uid == key
+            off = offs.get((key, int(eid[mask][0])), 0)
+            if off:
+                rank[mask] += off
+        conv = np.char.add("c", uid.astype(str))
+        return pa.table(
             {
-                "conv_id": "c" + g["user_id"].astype(str),
-                "turn_idx": np.arange(len(g), dtype=np.int32),
-                "role": _ROLES[(g["event_id"] % 3).to_numpy()],
-                "text": g["props"].to_numpy(),
-                "tool": g["event_type"].to_numpy(),
-                "ts": g["ts"].to_numpy(),
+                "conv_id": pa.array(conv.astype(object), pa.string()),
+                "turn_idx": pa.array(rank.astype(np.int32), pa.int32()),
+                "role": pa.array(_ROLES[eid % 3].astype(object), pa.string()),
+                "text": t["props"],
+                "tool": t["event_type"],
+                "ts": t["ts"],
             }
         )
-        return out
 
-    return ev.groupby("user_id").map_groups(per_conv, batch_format="pandas")
+    return srt.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
 
 def transcripts_from_edges(src, dst, start_ts: int = 0) -> pa.Table:

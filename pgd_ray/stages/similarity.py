@@ -1,0 +1,188 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``), every batch of the embedding table does one numpy
+matmul against it and emits its local top-k per query; the driver
+merges #batches × k candidates per query (tiny).  No shuffle; scales
+linearly in table size and worker count.
+
+Scale path: IVF — a small centroid codebook trained with distributed
+Lloyd iterations (partial sums inside ``map_batches``, combined on the
+driver), vectors bucketed by nearest centroid (one hash shuffle),
+queries probing only the closest ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def topk_cosine(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    batch_size: int = 4096,
+    concurrency=(1, 16),
+    dtype=np.float32,
+) -> pd.DataFrame:
+    """Exact top-k by cosine.  Returns (query_id, rank, vec_id, cosine),
+    rank 0-based, ties broken by vec_id (deterministic).  dtype=float64
+    mirrors DuckDB's double-precision list_cosine_similarity for the
+    oracle comparison; float32 is the fast path."""
+    q = _normalize(np.asarray(queries, dtype=dtype))
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vid = b["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize(np.stack(b["embedding"].to_pylist()).astype(dtype))
+            sims = self.q @ m.T  # (nq, nb)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sims.shape[0]):
+                rows.append(
+                    pa.table(
+                        {
+                            "query_id": np.full(kk, qi, np.int64),
+                            "vec_id": vid[part[qi]].astype(np.int64),
+                            "cosine": sims[qi, part[qi]].astype(np.float64),
+                        }
+                    )
+                )
+            return pa.concat_tables(rows)
+
+    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        Scorer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    ).to_pandas()
+    # driver merge: #batches×k rows per query
+    cands = cands.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount()
+    return top[["query_id", "rank", "vec_id", "cosine"]]
+
+
+def train_ivf_centroids(
+    emb: ray.data.Dataset, n_centroids: int = 16, iters: int = 5, seed: int = 11
+) -> np.ndarray:
+    """Distributed Lloyd: per-batch partial (sum, count) per centroid
+    inside ``map_batches``, combined on the driver each iteration.
+    Deterministic init: seeded sample of the table."""
+    sample = emb.select_columns(["embedding"]).random_sample(
+        min(1.0, 4096 / max(emb.count(), 1)), seed=seed
+    ).to_pandas()
+    pts = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    cents = pts[rng.choice(len(pts), min(n_centroids, len(pts)), replace=False)]
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _normalize(np.stack(b["embedding"].to_pylist()).astype(np.float32))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            cnts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "cid": np.arange(len(c), dtype=np.int64),
+                    "sum": pa.array(list(sums.astype(np.float64)), pa.large_list(pa.float64())),
+                    "cnt": cnts.astype(np.int64),
+                }
+            )
+
+        sums = np.zeros_like(cents, dtype=np.float64)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        for b in (
+            emb.select_columns(["embedding"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        ):
+            cid = b["cid"].to_numpy(zero_copy_only=False)
+            cnt = b["cnt"].to_numpy(zero_copy_only=False)
+            for i in range(len(cid)):
+                sums[cid[i]] += np.asarray(b["sum"][i].values)
+                cnts[cid[i]] += cnt[i]
+        nz = cnts > 0
+        cents = cents.copy()
+        cents[nz] = _normalize((sums[nz] / cnts[nz, None]).astype(np.float32))
+    return cents
+
+
+def ivf_topk_cosine(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    concurrency=(1, 16),
+) -> pd.DataFrame:
+    """IVF-bucketed ANN: vectors filtered to the ``nprobe`` closest
+    centroids of each query before scoring.  Same output schema as
+    ``topk_cosine`` (approximate recall)."""
+    cents = train_ivf_centroids(emb, n_centroids=n_centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    c_ref = ray.put(cents)
+    p_ref = ray.put(probes)
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.c = ray.get(c_ref)
+            self.probes = ray.get(p_ref)
+            self.q = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vid = b["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize(np.stack(b["embedding"].to_pylist()).astype(np.float32))
+            assign = np.argmax(m @ self.c.T, axis=1)
+            out = []
+            for qi in range(len(self.q)):
+                mask = np.isin(assign, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.q[qi]
+                kk = min(k, len(sims))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                out.append(
+                    pa.table(
+                        {
+                            "query_id": np.full(kk, qi, np.int64),
+                            "vec_id": vid[mask][part].astype(np.int64),
+                            "cosine": sims[part].astype(np.float64),
+                        }
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            return pa.concat_tables(out)
+
+    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        Scorer, batch_format="pyarrow", batch_size=8192, concurrency=concurrency
+    ).to_pandas()
+    if cands.empty:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+    cands = cands.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount()
+    return top[["query_id", "rank", "vec_id", "cosine"]]

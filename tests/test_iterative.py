@@ -1,0 +1,126 @@
+import numpy as np
+import pytest
+
+from pgd_ray.graph.csr import csr_from_edge_arrays
+from pgd_ray.graph.iterative import (
+    connected_components,
+    kcore,
+    label_propagation,
+    pagerank,
+)
+from tests.brute import random_graph
+
+
+def _csr(n, p, seed):
+    edges = sorted(random_graph(n, p, seed))
+    src = np.array([a for a, b in edges])
+    dst = np.array([b for a, b in edges])
+    return csr_from_edge_arrays(src, dst, n=n)
+
+
+def _pr_ref(csr, alpha=0.85, tol=1e-12):
+    n = csr.n
+    deg = csr.degrees()
+    s = np.full(n, 1.0 / n)
+    src = np.repeat(np.arange(n), deg)
+    dst = csr.indices
+    for _ in range(500):
+        w = s / np.maximum(deg, 1)
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, w[src])
+        new = (1 - alpha) / n + alpha * (contrib + s[deg == 0].sum() / n)
+        if np.abs(new - s).max() < tol:
+            return new
+        s = new
+    return s
+
+
+def _cc_ref(csr):
+    lab = -np.ones(csr.n, dtype=np.int64)
+    for s0 in range(csr.n):
+        if lab[s0] >= 0:
+            continue
+        stack = [s0]
+        lab[s0] = s0
+        while stack:
+            v = stack.pop()
+            for u in csr.neighbors(v):
+                if lab[u] < 0:
+                    lab[u] = s0
+                    stack.append(u)
+    return lab
+
+
+def _kcore_ref(csr):
+    """Sequential peeling."""
+    deg = csr.degrees().astype(np.int64).copy()
+    core = np.zeros(csr.n, dtype=np.int64)
+    alive = np.ones(csr.n, dtype=bool)
+    for _ in range(csr.n):
+        if not alive.any():
+            break
+        k = deg[alive].min()
+        while True:
+            peel = np.flatnonzero(alive & (deg <= k))
+            if not len(peel):
+                break
+            for v in peel:
+                core[v] = k
+                alive[v] = False
+                for u in csr.neighbors(v):
+                    if alive[u]:
+                        deg[u] -= 1
+    return core
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_pagerank_allclose(seed):
+    csr = _csr(40, 0.1, seed)
+    pr = pagerank(csr, tol=1e-12, n_workers=2)
+    assert np.allclose(pr, _pr_ref(csr), atol=1e-6)
+    assert abs(pr.sum() - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cc_exact(seed):
+    csr = _csr(60, 0.05, seed)
+    assert (connected_components(csr, n_workers=2) == _cc_ref(csr)).all()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_kcore_exact(seed):
+    csr = _csr(50, 0.15, seed)
+    assert (kcore(csr, n_workers=2) == _kcore_ref(csr)).all()
+
+
+def test_label_propagation_two_cliques():
+    # two K5s joined by one edge → two stable communities
+    e = []
+    for base in (0, 5):
+        e += [(base + i, base + j) for i in range(5) for j in range(i + 1, 5)]
+    e.append((0, 5))
+    src = np.array([a for a, b in e])
+    dst = np.array([b for a, b in e])
+    csr = csr_from_edge_arrays(src, dst, n=10)
+    lab = label_propagation(csr, max_iter=20, n_workers=2)
+    assert len(set(lab[:5])) == 1
+    assert len(set(lab[5:])) == 1
+
+
+def test_pagerank_resume(tmp_path):
+    csr = _csr(40, 0.1, 7)
+    full = pagerank(csr, tol=1e-12, n_workers=2)
+    pagerank(csr, tol=1e-12, n_workers=2, checkpoint_dir=tmp_path, max_iter=7)
+    resumed = pagerank(csr, tol=1e-12, n_workers=2, checkpoint_dir=tmp_path, resume=True)
+    assert np.allclose(full, resumed, atol=1e-12)
+    assert (tmp_path / "manifest.json").exists()
+
+
+def test_isolated_vertices():
+    # vertex 3 isolated
+    csr = csr_from_edge_arrays(np.array([0, 1]), np.array([1, 2]), n=4)
+    pr = pagerank(csr, n_workers=1)
+    assert abs(pr.sum() - 1.0) < 1e-9
+    cc = connected_components(csr, n_workers=1)
+    assert cc[3] == 3 and cc[0] == cc[1] == cc[2] == 0
+    assert kcore(csr, n_workers=1)[3] == 0

@@ -1,0 +1,116 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from pgd_ray.text.analysis import fingerprints, lang_id, text_stats
+from pgd_ray.text.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    )
+
+
+def test_text_stats_vs_duckdb():
+    import duckdb
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    ours = text_stats(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = duckdb.sql(
+        """SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+           CAST(length(regexp_extract_all(text,'\\w+|[^\\w\\s]')) AS BIGINT) token_count
+           FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    assert (ours["n_chars"].to_numpy() == ref["n_chars"].to_numpy()).all()
+    assert (ours["token_count"].to_numpy() == ref["token_count"].to_numpy()).all()
+
+
+def test_exact_dedup():
+    docs = _docs(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    out = exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["n_dups"].tolist() == [3, 2, 1]
+
+
+def test_minhash_finds_near_duplicates():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    texts = [
+        base,
+        base.replace("lazy", "sleepy"),           # near-dup of 0
+        "completely different content about database query engines and arrow batches",
+        base.replace("quick", "rapid"),           # near-dup of 0/1
+        "another unrelated string with vectors and embeddings in a ray data pipeline",
+    ]
+    out = minhash_lsh_dedup(_docs(texts), threshold=0.5)
+    g = out.set_index("doc_id")["dup_group"]
+    assert g[0] == g[1] == g[3]
+    assert g[2] != g[0] and g[4] != g[0] and g[2] != g[4]
+
+
+def test_minhash_deterministic():
+    texts = ["some text here " * 5, "other text there " * 5]
+    a = minhash_lsh_dedup(_docs(texts), threshold=0.5)
+    b = minhash_lsh_dedup(_docs(texts), threshold=0.5)
+    assert a.equals(b)
+
+
+def test_simhash_pairs():
+    # long doc with skewed token frequencies (realistic for simhash:
+    # majority margins scale with √len, so a 1-token edit flips few bits)
+    rng = np.random.default_rng(11)
+    vocab = [f"word{i}" for i in range(200)]
+    probs = 1.0 / np.arange(1, 201)
+    probs /= probs.sum()
+    toks = rng.choice(vocab, 800, p=probs)
+    base = " ".join(toks)
+    edited = " ".join(np.concatenate([toks, ["zzznew"]]))
+    texts = [base, edited, "totally different words entirely unrelated content"]
+    out = simhash_dedup(_docs(texts), max_hamming=3)
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_embedding_neardup_and_lang():
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    vecs = [base, base + rng.standard_normal(16) * 0.01, rng.standard_normal(16)]
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(3), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = embedding_neardup(emb, threshold=0.95)
+    assert set(map(tuple, out[["vec_a", "vec_b"]].to_numpy())) == {(0, 1)}
+
+    docs = _docs(["the cat and the dog of a house", "der Hund ist nicht mit der Katze",
+                  "el perro y la casa es un gato", "xyzzy qwerty"])
+    langs = lang_id(docs).to_pandas().sort_values("doc_id")["lang_pred"].tolist()
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "es" and langs[3] == "und"
+
+
+def test_fingerprints_match_duckdb_md5():
+    import duckdb
+
+    texts = ["Hello  World", "hello world", "  spaced   out  "]
+    ours = fingerprints(_docs(texts)).to_pandas().sort_values("doc_id")
+    for t, got in zip(texts, ours["md5"]):
+        ref = duckdb.sql(
+            "SELECT md5(lower(regexp_replace(?, '\\s+', ' ', 'g')))", params=[t]
+        ).fetchone()[0]
+        assert got == ref
