@@ -115,11 +115,193 @@ class GraphletKernel:
         self.indices = ray.get(indices_ref)
         self.n = len(self.indptr) - 1
         self.deg = np.diff(self.indptr)
-        self.ind = np.zeros(self.n, dtype=np.int8)  # per-actor perfect hash scratch
+        self.ind = np.zeros(self.n, dtype=np.int8)  # scratch for the loop fallback
         self.mode = mode
         self.tailed_mode = tailed_mode
+        # sorted edge-key array for O(log m) vectorized membership:
+        # key(v,w) = v*n + w; (repeat(arange,deg)*n + indices) is already
+        # sorted because the CSR itself is.  Needs n ≤ ~3e9 (n² < 2^63);
+        # beyond that the kernel falls back to the per-edge loop.
+        self.vectorized = self.n > 0 and self.n < 3_000_000_000
+        # dense-adjacency fast path, mirroring the reference's
+        # representation auto-tuning (graphlet_core.cpp:602-611): for
+        # small graphs the 2-hop terms become batched BLAS matmuls.
+        self.dense = 0 < self.n <= 8192 and mode != "tri"
+        if self.dense:
+            self.adj = np.zeros((self.n, self.n), dtype=bool)
+            self.adj[np.repeat(np.arange(self.n), self.deg), self.indices] = True
+            self.adjf = self.adj.astype(np.float32)
+        self.keys = None
+        self.vol2 = None
+
+    def _ensure_keys(self):
+        if self.keys is None:
+            nn = np.int64(self.n)
+            self.keys = (
+                np.repeat(np.arange(self.n, dtype=np.int64), self.deg) * nn + self.indices
+            )
+            # 2-hop gather volume bound per vertex: Σ_{w∈N(x)} deg(w)
+            cs = np.concatenate(([0], np.cumsum(self.deg[self.indices])))
+            self.vol2 = cs[self.indptr[1:]] - cs[self.indptr[:-1]]
+
+    def _member(self, q: np.ndarray) -> np.ndarray:
+        """Vectorized edge-existence test: is key q=(a*n+b) an edge?"""
+        pos = np.searchsorted(self.keys, q)
+        pos[pos == len(self.keys)] = 0
+        return self.keys[pos] == q
 
     def _edge_counts(self, src: np.ndarray, dst: np.ndarray):
+        if self.dense:
+            return self._edge_counts_dense(src, dst)
+        if self.vectorized:
+            return self._edge_counts_vec(src, dst)
+        return self._edge_counts_loop(src, dst)
+
+    def _edge_counts_dense(self, src: np.ndarray, dst: np.ndarray):
+        """Dense path: per-edge masks over the n×n bool adjacency; the
+        quadratic terms (E(T,T), E(A,B), E(A,A)) are (mask @ adj)·mask
+        float32 matmuls — exact for counts < 2^24 (n ≤ 8192)."""
+        adj, adjf, deg = self.adj, self.adjf, self.deg
+        k = len(src)
+        # v = lower-degree endpoint, as in the loop/vec paths (Q8) —
+        # the tailed term E(A,A) is not symmetric under the swap
+        swap = deg[src] > deg[dst]
+        v_arr = np.where(swap, dst, src)
+        u_arr = np.where(swap, src, dst)
+        tri = np.zeros(k, dtype=np.int64)
+        cyc = np.zeros(k, dtype=np.int64)
+        clq = np.zeros(k, dtype=np.int64)
+        tail = np.zeros(k, dtype=np.int64)
+        want_tail = self.tailed_mode == "micro"
+        chunk = max(1, 32_000_000 // (self.n * self.n) * 64)
+        for a in range(0, k, chunk):
+            b = min(k, a + chunk)
+            v = v_arr[a:b]
+            u = u_arr[a:b]
+            Nv = adj[v]
+            Nu = adj[u]
+            Tm = Nv & Nu
+            tri[a:b] = Tm.sum(axis=1)
+            Am = Nu & ~Nv
+            Am[np.arange(b - a), v] = False
+            Bm = Nv & ~Nu
+            Bm[np.arange(b - a), u] = False
+            TA = Tm.astype(np.float32) @ adjf
+            clq[a:b] = ((TA * Tm).sum(axis=1) / 2).astype(np.int64)
+            AA = Am.astype(np.float32) @ adjf
+            cyc[a:b] = (AA * Bm).sum(axis=1).astype(np.int64)
+            if want_tail:
+                tail[a:b] = (AA * Am).sum(axis=1).astype(np.int64)
+        return tri, cyc, clq, tail, deg[src], deg[dst]
+
+    def _edge_counts_vec(self, src: np.ndarray, dst: np.ndarray):
+        """Fully vectorized kernel (no per-edge Python): first hop
+        classifies N(u) into triangles T and wedges A via one batched
+        membership test; the 2-hop pass gathers N(w) for all w∈T∪A at
+        once and resolves 4-clique/4-cycle/tailed conditions with
+        membership tests against N(v)/N(u).  Work is chunked so the
+        gathered arrays stay ~bounded regardless of hub degrees."""
+        indptr, indices, deg = self.indptr, self.indices, self.deg
+        nn = np.int64(self.n)
+        dv_raw = deg[src]
+        du_raw = deg[dst]
+        swap = dv_raw > du_raw
+        v_arr = np.where(swap, dst, src).astype(np.int64)
+        u_arr = np.where(swap, src, dst).astype(np.int64)
+        k = len(src)
+        tri = np.zeros(k, dtype=np.int64)
+        cyc = np.zeros(k, dtype=np.int64)
+        clq = np.zeros(k, dtype=np.int64)
+        tail = np.zeros(k, dtype=np.int64)
+        tri_only = self.mode == "tri"
+        want_tail = self.tailed_mode == "micro"
+        # chunk by (first hop, 2-hop) gather volume
+        budget = 4_000_000
+        if tri_only:
+            vol = deg[v_arr]
+        else:
+            self._ensure_keys()
+            vol = deg[u_arr] + np.minimum(self.vol2[u_arr], budget)
+        grp = np.cumsum(vol) // budget
+        splits = [0, *(np.flatnonzero(np.diff(grp)) + 1).tolist(), k]
+        splits = sorted(set(splits))
+        for a, b in zip(splits[:-1], splits[1:]):
+            self._vec_chunk(
+                v_arr[a:b], u_arr[a:b], tri[a:b], cyc[a:b], clq[a:b], tail[a:b],
+                tri_only, want_tail,
+            )
+        return tri, cyc, clq, tail, deg[src], deg[dst]
+
+    def _tri_group_mark(self, v_arr, u_arr, tri_out):
+        """Triangles via the reference's mark-and-scan (cpp:1069-1152)
+        amortized across edge groups: edges are grouped by their
+        HIGH-degree endpoint u, N(u) is marked once per group (hub
+        marking cost amortized over the group), and every group
+        member's small-side neighborhood probes the mark array with
+        O(1) fancy indexing — no binary searches."""
+        indptr, indices, deg = self.indptr, self.indices, self.deg
+        k = len(v_arr)
+        order = np.argsort(u_arr, kind="stable")
+        u_s = u_arr[order]
+        v_s = v_arr[order]
+        mark = np.zeros(self.n, dtype=bool)
+        out = np.zeros(k, dtype=np.int64)
+        bounds = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1], [True])))
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            u = u_s[lo]
+            Nu = indices[indptr[u] : indptr[u + 1]]
+            mark[Nu] = True
+            vs = v_s[lo:hi]
+            Gv = _gather_rows(indptr, indices, vs)
+            hits = mark[Gv]
+            if hi - lo == 1:
+                out[lo] = int(np.count_nonzero(hits))
+            else:
+                lens = deg[vs]
+                e_of = np.repeat(np.arange(hi - lo), lens)
+                out[lo:hi] = np.bincount(e_of[hits], minlength=hi - lo)
+            mark[Nu] = False
+        tri_out[order] = out
+        return tri_out
+
+    def _vec_chunk(self, v_arr, u_arr, tri, cyc, clq, tail, tri_only, want_tail):
+        indptr, indices, deg = self.indptr, self.indices, self.deg
+        nn = np.int64(self.n)
+        k = len(v_arr)
+        if tri_only:
+            self._tri_group_mark(v_arr, u_arr, tri)
+            return
+        Gu = _gather_rows(indptr, indices, u_arr)
+        e_of = np.repeat(np.arange(k), deg[u_arr])
+        in_nv = self._member(v_arr[e_of] * nn + Gu)
+        tri[:] = np.bincount(e_of[in_nv], minlength=k)
+        T = Gu[in_nv]
+        eT = e_of[in_nv]
+        amask = ~in_nv & (Gu != v_arr[e_of])
+        A = Gu[amask]
+        eA = e_of[amask]
+        if T.size:
+            GT = _gather_rows(indptr, indices, T)
+            ex = np.repeat(eT, deg[T])
+            x = GT
+            ok = self._member(v_arr[ex] * nn + x) & self._member(u_arr[ex] * nn + x)
+            clq[:] = np.bincount(ex[ok], minlength=k) // 2
+        if A.size:
+            GA = _gather_rows(indptr, indices, A)
+            ey = np.repeat(eA, deg[A])
+            y = GA
+            y_in_nv = self._member(v_arr[ey] * nn + y)
+            y_in_nu = self._member(u_arr[ey] * nn + y)
+            cyc[:] = np.bincount(
+                ey[y_in_nv & ~y_in_nu & (y != u_arr[ey])], minlength=k
+            )
+            if want_tail:
+                tail[:] = np.bincount(
+                    ey[y_in_nu & ~y_in_nv & (y != v_arr[ey])], minlength=k
+                )
+
+    def _edge_counts_loop(self, src: np.ndarray, dst: np.ndarray):
         """Core loop: returns per-edge (tri, cycle4, clique4, tailed)."""
         indptr, indices, ind = self.indptr, self.indices, self.ind
         deg = self.deg

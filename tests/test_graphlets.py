@@ -68,3 +68,30 @@ def test_dd21_full_golden():
     mac = graphlet_macro(eds, csr, concurrency=(1, 4))
     for k, v in DD21.items():
         assert mac[k] == v, k
+
+
+def test_kernel_paths_agree():
+    """Differential: dense-matrix, vectorized-searchsorted and the
+    per-edge loop paths must produce identical micro tables."""
+    import pyarrow as pa
+
+    from pgd_ray.graph.graphlets import GraphletKernel
+
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        n = 50
+        mask = np.triu(rng.random((n, n)) < 0.25, 1)
+        src, dst = np.nonzero(mask)
+        csr = csr_from_edge_arrays(src.astype(np.int64), dst.astype(np.int64), n=n)
+        refs = csr.put()
+        batch = pa.table({"src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+        outs = []
+        for dense, vec in [(True, True), (False, True), (False, False)]:
+            k = GraphletKernel(*refs, mode="micro", tailed_mode="micro")
+            k.dense = dense and k.dense
+            k.vectorized = vec
+            if not dense and k.dense:
+                k.dense = False
+            outs.append(k(batch).to_pandas())
+        assert outs[0].equals(outs[1])
+        assert outs[1].equals(outs[2])
