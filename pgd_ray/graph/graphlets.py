@@ -232,22 +232,51 @@ class GraphletKernel:
             )
         return tri, cyc, clq, tail, deg[src], deg[dst]
 
-    def _tri_group_mark(self, v_arr, u_arr, tri_out):
-        """Triangles via the reference's mark-and-scan (cpp:1069-1152)
-        amortized across edge groups: edges are grouped by their
-        HIGH-degree endpoint u, N(u) is marked once per group (hub
-        marking cost amortized over the group), and every group
-        member's small-side neighborhood probes the mark array with
-        O(1) fancy indexing — no binary searches."""
+    def _tri_group_mark(self, v_arr, u_arr, tri_out, min_group: int = 4):
+        """Triangles via two complementary vectorized paths:
+
+        * hub path — the reference's mark-and-scan (cpp:1069-1152)
+          amortized across edge groups: edges grouped by their
+          HIGH-degree endpoint u, N(u) marked once per group, every
+          member's small side probes the mark array with O(1) fancy
+          indexing.  Wins when groups are big (hub runs).
+        * merge path — for edges whose u-group is smaller than
+          ``min_group`` (uniform-degree edges would pay one Python
+          round-trip per group): both neighborhoods are gathered for
+          the WHOLE set at once as per-edge-prefixed sorted keys
+          (e·n + w), and the intersection is one batched searchsorted
+          of one sorted array in another — cache-friendly, no loop.
+        """
         indptr, indices, deg = self.indptr, self.indices, self.deg
+        nn = np.int64(self.n)
         k = len(v_arr)
         order = np.argsort(u_arr, kind="stable")
         u_s = u_arr[order]
         v_s = v_arr[order]
-        mark = np.zeros(self.n, dtype=bool)
         out = np.zeros(k, dtype=np.int64)
         bounds = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1], [True])))
-        for gi in range(len(bounds) - 1):
+        glens = np.diff(bounds)
+        big = np.repeat(glens >= min_group, glens)
+
+        # --- merge path (small groups, all at once) ------------------
+        sm = np.flatnonzero(~big)
+        if sm.size:
+            vs, us = v_s[sm], u_s[sm]
+            e_ids = np.arange(len(sm), dtype=np.int64)
+            Gv = _gather_rows(indptr, indices, vs)
+            ev = np.repeat(e_ids, deg[vs])
+            Gu = _gather_rows(indptr, indices, us)
+            eu = np.repeat(e_ids, deg[us])
+            qa = ev * nn + Gv
+            qb = eu * nn + Gu
+            pos = np.searchsorted(qb, qa)
+            pos[pos == len(qb)] = 0
+            hits = qb[pos] == qa
+            out[sm] = np.bincount(ev[hits], minlength=len(sm))
+
+        # --- hub path (big groups) -----------------------------------
+        mark = np.zeros(self.n, dtype=bool)
+        for gi in np.flatnonzero(glens >= min_group):
             lo, hi = bounds[gi], bounds[gi + 1]
             u = u_s[lo]
             Nu = indices[indptr[u] : indptr[u + 1]]
@@ -255,12 +284,8 @@ class GraphletKernel:
             vs = v_s[lo:hi]
             Gv = _gather_rows(indptr, indices, vs)
             hits = mark[Gv]
-            if hi - lo == 1:
-                out[lo] = int(np.count_nonzero(hits))
-            else:
-                lens = deg[vs]
-                e_of = np.repeat(np.arange(hi - lo), lens)
-                out[lo:hi] = np.bincount(e_of[hits], minlength=hi - lo)
+            e_of = np.repeat(np.arange(hi - lo), deg[vs])
+            out[lo:hi] = np.bincount(e_of[hits], minlength=hi - lo)
             mark[Nu] = False
         tri_out[order] = out
         return tri_out

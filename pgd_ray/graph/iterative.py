@@ -198,7 +198,7 @@ def worker_pool(csr: CSRGraph, n_workers: int) -> list:
     as ``workers=`` to several IterativeEngine runs (PageRank → CC →
     k-core on the same graph) to pay actor startup once; caller kills
     the actors (ray.kill) when done."""
-    indptr_ref, indices_ref = csr.put()
+    indptr_ref, indices_ref = csr.put32()
     pool = [_PullWorker.remote(indptr_ref, indices_ref) for _ in range(max(1, n_workers))]
     ray.get([w.ping.remote() for w in pool])  # force startup now, not in round 1
     return pool
@@ -248,7 +248,7 @@ class IterativeEngine:
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.checkpoint_every = checkpoint_every
         self.metrics: list[dict] = []
-        self._refs = csr.put()
+        self._refs = csr.put32()
         self._workers = workers  # shared pool (pool spawn ~seconds; amortize
         self._owns_workers = workers is None  # it across engines, see worker_pool)
         self._block_ds = None

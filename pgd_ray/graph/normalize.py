@@ -139,12 +139,29 @@ def densify(ds: ray.data.Dataset, vids: np.ndarray) -> ray.data.Dataset:
     """
     from pgd_ray.graph.cache import get_cached
 
-    ref = ray.put(np.ascontiguousarray(vids))
+    vids = np.ascontiguousarray(vids)
+    use_lut = False
+    if len(vids):
+        span = int(vids[-1]) - int(vids[0]) + 1
+        use_lut = span <= max(16 * len(vids), 1 << 22)
+        if use_lut:
+            lut = np.zeros(span, dtype=np.int64)
+            lut[vids - vids[0]] = np.arange(len(vids))
+            ref = ray.put((int(vids[0]), lut))
+        else:
+            ref = ray.put(vids)
+    else:
+        ref = ray.put(vids)
 
     def remap(t: pa.Table) -> pa.Table:
-        vv = get_cached(ref)
-        src = np.searchsorted(vv, t["src"].to_numpy(zero_copy_only=False))
-        dst = np.searchsorted(vv, t["dst"].to_numpy(zero_copy_only=False))
+        obj = get_cached(ref)
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        if use_lut:
+            base, lu = obj
+            src, dst = lu[s - base], lu[d - base]
+        else:
+            src, dst = np.searchsorted(obj, s), np.searchsorted(obj, d)
         return _edge_table(src.astype(np.int64), dst.astype(np.int64))
 
     return ds.map_batches(remap, batch_format="pyarrow")

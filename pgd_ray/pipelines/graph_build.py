@@ -56,9 +56,19 @@ def build_graph(
     d = np.concatenate(dsts)
     vids = None
     if dense:
-        vids = np.unique(a)  # symmetric ⇒ every vertex appears as src
-        a = np.searchsorted(vids, a)
-        d = np.searchsorted(vids, d)
+        # a is already sorted ⇒ distinct = boundary scan, not a re-sort
+        vids = a[np.concatenate(([True], a[1:] != a[:-1]))] if len(a) else a
+        lo_id, hi_id = int(vids[0]), int(vids[-1])
+        span = hi_id - lo_id + 1
+        if span <= max(16 * len(vids), 1 << 22):
+            # O(1) remap via lookup table (id space reasonably dense)
+            lut = np.zeros(span, dtype=np.int64)
+            lut[vids - lo_id] = np.arange(len(vids))
+            a = lut[a - lo_id]
+            d = lut[d - lo_id]
+        else:  # sparse id space → binary-search remap
+            a = np.searchsorted(vids, a)
+            d = np.searchsorted(vids, d)
         n = len(vids)
     else:
         n = int(a.max() + 1) if len(a) else 0
@@ -66,8 +76,29 @@ def build_graph(
     indptr = np.zeros(n + 1, dtype=np.int64)
     indptr[1:] = np.cumsum(counts)
     csr = CSRGraph(n=n, m=len(a) // 2, indptr=indptr, indices=d)
-    # canonical (src<dst) table straight from the CSR
+    # canonical (src<dst) table straight from the CSR, kept in sorted
+    # order (the kernel's group-mark pass amortizes hub marking over
+    # runs of equal endpoints), but split into DEGREE-VOLUME-balanced
+    # blocks rather than equal row counts — hub-heavy ranges get fewer
+    # edges per block, the Ray-side analogue of the reference's
+    # degree-ordered dynamic scheduling (SURVEY.md §4.1).
     up = d > np.repeat(np.arange(n), counts)
-    canon = pa.table({"src": np.repeat(np.arange(n), counts)[up], "dst": d[up]})
-    canonical_ds = ray.data.from_arrow(canon).repartition(default_blocks()).materialize()
+    c_src = np.repeat(np.arange(n), counts)[up]
+    c_dst = d[up]
+    deg = counts
+    w = deg[c_src] + deg[c_dst]
+    k = default_blocks()
+    if len(w) and k > 1:
+        targets = np.linspace(0, w.sum(), k + 1)[1:-1]
+        bounds = np.unique(np.searchsorted(np.cumsum(w), targets))
+        bounds = [0, *bounds.tolist(), len(w)]
+    else:
+        bounds = [0, len(w)]
+    canon = pa.table({"src": c_src, "dst": c_dst})
+    refs = [
+        ray.put(canon.slice(lo, hi - lo))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    canonical_ds = ray.data.from_arrow_refs(refs).materialize()
     return canonical_ds, csr, vids
