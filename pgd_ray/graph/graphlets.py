@@ -457,6 +457,7 @@ class MacroCounts:
     counts: dict
     total_wedges: int
     global_cc: float
+    raw_n: dict | None = None  # unmerged equation sums (for identities)
 
     def __getitem__(self, k):
         return self.counts[k]
@@ -526,7 +527,33 @@ def macro_from_partials(acc: dict, n: int, m: int) -> MacroCounts:
         + c["total_4_tri"]
     )
     c["total_4_indep"] = n * (n - 1) * (n - 2) * (n - 3) // 24 - others
-    return MacroCounts(counts=c, total_wedges=wedges, global_cc=cc)
+    raw = {1: acc["n1"], 2: acc["n2"], 3: N3, 4: N4, 5: N5, 6: N6,
+           7: N7, 8: N8, 9: N9, 10: N10}
+    return MacroCounts(counts=c, total_wedges=wedges, global_cc=cc, raw_n=raw)
+
+
+def check_identities(mac: MacroCounts) -> dict[int, int]:
+    """The reference's 10 algebraic self-checks
+    (test_graphlet_counts, graphlet_core.cpp:1275-1305): relations
+    between the unmerged equation sums n₁..n₁₀ and the final totals.
+    Returns {i: residual}; all residuals must be 0."""
+    c = mac.counts
+    ver = {
+        1: 3 * c["total_3_star"] + 3 * c["total_4_tailed_tris"] + 4 * c["total_4_cycle"]
+           + c["total_4_path"] + 5 * c["total_4_chordcycle"] + 6 * c["total_4_clique"],
+        2: 3 * c["total_3_star"] + c["total_4_tailed_tris"] + 4 * c["total_4_cycle"]
+           + c["total_4_path"],
+        3: c["total_4_chordcycle"] + 6 * c["total_4_clique"],
+        4: 2 * c["total_4_tailed_tris"] + 4 * c["total_4_chordcycle"],
+        5: c["total_4_path"] + 4 * c["total_4_cycle"],
+        6: 3 * c["total_3_star"] + c["total_4_tailed_tris"],
+        7: 2 * c["total_4_tailed_tris"] + 4 * c["total_4_cycle"] + 2 * c["total_4_path"]
+           + 4 * c["total_4_chordcycle"] + 6 * c["total_4_clique"] + 2 * c["total_4_2edge"],
+        8: 2 * c["total_4_2edge"] + c["total_4_1edge"],
+        9: 2 * c["total_4_path"] + 2 * c["total_4_2star"],
+        10: c["total_4_tailed_tris"] + 3 * c["total_4_tri"],
+    }
+    return {i: ver[i] - mac.raw_n[i] for i in ver}
 
 
 _KERNEL_CACHE: dict = {}

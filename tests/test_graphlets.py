@@ -95,3 +95,15 @@ def test_kernel_paths_agree():
             outs.append(k(batch).to_pandas())
         assert outs[0].equals(outs[1])
         assert outs[1].equals(outs[2])
+
+
+def test_identities_and_gfd():
+    from pgd_ray.graph.graphlets import check_identities, gfd
+
+    mac = _macro_from_arrays([0, 0, 0, 1, 1, 2, 3], [1, 2, 3, 2, 3, 3, 4], 6)
+    res = check_identities(mac)
+    assert all(v == 0 for v in res.values()), res
+    g = gfd(mac, "all")
+    assert abs(g.sum() - 1.0) < 1e-12
+    assert len(gfd(mac, "connected")) == 6
+    assert len(gfd(mac, "disconnected")) == 5

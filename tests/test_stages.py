@@ -1,0 +1,73 @@
+"""Orderings, writers, univar stats."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pgd_ray.functions.ordering import ORDERINGS, sort_edges
+from pgd_ray.graph.csr import csr_from_edge_arrays
+from pgd_ray.graph.graphlets import graphlet_micro
+from pgd_ray.stages.univar import univar_stats
+from pgd_ray.stages.writers import MICRO_HEADER, write_macro_stats, write_micro_csv
+
+
+def _graph():
+    src = np.array([0, 0, 0, 1, 1, 2])
+    dst = np.array([1, 2, 3, 2, 3, 3])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    return ds, csr_from_edge_arrays(src, dst, n=4)
+
+
+def test_all_orderings_run_and_are_deterministic():
+    ds, csr = _graph()
+    for strat in ORDERINGS:
+        a = sort_edges(ds, csr, strat).to_pandas()
+        b = sort_edges(ds, csr, strat).to_pandas()
+        assert a.equals(b), strat
+        assert len(a) == 6
+
+
+def test_degree_ordering_descending():
+    ds, csr = _graph()
+    out = sort_edges(ds, csr, "degree").to_pandas()
+    assert (np.diff(out["key"].to_numpy()) <= 0).all()
+
+
+def test_micro_csv_golden_format(tmp_path):
+    ds, csr = _graph()
+    micro = graphlet_micro(ds, csr, concurrency=(1, 2))
+    p = tmp_path / "micro.csv"
+    write_micro_csv(micro, p, degree_vec=csr.degrees())
+    lines = p.read_text().strip().splitlines()
+    assert lines[0] == MICRO_HEADER
+    assert len(lines) == 7
+    first = lines[1].split(",")
+    assert len(first) == 10
+    # 1-based ids (SURVEY.md Q7)
+    ids = {int(l.split(",")[0]) for l in lines[1:]} | {int(l.split(",")[1]) for l in lines[1:]}
+    assert min(ids) == 1 and max(ids) == 4
+
+
+def test_write_macro_stats(tmp_path):
+    from pgd_ray.graph.graphlets import graphlet_macro
+
+    ds, csr = _graph()
+    mac = graphlet_macro(ds, csr, concurrency=(1, 2))
+    p = tmp_path / "macro.txt"
+    write_macro_stats(mac, p)
+    text = p.read_text()
+    assert "total_4_clique = 1" in text
+    assert len(text.strip().splitlines()) == 17
+
+
+def test_univar_stats_quantile_rule():
+    # reference index rule: med_idx=floor(n/2), Q1=arr[med-floor(n/4)]
+    vals = np.array([5, 1, 9, 3, 7, 2, 8, 4], dtype=np.int64)  # n=8
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    st = univar_stats(ds, "x")
+    arr = np.sort(vals)
+    assert st["n"] == 8
+    assert st["min"] == 1 and st["max"] == 9
+    assert st["median"] == (arr[3] + arr[4]) / 2
+    assert st["q1"] == arr[4 - 2] and st["q3"] == arr[4 + 2]
+    assert abs(st["mean"] - vals.mean()) < 1e-12
