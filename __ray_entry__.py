@@ -413,6 +413,28 @@ def _q_univar_clique4(sf_dir):
     return pd.DataFrame([{k: float(v) for k, v in st.items()}])
 
 
+def _q_tumbling_counts(sf_dir):
+    from pgd_ray.stages.windows import tumbling_counts
+
+    df = tumbling_counts(sf_dir).to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    return df
+
+
+def _q_sessions(sf_dir):
+    from pgd_ray.stages.windows import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _q_macro_approx_copurchase(sf_dir):
+    from pgd_ray.graph.graphlets import graphlet_macro_approx
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    mac = graphlet_macro_approx(dense, csr, fraction=0.1)
+    return _macro_frame(mac)
+
+
 def _q_media_decode(sf_dir):
     import ray.data
 
@@ -459,6 +481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "univar_clique4": _q_univar_clique4,
         "media_decode": _q_media_decode,
+        "tumbling_counts": _q_tumbling_counts,
+        "sessions": _q_sessions,
+        "macro_approx_copurchase": _q_macro_approx_copurchase,
     }
 
 
@@ -553,6 +578,24 @@ r AS (SELECT query_id, vec_id, c,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank
       FROM sims)
 SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10""",
+        "tumbling_counts": """
+SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY event_type, window_start""",
+        "sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o),
+g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS sidx FROM f)
+SELECT user_id,
+       CAST(sidx AS BIGINT) AS session_idx,
+       CAST(MIN(ts) AS BIGINT) AS start_ts,
+       CAST(MAX(ts) AS BIGINT) AS end_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sidx""",
         "embedding_neardup": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

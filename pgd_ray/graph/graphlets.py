@@ -638,6 +638,37 @@ def graphlet_micro(
     )
 
 
+def graphlet_macro_approx(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    fraction: float = 0.1,
+    seed: int = 42,
+    batch_size: int = 4096,
+    concurrency=(1, 32),
+) -> MacroCounts:
+    """Edge-sampled estimator — the ``graphlet_approximation(p)``
+    documented in the reference README (:293-295) but absent from its
+    snapshot (SURVEY.md §2.8); realized here via the sampled
+    ``sort_edges`` hook semantics (graphlet_core.cpp:837-851) with a
+    FIXED seed: run the kernel on a p-sample of edges and scale the
+    per-edge equation sums by 1/p before the closure.  Unbiased for
+    every total that is a sum over edges; exact n/m terms are kept."""
+    sample = canonical_ds.random_sample(fraction, seed=seed)
+    partials = sample.map_batches(
+        _kernel_stage(csr, "macro"),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+    acc = {k: 0 for k in _PARTIAL_COLS}
+    for b in partials.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for k in _PARTIAL_COLS:
+            acc[k] += int(b[k].to_numpy(zero_copy_only=False).sum())
+    scale = 1.0 / fraction
+    scaled = {k: int(round(v * scale)) for k, v in acc.items()}
+    return macro_from_partials(scaled, csr.n, csr.m)
+
+
 def gfd(mac: MacroCounts, kind: str = "all") -> np.ndarray:
     """Graphlet frequency distribution (graphlet_core.cpp:1955-2041).
 

@@ -1,0 +1,122 @@
+"""Event-stream windowing over the ``events`` table.
+
+The reference is pure batch (SURVEY.md §2.8 — no streaming/windows),
+but a transcript pipeline at scale needs event-time sessionization and
+tumbling windows; both are expressed Ray-Data-first as vectorized
+per-block transforms over the globally time-sorted stream:
+
+* ``tumbling_counts`` — fixed windows = pure hash aggregation
+  (``floor(ts/size)`` key), SQL-mirrorable.
+* ``sessionize`` — per-user sessions split at inactivity gaps.  Uses
+  the same sorted-block + boundary-fragment pattern as the transcript
+  rank derivation: one global sort, per-block vectorized session
+  assignment, driver-side stitching of users that straddle blocks
+  (O(#blocks) work).  SQL-mirrorable with window functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def tumbling_counts(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """Events per (event_type, hour window): columns
+    (event_type, window_start, n_events, sum_value)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        win = ts // window_us * window_us
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": win,
+                "value": t["value"],
+            }
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Per-user sessions split at gaps > ``gap_us``.  Returns one row
+    per session: (user_id, session_idx, n_events, start_ts, end_ts)
+    with session_idx 0-based in time order.
+
+    Distributed: sort by (user_id, ts, event_id) → per-block vectorized
+    gap detection → sessions fully inside a block are emitted there;
+    each block's boundary-user fragments are collapsed to (start, end,
+    count, internal session pattern) summaries and stitched on the
+    driver (≤ 2 fragments per block)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def block_sessions(t: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "start_ts": pa.array([], pa.int64()),
+            "end_ts": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "boundary": pa.array([], pa.bool_()),
+        }
+        if t.num_rows == 0:
+            return pa.table(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = len(uid)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        boundary = (uid[starts] == uid[0]) | (uid[starts] == uid[-1])
+        return pa.table(
+            {
+                "user_id": uid[starts].astype(np.int64),
+                "start_ts": ts[starts],
+                "end_ts": ts[ends],
+                "n_events": (ends - starts + 1).astype(np.int64),
+                "boundary": boundary,
+            }
+        )
+
+    raw = srt.map_batches(block_sessions, batch_format="pyarrow", batch_size=None).to_pandas()
+    interior = raw[~raw["boundary"]]
+    # stitch boundary-user session fragments on the driver: fragments
+    # are themselves gap-consistent runs, so merging = re-running the
+    # gap rule over the fragment list per user (tiny)
+    b = raw[raw["boundary"]].sort_values(["user_id", "start_ts"], kind="stable")
+    merged = []
+    for uid, g in b.groupby("user_id", sort=False):
+        cur = None
+        for r in g.itertuples(index=False):
+            if cur is not None and r.start_ts - cur["end_ts"] <= gap_us:
+                cur["end_ts"] = max(cur["end_ts"], r.end_ts)
+                cur["n_events"] += r.n_events
+            else:
+                if cur is not None:
+                    merged.append(cur)
+                cur = {"user_id": uid, "start_ts": r.start_ts,
+                       "end_ts": r.end_ts, "n_events": r.n_events}
+        if cur is not None:
+            merged.append(cur)
+    out = pd.concat(
+        [interior[["user_id", "start_ts", "end_ts", "n_events"]],
+         pd.DataFrame(merged, columns=["user_id", "start_ts", "end_ts", "n_events"])],
+        ignore_index=True,
+    ).sort_values(["user_id", "start_ts"], ignore_index=True)
+    out["session_idx"] = out.groupby("user_id").cumcount()
+    return out[["user_id", "session_idx", "start_ts", "end_ts", "n_events"]]
