@@ -165,8 +165,14 @@ def _transcripts_ds(sf_dir):
     return derive_transcripts(sf_dir)
 
 
+_BUNDLE_CACHE: dict = {}
+
+
 def _copurchase_bundle(sf_dir):
-    """Canonical copurchase edges (raw part ids) + dense CSR + id map."""
+    """Canonical copurchase edges (raw part ids) + dense CSR + id map.
+    Cached per sf_dir — six queries share the same graph build."""
+    if sf_dir in _BUNDLE_CACHE:
+        return _BUNDLE_CACHE[sf_dir]
     from pgd_ray.graph.csr import build_csr
     from pgd_ray.graph.normalize import densify, vertex_ids
     from pgd_ray.sources.edges import edges_copurchase
@@ -175,17 +181,26 @@ def _copurchase_bundle(sf_dir):
     vids = vertex_ids(eds)
     dense = densify(eds, vids).materialize()
     csr = build_csr(dense, n=len(vids))
-    return eds, dense, csr, vids
+    _BUNDLE_CACHE.clear()
+    _BUNDLE_CACHE[sf_dir] = (eds, dense, csr, vids)
+    return _BUNDLE_CACHE[sf_dir]
+
+
+_TOOL_CACHE: dict = {}
 
 
 def _tool_graph(sf_dir):
+    if sf_dir in _TOOL_CACHE:
+        return _TOOL_CACHE[sf_dir]
     from pgd_ray.graph.csr import build_csr
     from pgd_ray.sources.edges import edges_from_transcripts, tool_vocab
 
     tds = _transcripts_ds(sf_dir)
     vocab = tool_vocab(tds)
     eds = edges_from_transcripts(tds, vocab=vocab).materialize()
-    return eds, build_csr(eds, n=len(vocab)), vocab
+    _TOOL_CACHE.clear()
+    _TOOL_CACHE[sf_dir] = (eds, build_csr(eds, n=len(vocab)), vocab)
+    return _TOOL_CACHE[sf_dir]
 
 
 def _macro_frame(mac) -> pd.DataFrame:

@@ -123,7 +123,8 @@ def run_bench() -> dict:
         "pagerank_sec_per_iter": round(pr_iter_sec, 4),
         "edges_per_sec_per_pr_iter": int(m / pr_iter_sec) if pr_iter_sec else None,
         "edges_per_sec_triangles": int(m / timings["triangle_count"]),
-        **{k: v for k, v in syn.items() if k not in ("queries",)},
+        **{k: v for k, v in syn.items()
+           if k not in ("queries", "metric", "value", "unit", "num_cpus")},
     }
     ray.shutdown()
     return result

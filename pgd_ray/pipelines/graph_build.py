@@ -30,6 +30,10 @@ def build_graph(
     raw_pairs: ray.data.Dataset, dense: bool = True
 ) -> tuple[ray.data.Dataset, CSRGraph, np.ndarray | None]:
     """raw (src,dst) pairs (dups/self-loops ok) → (canonical_ds, csr, vids)."""
+    # materialize the (repartitioned) input before the sort: a lazy
+    # single-block source serializes the whole map phase ahead of the
+    # shuffle (measured 22 s vs 2 s on a 40M-row sort)
+    raw_pairs = raw_pairs.materialize()
     srt = symmetrize(canonicalize(raw_pairs)).sort(["src", "dst"])
     srcs, dsts = [], []
     prev = None
