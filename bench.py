@@ -109,6 +109,7 @@ def run_bench() -> dict:
     graphlet_macro(teds, tcsr, concurrency=(1, nw))
     timings["transcript_graphlets"] = time.perf_counter() - t0
 
+    _transcript_scale_suite(timings, nw)
     syn = _synth_suite(timings, nw)
     total = sum(timings.values())
     result = {
@@ -125,9 +126,77 @@ def run_bench() -> dict:
         "edges_per_sec_triangles": int(m / timings["triangle_count"]),
         **{k: v for k, v in syn.items()
            if k not in ("queries", "metric", "value", "unit", "num_cpus")},
+        **getattr(_transcript_scale_suite, "info", {}),
     }
     ray.shutdown()
     return result
+
+
+def _transcript_scale_suite(timings: dict, nw: int) -> None:
+    """North-rule end-to-end at scale: a deterministic 5M-turn
+    transcript table (written once to /tmp, then treated as the
+    external parquet input) → tool-co-occurrence edge table → CSR →
+    PageRank + triangles.  This is the literal metric pipeline:
+    edges/sec per PageRank+triangle iteration on a transcript-derived
+    edge table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from pgd_ray.graph.graphlets import edge_triangles
+    from pgd_ray.graph.iterative import IterativeEngine, kill_pool, worker_pool
+    from pgd_ray.pipelines.graph_build import build_graph
+    from pgd_ray.sources.edges import edges_from_transcripts, tool_vocab
+    from pgd_ray.sources.transcripts import synth_transcripts
+    from pgd_ray.util import default_blocks
+
+    n_turns = int(os.environ.get("GRAFT_TRANSCRIPT_TURNS", "5000000"))
+    n_tools = int(os.environ.get("GRAFT_TRANSCRIPT_TOOLS", "100000"))
+    cache = f"/tmp/pgd_ray_bench/transcripts_{n_turns}_{n_tools}"
+    if not os.path.exists(os.path.join(cache, "_DONE")):
+        os.makedirs(cache, exist_ok=True)
+        t = synth_transcripts(n_convs=max(1, n_turns // 8), mean_turns=8,
+                              n_tools=n_tools, seed=13)
+        pq.write_table(t, os.path.join(cache, "part0.parquet"))
+        open(os.path.join(cache, "_DONE"), "w").write("ok")
+
+    t0 = time.perf_counter()
+    tds = ray.data.read_parquet(cache, columns=["conv_id", "turn_idx", "tool"],
+                                override_num_blocks=default_blocks())
+    vocab = tool_vocab(tds)
+    raw = edges_from_transcripts(tds, vocab=vocab, dedup=False)
+    dense, csr, _ = build_graph(raw, dense=False)
+    timings["transcripts5m_edges"] = time.perf_counter() - t0
+
+    pool = worker_pool(csr, nw)
+    eng = IterativeEngine(csr, "pagerank", n_workers=nw, workers=pool)
+    deg = csr.degrees()
+    dang = deg == 0
+    n = csr.n
+
+    def extras(state):
+        d = float(state[dang].sum()) if dang.any() else 0.0
+        return {"alpha": 0.85, "base": 0.15 / n + 0.85 * d / n}
+
+    t0 = time.perf_counter()
+    eng.run(np.full(n, 1.0 / n), extras, lambda d: d < 1e-10, 50)
+    timings["transcripts5m_pagerank"] = time.perf_counter() - t0
+    kill_pool(pool)
+    t0 = time.perf_counter()
+    tot = 0
+    for b in edge_triangles(dense, csr).iter_batches(batch_size=1 << 18,
+                                                     batch_format="pyarrow"):
+        tot += int(b["triangle"].to_numpy(zero_copy_only=False).sum())
+    timings["transcripts5m_triangles"] = time.perf_counter() - t0
+    iter_secs = sorted(mm["sec"] for mm in eng.metrics[2:]) or [0.0]
+    timings["_t5m_meta"] = 0.0  # placeholder removed below
+    del timings["_t5m_meta"]
+    _transcript_scale_suite.info = {
+        "transcript_graph": {"n": int(csr.n), "m": int(csr.m), "triangles": int(tot // 3)},
+        "transcript_pr_sec_per_iter": round(iter_secs[len(iter_secs) // 2], 4),
+        "transcript_edges_per_sec_per_pr_iter": int(csr.m / max(iter_secs[len(iter_secs) // 2], 1e-9)),
+    }
 
 
 def _synth_suite(timings: dict, nw: int) -> dict:

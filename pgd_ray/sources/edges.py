@@ -49,7 +49,7 @@ def tool_vocab(tds: ray.data.Dataset) -> np.ndarray:
 
 
 def edges_from_transcripts(
-    tds: ray.data.Dataset, vocab: np.ndarray | None = None
+    tds: ray.data.Dataset, vocab: np.ndarray | None = None, dedup: bool = True
 ) -> ray.data.Dataset:
     """Consecutive-turn tool co-occurrence edges.
 
@@ -129,7 +129,9 @@ def edges_from_transcripts(
                           "dst": pa.array(extra_dst, pa.int64())})
             )
         )
-    return dedup_edges(raw)
+    # dedup=False hands the raw pairs to a fused consumer
+    # (pipelines.graph_build dedups during CSR assembly)
+    return dedup_edges(raw) if dedup else raw
 
 
 def _segment_pairs(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
