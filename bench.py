@@ -280,6 +280,34 @@ def _synth_suite(timings: dict, nw: int) -> dict:
     return out
 
 
+def _cpu_calibration(lo: int, hi: int) -> float:
+    """Delivered-cycle ratio hi/lo via a pure busy loop — quantifies
+    how much raw CPU the VM actually grants at each level (SMT, steal).
+    The theoretical max scaling efficiency on this box is ratio/(hi/lo)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        x = np.random.default_rng(1).standard_normal(1000)
+        t0 = time.perf_counter()
+        it = 0
+        while time.perf_counter() - t0 < 2.0:
+            x = np.sin(x) * 1.0001
+            it += 1
+        q.put(it)
+
+    def total(nproc):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(nproc)]
+        [p.start() for p in ps]
+        tot = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        return tot
+
+    return total(hi) / max(total(lo), 1)
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_ONLY="1")
@@ -295,38 +323,54 @@ def run_scaling() -> dict:
     # delivers only 3.2x the cycles of 8 procs — a 0.80 hardware
     # ceiling on any 8→32 efficiency measurement; see BASELINE.md.)
     lo_cpu, hi_cpu = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    lo = one(lo_cpu)
-    hi = one(hi_cpu)
+    # interleaved best-of-3 per level with per-stage minima: this
+    # sandbox's VM shows ±40-50 % wall-clock jitter between identical
+    # runs (CPU steal), and whole bad windows can swallow one level's
+    # runs — interleaving samples both levels under similar conditions
+    # and the per-stage min is the steal-free estimate.
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    los, his = [], []
+    for _ in range(rounds):
+        los.append(one(lo_cpu))
+        his.append(one(hi_cpu))
+
+    def stage_mins(runs):
+        return {
+            "pr10": min(r["synth_pr_sec_per_iter"] * 10 for r in runs),
+            "tri": min(r["queries"]["synth_triangles"] for r in runs),
+            "macro": min(r["queries"]["synth_macro_graphlets"] for r in runs),
+            "pr_thr": max(r["synth_edges_per_sec_per_pr_iter"] for r in runs),
+            "tri_thr": max(r["synth_edges_per_sec_triangles"] for r in runs),
+            "total": min(r["value"] for r in runs),
+        }
+
+    lo_m, hi_m = stage_mins(los), stage_mins(his)
+    lo, hi = los[0], his[0]
     # north-rule scaling: PageRank iterations (median round), triangle
     # pass and macro graphlet pass on the synthetic graphs
-    def suite(r):
-        return (
-            r["synth_pr_sec_per_iter"] * 10
-            + r["queries"]["synth_triangles"]
-            + r["queries"]["synth_macro_graphlets"]
-        )
-
-    t_lo, t_hi = suite(lo), suite(hi)
+    t_lo = lo_m["pr10"] + lo_m["tri"] + lo_m["macro"]
+    t_hi = hi_m["pr10"] + hi_m["tri"] + hi_m["macro"]
     eff = (t_lo / t_hi) / (hi_cpu / lo_cpu)
+    cal = _cpu_calibration(lo_cpu, hi_cpu)
     return {
         "metric": f"throughput scaling efficiency, N={lo_cpu} → 4N={hi_cpu} CPUs "
                   "(fresh ray.init each), PageRank(10 iter) + triangles + "
                   "macro graphlets on synthetic link graphs",
         "cpus": [lo_cpu, hi_cpu],
         "suite_sec": [round(t_lo, 3), round(t_hi, 3)],
-        "stage_sec": {
-            "pagerank_10it_median": [round(lo["synth_pr_sec_per_iter"] * 10, 3),
-                                     round(hi["synth_pr_sec_per_iter"] * 10, 3)],
-            "triangles": [lo["queries"]["synth_triangles"], hi["queries"]["synth_triangles"]],
-            "macro_graphlets": [lo["queries"]["synth_macro_graphlets"],
-                                hi["queries"]["synth_macro_graphlets"]],
+        "rounds": rounds,
+        "stage_sec_min": {
+            "pagerank_10it_median": [round(lo_m["pr10"], 3), round(hi_m["pr10"], 3)],
+            "triangles": [round(lo_m["tri"], 3), round(hi_m["tri"], 3)],
+            "macro_graphlets": [round(lo_m["macro"], 3), round(hi_m["macro"], 3)],
         },
-        "synth_edges_per_sec_per_pr_iter": [lo["synth_edges_per_sec_per_pr_iter"],
-                                            hi["synth_edges_per_sec_per_pr_iter"]],
-        "synth_edges_per_sec_triangles": [lo["synth_edges_per_sec_triangles"],
-                                          hi["synth_edges_per_sec_triangles"]],
-        "suite_total_sec": [lo["value"], hi["value"]],
+        "synth_edges_per_sec_per_pr_iter": [lo_m["pr_thr"], hi_m["pr_thr"]],
+        "synth_edges_per_sec_triangles": [lo_m["tri_thr"], hi_m["tri_thr"]],
+        "suite_total_sec": [lo_m["total"], hi_m["total"]],
         "throughput_scaling_efficiency": round(eff, 3),
+        "cpu_delivered_cycle_ratio": round(cal, 3),
+        "hw_ceiling_efficiency": round(cal / (hi_cpu / lo_cpu), 3),
+        "efficiency_vs_hw_ceiling": round(eff / (cal / (hi_cpu / lo_cpu)), 3),
         "sf": SF_DIR,
     }
 

@@ -15,15 +15,22 @@ cpp:1326-1364) and the final automorphism division
 (cpp:1449-1473) that yield all 17 macro counts.
 
 Execution model: the CSR arrays live in the object store (one
-``ray.put``, zero-copy views in every kernel actor — the Ray analogue
-of the reference's shared-memory adjacency); the canonical edge table
-streams through ``map_batches`` over an actor pool whose per-actor
-scratch (the int8 ``ind`` perfect-hash array, cpp:1069-1088) is
-allocated once in ``__init__`` exactly like the reference's
-``firstprivate`` per-thread scratch.  Each batch emits one partial-sum
-row (macro) or a per-edge Arrow table (micro); partials are combined
-on the driver in arbitrary-precision Python ints, so the engine is
-exact where the reference's u64 arithmetic overflows (SURVEY.md Q3).
+``ray.put``, zero-copy views in every worker — the Ray analogue of the
+reference's shared-memory adjacency); the canonical edge table streams
+through ``map_batches`` kernel stages as stateless tasks whose kernel
+object (CSR views, key arrays, scratch — the analogue of the
+reference's ``firstprivate`` per-thread scratch, cpp:1069-1088) is
+cached once per worker process (see ``_kernel_stage``), giving actor
+amortization without per-stage pool construction.  Each batch emits
+one partial-sum row (macro) or a per-edge Arrow table (micro);
+partials are combined on the driver in arbitrary-precision Python
+ints, so the engine is exact where the reference's u64 arithmetic
+overflows (SURVEY.md Q3).
+
+Three kernel paths with identical semantics (differential-tested):
+dense n×n BLAS (n ≤ 8192, mirrors the reference's adjacency-matrix
+auto-tuning cpp:602-611), vectorized sparse (batched gathers +
+sorted-key membership, hub-volume-chunked), per-edge loop fallback.
 
 Overflow discipline: every per-batch int64 sum is bounded by
 ``batch_size * (2*max_degree+2)^2``; n-dependent terms (the
