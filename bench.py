@@ -215,7 +215,7 @@ def _synth_suite(timings: dict, nw: int) -> dict:
     s_src, s_dst = synth_powerlaw_pairs(n=n_syn, m=m_syn)
     raw = ray.data.from_arrow(pa.table({"src": s_src, "dst": s_dst})).repartition(4 * nw)
     del s_src, s_dst
-    sdense, scsr, svids = build_graph(raw)
+    sdense, scsr, svids = build_graph(raw, blocks=6 * nw)
     timings["synth_etl"] = time.perf_counter() - t0
 
     spool = worker_pool(scsr, nw)
@@ -257,7 +257,7 @@ def _synth_suite(timings: dict, nw: int) -> dict:
         skew=1.0,
     )
     raw2 = ray.data.from_arrow(pa.table({"src": s2_src, "dst": s2_dst})).repartition(4 * nw)
-    d2, c2, _ = build_graph(raw2)
+    d2, c2, _ = build_graph(raw2, blocks=6 * nw)
     t0 = time.perf_counter()
     mac2 = graphlet_macro(d2, c2)
     timings["synth_macro_graphlets"] = time.perf_counter() - t0

@@ -53,8 +53,17 @@ from pgd_ray.graph.csr import CSRGraph
 # --------------------------------------------------------------------
 
 def _seg_sum(vals: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    cs = np.concatenate(([0.0], np.cumsum(vals)))
-    return cs[idx[1:]] - cs[idx[:-1]]
+    """Per-segment sum via compacted ``reduceat`` — one pass over
+    ``vals`` (a cumsum-diff costs ~4 memory passes, and the PageRank
+    round is bandwidth-bound).  Empty segments get 0 (reduceat's
+    empty-slot quirk avoided by boundary compaction)."""
+    out = np.zeros(len(idx) - 1, dtype=np.float64)
+    if not vals.size:
+        return out
+    lens = idx[1:] - idx[:-1]
+    nonempty = lens > 0
+    out[nonempty] = np.add.reduceat(vals, idx[:-1][nonempty])
+    return out
 
 
 def _seg_lens(idx: np.ndarray) -> np.ndarray:
