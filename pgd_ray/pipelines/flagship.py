@@ -47,9 +47,7 @@ def flagship(
 ) -> tuple[pd.DataFrame, MacroCounts]:
     """Returns (per-vertex summary frame, macro graphlet counts).
 
-    Summary columns: tool_id, pagerank, component, degree, tri_incident
-    (sum of per-edge triangle counts over incident edges / the vertex's
-    triangle participation ×2).
+    Summary columns: tool_id, pagerank, component, degree.
     """
     tds = derive_transcripts(sf_dir)
     eds = edges_from_transcripts(tds).materialize()

@@ -19,7 +19,6 @@ Both return canonical (src<dst), exact-deduped edge Datasets.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data

@@ -23,7 +23,6 @@ equality under stable ``(conv_id, turn_idx)`` ordering
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def univar_stats(ds: ray.data.Dataset, col: str) -> dict:

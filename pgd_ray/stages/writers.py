@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import pandas as pd
 import ray.data
 
 from pgd_ray.graph.graphlets import MACRO_KEYS, MacroCounts

@@ -69,3 +69,22 @@ def test_mtx_reader_matches_generic(tmp_path):
     f.write_text("%%MatrixMarket matrix coordinate pattern symmetric\n3 3 3\n1 2\n2 3\n1 3\n")
     eds, vids = read_mtx(f)
     assert _rows(eds) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_csr_checkpoint_roundtrip(tmp_path):
+    from pgd_ray.graph.csr import CSRGraph, csr_from_edge_arrays
+
+    src = np.array([0, 0, 1, 2])
+    dst = np.array([1, 2, 3, 3])
+    g = csr_from_edge_arrays(src, dst, n=4)
+    p = tmp_path / "csr.parquet"
+    g.write(p)
+    h = CSRGraph.read(p)
+    assert h.n == g.n and h.m == g.m
+    assert (h.indptr == g.indptr).all() and (h.indices == g.indices).all()
+    # build_csr resumes from the checkpoint without recomputing
+    from pgd_ray.graph.csr import build_csr
+
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    g2 = build_csr(ds, n=4, checkpoint=p)
+    assert (g2.indices == g.indices).all()
