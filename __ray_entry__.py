@@ -428,6 +428,15 @@ def _q_univar_clique4(sf_dir):
     return pd.DataFrame([{k: float(v) for k, v in st.items()}])
 
 
+def _q_vertex_triangles(sf_dir):
+    from pgd_ray.graph.graphlets import vertex_triangles
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    df = vertex_triangles(dense, csr).to_pandas()
+    df["v"] = vids[df["v"].to_numpy()]
+    return df[["v", "triangles"]]
+
+
 def _q_tumbling_counts(sf_dir):
     from pgd_ray.stages.windows import tumbling_counts
 
@@ -496,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "univar_clique4": _q_univar_clique4,
         "media_decode": _q_media_decode,
+        "vertex_triangles": _q_vertex_triangles,
         "tumbling_counts": _q_tumbling_counts,
         "sessions": _q_sessions,
         "macro_approx_copurchase": _q_macro_approx_copurchase,
@@ -593,6 +603,14 @@ r AS (SELECT query_id, vec_id, c,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank
       FROM sims)
 SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10""",
+        "vertex_triangles": f"""
+WITH {_E_CTE}, {_S_CTE},
+et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst),
+up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et)
+SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
         "tumbling_counts": """
 SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start,

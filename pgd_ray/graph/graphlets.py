@@ -676,6 +676,51 @@ def graphlet_macro_approx(
     return macro_from_partials(scaled, csr.n, csr.m)
 
 
+def vertex_triangles(
+    canonical_ds: ray.data.Dataset, csr: CSRGraph, **kw
+) -> ray.data.Dataset:
+    """Per-VERTEX triangle counts — the reference's micro mode is "for
+    each edge (or vertex)" (graphlet_core.cpp:1477-1480 doc); the
+    vertex statistic derives from the per-edge one: a triangle
+    {v,a,b} appears in tri_e of both v-incident edges, so
+    tri(v) = Σ_{e ∋ v} tri_e / 2.  Partial per-batch bincount combiner
+    → small groupby.  Output: (v, triangles)."""
+    from ray.data.aggregate import Sum
+
+    tri = edge_triangles(canonical_ds, csr, **kw)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vs = np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False),
+        ])
+        w = np.concatenate([
+            t["triangle"].to_numpy(zero_copy_only=False),
+            t["triangle"].to_numpy(zero_copy_only=False),
+        ])
+        order = np.argsort(vs, kind="stable")
+        vs, w = vs[order], w[order]
+        bounds = np.concatenate(([True], vs[1:] != vs[:-1]))
+        starts = np.flatnonzero(bounds)
+        cs = np.concatenate(([0], np.cumsum(w)))
+        ends = np.append(starts[1:], len(vs))
+        return pa.table({"v": vs[starts], "part": cs[ends] - cs[starts]})
+
+    out = (
+        tri.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("part", alias_name="twice"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"],
+             "triangles": (t["twice"].to_numpy(zero_copy_only=False) // 2).astype(np.int64)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def gfd(mac: MacroCounts, kind: str = "all") -> np.ndarray:
     """Graphlet frequency distribution (graphlet_core.cpp:1955-2041).
 

@@ -124,3 +124,13 @@ def test_isolated_vertices():
     cc = connected_components(csr, n_workers=1)
     assert cc[3] == 3 and cc[0] == cc[1] == cc[2] == 0
     assert kcore(csr, n_workers=1)[3] == 0
+
+
+def test_results_invariant_to_parallelism():
+    """North-rule determinism: identical results at different worker
+    counts (parallelism must never change any output)."""
+    csr = _csr(50, 0.12, 11)
+    assert np.allclose(pagerank(csr, n_workers=1), pagerank(csr, n_workers=4), atol=1e-15)
+    assert (connected_components(csr, n_workers=1) == connected_components(csr, n_workers=4)).all()
+    assert (kcore(csr, n_workers=1) == kcore(csr, n_workers=4)).all()
+    assert (label_propagation(csr, n_workers=1) == label_propagation(csr, n_workers=4)).all()
