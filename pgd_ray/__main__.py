@@ -72,6 +72,14 @@ def main(argv=None) -> int:
         csr = build_csr(eds, n=(len(vids) if vids is not None else None))
         print(f"graph: n={csr.n} m={csr.m} d_max={csr.max_degree}", file=sys.stderr)
 
+        # Apply the edge-ordering strategy before decomposition, as the
+        # reference driver does (graphlet_driver.cpp:70): scheduling /
+        # micro-CSV row order only — counts are order-invariant.
+        if args.ordering != "natural":
+            from pgd_ray.functions.ordering import sort_edges
+
+            eds = sort_edges(eds, csr, strategy=args.ordering).drop_columns(["key"]).materialize()
+
         if args.macro or args.gfd or not (args.micro or args.micro_parquet or args.pagerank
                                           or args.components or args.kcore):
             mac = graphlet_macro(eds, csr, concurrency=(1, args.workers))

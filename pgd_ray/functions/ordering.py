@@ -73,8 +73,23 @@ def edge_ordering_keys(
         if strategy == "natural":
             val = np.zeros(len(src), np.int64)
         elif strategy == "rand":
-            rng = np.random.default_rng(seed)  # deterministic (Q5 fixed)
-            val = rng.integers(0, 1 << 31, len(src))
+            # Deterministic (Q5 fixed) AND partition-invariant: the key
+            # is a stable splitmix64-style hash of (src, dst, seed), so
+            # the global order does not depend on how edges were
+            # batched (a per-batch RNG would repeat the same sequence
+            # in every batch).  Kept non-negative so the int64 sort
+            # matches an unsigned ordering of the mixed bits.
+            x = (
+                src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + dst.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+                + np.uint64(seed)
+            )
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            val = (x >> np.uint64(1)).astype(np.int64)
         elif strategy == "degree":
             val = d[src] + d[dst]
         elif strategy == "kcore":

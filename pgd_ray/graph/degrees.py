@@ -63,14 +63,19 @@ def degree_array(canonical_ds: ray.data.Dataset, n: int) -> np.ndarray:
 def graph_stats(canonical_ds: ray.data.Dataset) -> pd.DataFrame:
     """n, m, density, d_max, d_avg as a one-row frame
     (graphlet_core.cpp:562-590)."""
-    deg = degree_table(canonical_ds)
-    agg = deg.aggregate(Sum("degree", alias_name="s"))
-    n = deg.count()
-    s = agg["s"] if agg and agg.get("s") is not None else 0
+    from ray.data.aggregate import Count, Max
+
+    # One aggregate pass — Sum+Count+Max together so the (lazy) degree
+    # pipeline executes exactly once, not once per scalar.
+    agg = degree_table(canonical_ds).aggregate(
+        Sum("degree", alias_name="s"),
+        Count(alias_name="n_v"),
+        Max("degree", alias_name="dmx"),
+    )
+    n = int(agg.get("n_v") or 0) if agg else 0
+    s = agg.get("s") if agg else 0
     m = (s or 0) // 2
-    d_max = 0
-    if n:
-        d_max = int(deg.max("degree"))
+    d_max = int(agg.get("dmx") or 0) if n else 0
     density = (2.0 * m) / (n * (n - 1)) if n > 1 else 0.0
     d_avg = (2.0 * m) / n if n else 0.0
     return pd.DataFrame(

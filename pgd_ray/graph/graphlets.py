@@ -167,7 +167,11 @@ class GraphletKernel:
     def _edge_counts_dense(self, src: np.ndarray, dst: np.ndarray):
         """Dense path: per-edge masks over the n×n bool adjacency; the
         quadratic terms (E(T,T), E(A,B), E(A,A)) are (mask @ adj)·mask
-        float32 matmuls — exact for counts < 2^24 (n ≤ 8192)."""
+        float32 matmuls.  Each matmul ENTRY is a 0/1 dot product ≤ n
+        ≤ 8192 < 2^24 so the float32 product is exact; the per-edge
+        row-sums can exceed 2^24 (up to ~d_max² per edge), so they
+        accumulate in a float64 accumulator (`dtype=np.float64`),
+        exact up to 2^53."""
         adj, adjf, deg = self.adj, self.adjf, self.deg
         k = len(src)
         # v = lower-degree endpoint, as in the loop/vec paths (Q8) —
@@ -194,11 +198,11 @@ class GraphletKernel:
             Bm = Nv & ~Nu
             Bm[np.arange(b - a), u] = False
             TA = Tm.astype(np.float32) @ adjf
-            clq[a:b] = ((TA * Tm).sum(axis=1) / 2).astype(np.int64)
+            clq[a:b] = np.round((TA * Tm).sum(axis=1, dtype=np.float64) / 2).astype(np.int64)
             AA = Am.astype(np.float32) @ adjf
-            cyc[a:b] = (AA * Bm).sum(axis=1).astype(np.int64)
+            cyc[a:b] = (AA * Bm).sum(axis=1, dtype=np.float64).astype(np.int64)
             if want_tail:
-                tail[a:b] = (AA * Am).sum(axis=1).astype(np.int64)
+                tail[a:b] = (AA * Am).sum(axis=1, dtype=np.float64).astype(np.int64)
         return tri, cyc, clq, tail, deg[src], deg[dst]
 
     def _edge_counts_vec(self, src: np.ndarray, dst: np.ndarray):
@@ -566,6 +570,17 @@ def check_identities(mac: MacroCounts) -> dict[int, int]:
 _KERNEL_CACHE: dict = {}
 
 
+def _task_cap(concurrency) -> int | None:
+    """Normalize a user-facing ``concurrency`` (int or (min, max)
+    actor-pool-style tuple) to the int task cap that function-based
+    ``map_batches`` accepts."""
+    if concurrency is None:
+        return None
+    if isinstance(concurrency, (tuple, list)):
+        return int(concurrency[-1])
+    return int(concurrency)
+
+
 def _kernel_stage(csr: CSRGraph, mode: str, tailed_mode: str = "zero"):
     """Stateless-task kernel stage: the CSR is fetched zero-copy from
     plasma once per worker process and the kernel object (with its
@@ -601,6 +616,7 @@ def graphlet_macro(
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
+        concurrency=_task_cap(concurrency),
     )
     acc = {k: 0 for k in _PARTIAL_COLS}
     for b in partials.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
@@ -623,6 +639,7 @@ def edge_triangles(
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
+        concurrency=_task_cap(concurrency),
     )
 
 
@@ -642,6 +659,7 @@ def graphlet_micro(
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
+        concurrency=_task_cap(concurrency),
     )
 
 
@@ -666,6 +684,7 @@ def graphlet_macro_approx(
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
+        concurrency=_task_cap(concurrency),
     )
     acc = {k: 0 for k in _PARTIAL_COLS}
     for b in partials.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):

@@ -63,8 +63,11 @@ def edges_from_transcripts(
         vocab = tool_vocab(tds)
     vocab_ref = ray.put(np.asarray(vocab, dtype=object))
 
+    from pgd_ray.util import strip_schema_metadata
+
     srt = (
         tds.select_columns(["conv_id", "turn_idx", "tool"])
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
         .sort(["conv_id", "turn_idx"])
         .materialize()
     )
@@ -180,6 +183,9 @@ def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"],
         override_num_blocks=default_blocks(),
     )
+    from pgd_ray.util import strip_schema_metadata
+
+    li = li.map_batches(strip_schema_metadata, batch_format="pyarrow")
     srt = li.sort("l_orderkey")
 
     def expand(t: pa.Table) -> pa.Table:

@@ -68,6 +68,9 @@ def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "event_type", "props"],
         override_num_blocks=_block_count(),
     )
+    from pgd_ray.util import strip_schema_metadata
+
+    ev = ev.map_batches(strip_schema_metadata, batch_format="pyarrow")
     srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
 
     # pass 1 (cheap): per-block fragment summary of the boundary users

@@ -25,6 +25,39 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _stack_embeddings(col: pa.ChunkedArray | pa.Array, dtype=np.float32) -> np.ndarray:
+    """list<float> column → (nb, d) matrix without per-row Python.
+
+    Flattens the Arrow list buffer (zero-copy when offsets are
+    contiguous) and reshapes; falls back to to_pylist only for ragged
+    rows, which embedding tables don't have."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    nb = len(col)
+    if nb == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if len(vals) % nb == 0:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if (widths == widths[0]).all():
+            return vals.reshape(nb, -1).astype(dtype, copy=False)
+    return np.stack(col.to_pylist()).astype(dtype)
+
+
+def _local_topk(sims: np.ndarray, vid: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the exact local top-kk by (-cosine, vec_id).
+
+    argpartition on cosine alone can drop a lower vec_id when equal
+    cosines straddle the boundary; here every candidate tied with the
+    kk-th value is kept and the composite order decides."""
+    part = np.argpartition(-sims, kk - 1)[:kk]
+    thresh = sims[part].min()
+    cand = np.flatnonzero(sims >= thresh)
+    order = np.lexsort((vid[cand], -sims[cand]))[:kk]
+    return cand[order]
+
+
 def topk_cosine(
     emb: ray.data.Dataset,
     queries: np.ndarray,
@@ -46,18 +79,23 @@ def topk_cosine(
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vid = b["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize(np.stack(b["embedding"].to_pylist()).astype(dtype))
+            m = _normalize(_stack_embeddings(b["embedding"], dtype))
+            if len(m) == 0:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
             sims = self.q @ m.T  # (nq, nb)
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
             for qi in range(sims.shape[0]):
+                sel = _local_topk(sims[qi], vid, kk)
                 rows.append(
                     pa.table(
                         {
-                            "query_id": np.full(kk, qi, np.int64),
-                            "vec_id": vid[part[qi]].astype(np.int64),
-                            "cosine": sims[qi, part[qi]].astype(np.float64),
+                            "query_id": np.full(len(sel), qi, np.int64),
+                            "vec_id": vid[sel].astype(np.int64),
+                            "cosine": sims[qi, sel].astype(np.float64),
                         }
                     )
                 )
@@ -92,7 +130,7 @@ def train_ivf_centroids(
 
         def partial(b: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
-            m = _normalize(np.stack(b["embedding"].to_pylist()).astype(np.float32))
+            m = _normalize(_stack_embeddings(b["embedding"]))
             assign = np.argmax(m @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
@@ -149,7 +187,7 @@ def ivf_topk_cosine(
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vid = b["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize(np.stack(b["embedding"].to_pylist()).astype(np.float32))
+            m = _normalize(_stack_embeddings(b["embedding"]))
             assign = np.argmax(m @ self.c.T, axis=1)
             out = []
             for qi in range(len(self.q)):
@@ -158,13 +196,14 @@ def ivf_topk_cosine(
                     continue
                 sims = m[mask] @ self.q[qi]
                 kk = min(k, len(sims))
-                part = np.argpartition(-sims, kk - 1)[:kk]
+                mvid = vid[mask]
+                sel = _local_topk(sims, mvid, kk)
                 out.append(
                     pa.table(
                         {
-                            "query_id": np.full(kk, qi, np.int64),
-                            "vec_id": vid[mask][part].astype(np.int64),
-                            "cosine": sims[part].astype(np.float64),
+                            "query_id": np.full(len(sel), qi, np.int64),
+                            "vec_id": mvid[sel].astype(np.int64),
+                            "cosine": sims[sel].astype(np.float64),
                         }
                     )
                 )

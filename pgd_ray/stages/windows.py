@@ -58,9 +58,11 @@ def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     each block's boundary-user fragments are collapsed to (start, end,
     count, internal session pattern) summaries and stitched on the
     driver (≤ 2 fragments per block)."""
+    from pgd_ray.util import strip_schema_metadata
+
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
     srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
 
     def block_sessions(t: pa.Table) -> pa.Table:

@@ -32,9 +32,17 @@ def write_partitioned(
         return json.loads((pdir / "_SUCCESS").read_text())
     t0 = time.perf_counter()
     ds.write_parquet(str(pdir), min_rows_per_file=min_rows_per_file)
+    # Count what was actually written (parquet footer metadata — no
+    # data read) instead of ds.count(), which would re-execute the
+    # whole lazy upstream pipeline a second time.
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in pdir.glob("*.parquet")
+    )
     entry = {
         "partition": partition_id,
-        "rows": ds.count(),
+        "rows": rows,
         "sec": round(time.perf_counter() - t0, 3),
     }
     tmp = pdir / "._SUCCESS.tmp"
