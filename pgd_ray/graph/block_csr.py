@@ -1,0 +1,263 @@
+"""Block-structured (vertex-range-partitioned) CSR build.
+
+This is the scale path that replaces the round-1 driver-side assembly
+(`pipelines/graph_build.py` streamed the whole sorted edge list to the
+driver — O(2m) driver state, a scale-killer at 10^10+ edges).  Model:
+
+  raw pairs ──canonicalize──symmetrize──(+range_id)──groupby(range_id)
+      └─ ONE all-to-all; each reduce group is one contiguous vertex
+         range [v_lo, v_hi) holding EVERY symmetrized row whose src is
+         in the range, so the per-range (indptr, indices) fragment —
+         including exact dedup, which is local because duplicates of a
+         directed row always share a src — is built entirely inside
+         the ``map_groups`` task, persisted as one parquet file per
+         range (the ``CSRGraph.write`` layout), and summarized to the
+         driver as ONE manifest row.
+
+The driver therefore holds only O(#ranges) state.  The contiguous
+adjacency the graphlet kernels broadcast-consume is concatenated by a
+REMOTE task (``RangeCSR.assemble``) whose return arrays live in the
+object store; the driver keeps ObjectRefs (and, when a caller needs a
+materialized ``CSRGraph``, zero-copy plasma-backed views — never a
+driver-heap copy of the edge stream).
+
+Reference model being re-expressed: the CSC built once and shared by
+every OpenMP thread (graphlet_core.h:84-86); the per-range layout is
+SURVEY.md §1.3's "per-partition CSR blocks as Arrow tensors".
+"""
+
+from __future__ import annotations
+
+import tempfile
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from pgd_ray.graph.csr import CSRGraph
+from pgd_ray.graph.normalize import canonicalize, densify, symmetrize, vertex_ids
+from pgd_ray.util import default_blocks
+
+
+def _fragment_path(out_dir: Path, rid: int) -> Path:
+    return out_dir / f"range={rid:05d}.parquet"
+
+
+def _write_fragment(
+    out_dir: Path, rid: int, v_lo: int, v_hi: int, indptr: np.ndarray, indices: np.ndarray
+) -> str:
+    t = pa.table(
+        {
+            "range_id": pa.array([rid], pa.int64()),
+            "v_lo": pa.array([v_lo], pa.int64()),
+            "v_hi": pa.array([v_hi], pa.int64()),
+            "indptr": pa.array([indptr], pa.large_list(pa.int64())),
+            "indices": pa.array([indices], pa.large_list(pa.int64())),
+        }
+    )
+    path = _fragment_path(out_dir, rid)
+    tmp = path.with_suffix(".tmp")
+    pq.write_table(t, tmp)
+    tmp.rename(path)  # atomic: a resumed run never sees a partial file
+    return str(path)
+
+
+def _read_fragment(path: str | Path) -> tuple[int, int, np.ndarray, np.ndarray]:
+    t = pq.read_table(path)
+    return (
+        t["v_lo"][0].as_py(),
+        t["v_hi"][0].as_py(),
+        np.asarray(t["indptr"][0].values),
+        np.asarray(t["indices"][0].values),
+    )
+
+
+@ray.remote(num_returns=2)
+def _assemble_remote(bounds: np.ndarray, paths: dict):
+    """Concatenate per-range fragments into the contiguous broadcast
+    arrays — runs in a worker; the returned arrays are owned by the
+    caller and live in the object store (the driver only sees refs)."""
+    n = int(bounds[-1])
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    parts = []
+    nnz = 0
+    for rid in range(len(bounds) - 1):
+        v_lo, v_hi = int(bounds[rid]), int(bounds[rid + 1])
+        p = paths.get(rid)
+        if p is None:
+            indptr[v_lo + 1 : v_hi + 1] = nnz
+            continue
+        _, _, frag_ptr, frag_idx = _read_fragment(p)
+        indptr[v_lo + 1 : v_hi + 1] = frag_ptr[1:] + nnz
+        nnz += len(frag_idx)
+        parts.append(frag_idx)
+    indices = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return indptr, indices
+
+
+@dataclass
+class RangeCSR:
+    """Manifest of a range-partitioned CSR: the driver-side handle is
+    O(#ranges) — bounds, per-range paths and nnz — never the arrays."""
+
+    n: int
+    m: int  # undirected edge count (sum nnz / 2)
+    bounds: np.ndarray  # int64 [P+1] vertex-range boundaries
+    paths: dict  # range_id -> fragment parquet path (missing = empty range)
+    nnz: dict  # range_id -> fragment entry count
+    _asm: tuple | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def num_ranges(self) -> int:
+        return len(self.bounds) - 1
+
+    def fragment(self, rid: int) -> tuple[int, int, np.ndarray, np.ndarray]:
+        """(v_lo, v_hi, indptr, indices) of one range, loaded on demand."""
+        p = self.paths.get(rid)
+        v_lo, v_hi = int(self.bounds[rid]), int(self.bounds[rid + 1])
+        if p is None:
+            return v_lo, v_hi, np.zeros(v_hi - v_lo + 1, np.int64), np.empty(0, np.int64)
+        return _read_fragment(p)
+
+    def assemble(self) -> tuple:
+        """(indptr_ref, indices_ref) of the contiguous adjacency,
+        concatenated by a remote task; cached."""
+        if self._asm is None:
+            self._asm = _assemble_remote.remote(self.bounds, self.paths)
+        return self._asm
+
+    def to_csr(self) -> CSRGraph:
+        """Materialized ``CSRGraph`` whose arrays are zero-copy
+        plasma-backed views (read-only) — the driver heap never holds
+        a private copy of the adjacency."""
+        indptr_ref, indices_ref = self.assemble()
+        return CSRGraph(
+            n=self.n,
+            m=self.m,
+            indptr=ray.get(indptr_ref),
+            indices=ray.get(indices_ref),
+            _refs=(indptr_ref, indices_ref),
+        )
+
+    def canonical_edges(self) -> ray.data.Dataset:
+        """The canonical (src<dst, deduped) edge table as a streaming
+        Dataset — one expansion task per range file, rows derived from
+        the fragment's upper-triangular entries.  Nothing touches the
+        driver."""
+        files = [self.paths[r] for r in sorted(self.paths)]
+        if not files:
+            return ray.data.from_arrow(
+                pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+            )
+        frag_ds = ray.data.read_parquet(files, override_num_blocks=len(files))
+        return frag_ds.map_batches(
+            _expand_canonical, batch_format="pyarrow", batch_size=None
+        )
+
+
+def _expand_canonical(t: pa.Table) -> pa.Table:
+    outs = []
+    for i in range(t.num_rows):
+        v_lo = t["v_lo"][i].as_py()
+        indptr = np.asarray(t["indptr"][i].values)
+        indices = np.asarray(t["indices"][i].values)
+        src = np.repeat(
+            np.arange(v_lo, v_lo + len(indptr) - 1, dtype=np.int64), np.diff(indptr)
+        )
+        up = indices > src
+        outs.append(pa.table({"src": src[up], "dst": indices[up]}))
+    if not outs:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    return pa.concat_tables(outs)
+
+
+def build_range_csr(
+    pairs: ray.data.Dataset,
+    n: int | None = None,
+    dense: bool = False,
+    num_ranges: int | None = None,
+    out_dir: str | Path | None = None,
+) -> tuple[RangeCSR, np.ndarray | None]:
+    """Distributed CSR build with NO driver-side edge pass.
+
+    ``pairs`` may be raw (dups / self-loops / either orientation ok).
+    ``dense=True`` relabels vertices to dense [0, n) first (distinct +
+    broadcast searchsorted remap) and returns the id table.  ``n``
+    overrides the vertex-count inference (isolated trailing vertices).
+
+    One all-to-all: ``groupby(range_id)``.  Dedup is free inside each
+    range task (duplicates of a directed row share a src, hence a
+    range).  Fragments are parquet files under ``out_dir`` (a fresh
+    /tmp dir by default) in the resumable one-file-per-range layout.
+    """
+    canon = canonicalize(pairs)
+    vids = None
+    if dense:
+        vids = vertex_ids(canon)
+        canon = densify(canon, vids)
+        n = len(vids)
+    elif n is None:
+        agg = canon.aggregate(
+            ray.data.aggregate.Max("src", alias_name="ms"),
+            ray.data.aggregate.Max("dst", alias_name="md"),
+        )
+        ms = agg.get("ms") if agg else None
+        md = agg.get("md") if agg else None
+        n = int(max(ms if ms is not None else -1, md if md is not None else -1) + 1)
+
+    out_dir = Path(out_dir) if out_dir else Path(tempfile.mkdtemp(prefix="pgd_csr_", dir="/tmp"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    P = max(1, min(num_ranges or default_blocks(factor=4), max(n, 1)))
+    bounds = np.unique(np.linspace(0, n, P + 1).astype(np.int64))
+    if len(bounds) < 2:
+        bounds = np.array([0, max(n, 0)], dtype=np.int64)
+
+    if n == 0:
+        return RangeCSR(0, 0, np.array([0, 0], np.int64), {}, {}), vids
+
+    sym = symmetrize(canon)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(bounds, src, side="right") - 1
+        return t.append_column("range_id", pa.array(rid.astype(np.int64)))
+
+    def build_fragment(t: pa.Table) -> pa.Table:
+        rid = int(t["range_id"][0].as_py())
+        v_lo, v_hi = int(bounds[rid]), int(bounds[rid + 1])
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        keep = np.empty(len(src), dtype=bool)  # exact dedup, local to the range
+        if len(src):
+            keep[0] = True
+            keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[keep], dst[keep]
+        counts = np.bincount(src - v_lo, minlength=v_hi - v_lo)
+        indptr = np.zeros(v_hi - v_lo + 1, dtype=np.int64)
+        indptr[1:] = np.cumsum(counts)
+        path = _write_fragment(out_dir, rid, v_lo, v_hi, indptr, dst)
+        return pa.table(
+            {
+                "range_id": pa.array([rid], pa.int64()),
+                "nnz": pa.array([len(dst)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+            }
+        )
+
+    manifest = (
+        sym.map_batches(add_range, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(build_fragment, batch_format="pyarrow")
+        .take_all()
+    )  # O(#ranges) rows — the ONLY thing the driver materializes
+    paths = {r["range_id"]: r["path"] for r in manifest}
+    nnz = {r["range_id"]: r["nnz"] for r in manifest}
+    m = sum(nnz.values()) // 2
+    return RangeCSR(n=n, m=m, bounds=bounds, paths=paths, nnz=nnz), vids

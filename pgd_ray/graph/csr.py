@@ -69,11 +69,14 @@ class CSRGraph:
     def put32(self) -> tuple:
         """Like ``put`` but with int32 neighbor ids (valid when
         n < 2^31): halves the dominant memory stream of the iterative
-        engines, which are bandwidth-bound on a single node."""
+        engines, which are bandwidth-bound on a single node.  The cast
+        runs in a remote task so the driver never allocates a private
+        copy of the adjacency."""
         if self.n >= (1 << 31):
             return self.put()
         if getattr(self, "_refs32", None) is None:
-            self._refs32 = (ray.put(self.indptr), ray.put(self.indices.astype(np.int32)))
+            indptr_ref, indices_ref = self.put()
+            self._refs32 = (indptr_ref, _cast32.remote(indices_ref))
         return self._refs32
 
     # -- checkpoint ---------------------------------------------------
@@ -103,6 +106,11 @@ class CSRGraph:
         )
 
 
+@ray.remote
+def _cast32(indices: np.ndarray) -> np.ndarray:
+    return indices.astype(np.int32)
+
+
 def csr_from_edge_arrays(src: np.ndarray, dst: np.ndarray, n: int | None = None) -> CSRGraph:
     """Build CSR from canonical (src<dst, deduped, dense-id) arrays.
 
@@ -127,38 +135,25 @@ def build_csr(
     canonical_ds: ray.data.Dataset,
     n: int | None = None,
     checkpoint: str | Path | None = None,
+    num_ranges: int | None = None,
 ) -> CSRGraph:
     """Distributed CSR build from a canonical edge Dataset.
 
-    Pipeline: symmetrize → ``sort("src","dst")`` (the one all-to-all
-    this stage needs) → stream the ordered (src, dst) runs to the
-    driver, which concatenates pre-sorted fragments into the final
-    arrays.  The driver pass is O(2m) ints — the adjacency itself —
-    not the raw input.
+    Delegates to the block-structured build (``graph.block_csr``):
+    one ``groupby(range_id)`` all-to-all, per-vertex-range fragments
+    built and persisted inside the shuffle's reduce tasks, contiguous
+    arrays concatenated by a remote task.  The driver holds only the
+    O(#ranges) manifest plus zero-copy plasma views of the result —
+    never a private edge-stream copy (the round-1 driver-side linear
+    pass is gone).
     """
-    from pgd_ray.graph.normalize import symmetrize
+    from pgd_ray.graph.block_csr import build_range_csr
 
     if checkpoint is not None and Path(checkpoint).exists():
         return CSRGraph.read(checkpoint)
 
-    sym = symmetrize(canonical_ds).sort(["src", "dst"])
-    srcs: list[np.ndarray] = []
-    dsts: list[np.ndarray] = []
-    for b in sym.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        if b.num_rows:
-            srcs.append(b["src"].to_numpy(zero_copy_only=False))
-            dsts.append(b["dst"].to_numpy(zero_copy_only=False))
-    if not srcs:
-        g = CSRGraph(n=n or 0, m=0, indptr=np.zeros((n or 0) + 1, np.int64), indices=np.array([], np.int64))
-    else:
-        a = np.concatenate(srcs)
-        bb = np.concatenate(dsts)
-        if n is None:
-            n = int(a.max() + 1)
-        counts = np.bincount(a, minlength=n)
-        indptr = np.zeros(n + 1, dtype=np.int64)
-        indptr[1:] = np.cumsum(counts)
-        g = CSRGraph(n=n, m=len(a) // 2, indptr=indptr, indices=bb)
+    rcsr, _ = build_range_csr(canonical_ds, n=n, dense=False, num_ranges=num_ranges)
+    g = rcsr.to_csr()
     if checkpoint is not None:
         g.write(checkpoint)
     return g
