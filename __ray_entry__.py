@@ -22,6 +22,20 @@ import pandas as pd
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _read(path: str, columns=None):
+    """read_parquet with schema metadata stripped (parquet's pandas
+    metadata blob makes schemas unhashable, which spams downstream
+    sort/groupby reduce tasks with warnings and skips a dedup fast
+    path)."""
+    import ray.data
+
+    from pgd_ray.util import strip_schema_metadata
+
+    return ray.data.read_parquet(path, columns=columns).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (mirror pgd_ray.sources 1:1)
 # ---------------------------------------------------------------------------
@@ -337,8 +351,7 @@ def _q_text_stats(sf_dir):
 
     from pgd_ray.text.analysis import text_stats
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return text_stats(docs)
 
 
@@ -347,8 +360,7 @@ def _q_fingerprints(sf_dir):
 
     from pgd_ray.text.analysis import fingerprints
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return fingerprints(docs).select_columns(["doc_id", "md5"])
 
 
@@ -357,8 +369,7 @@ def _q_exact_dedup(sf_dir):
 
     from pgd_ray.text.dedup import exact_dedup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(docs)
 
 
@@ -367,8 +378,7 @@ def _q_lang_id(sf_dir):
 
     from pgd_ray.text.analysis import lang_id
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return lang_id(docs)
 
 
@@ -377,8 +387,7 @@ def _q_minhash_dedup(sf_dir):
 
     from pgd_ray.text.dedup import minhash_lsh_dedup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_dedup(docs, threshold=0.7)
 
 
@@ -387,8 +396,7 @@ def _q_simhash_pairs(sf_dir):
 
     from pgd_ray.text.dedup import simhash_dedup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup(docs, max_hamming=3)
 
 
@@ -397,8 +405,7 @@ def _q_topk_cosine(sf_dir):
 
     from pgd_ray.stages.similarity import topk_cosine
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qdf = emb.filter(expr="vec_id < 4").to_pandas().sort_values("vec_id")
     q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     top = topk_cosine(emb, q, k=10, dtype=np.float64)
@@ -411,8 +418,7 @@ def _q_embedding_neardup(sf_dir):
 
     from pgd_ray.text.dedup import embedding_neardup
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = embedding_neardup(emb, threshold=0.45, dtype=np.float64)
     out["cosine"] = out["cosine"].round(6)
     return out
@@ -464,8 +470,7 @@ def _q_media_decode(sf_dir):
 
     from pgd_ray.stages.multimodal import decode_images, media_from_documents
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return decode_images(media_from_documents(docs)).select_columns(
         ["media_id", "width", "height"]
     )

@@ -111,6 +111,7 @@ def run_bench() -> dict:
 
     _transcript_scale_suite(timings, nw)
     syn = _synth_suite(timings, nw)
+    sketches = _sketch_micro()
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -127,9 +128,45 @@ def run_bench() -> dict:
         **{k: v for k, v in syn.items()
            if k not in ("queries", "metric", "value", "unit", "num_cpus")},
         **getattr(_transcript_scale_suite, "info", {}),
+        "sketch_docs_per_sec": sketches,
     }
     ray.shutdown()
     return result
+
+
+def _sketch_micro() -> dict:
+    """Single-core text-sketch throughput (docs/s, best-of-3 — the VM
+    has heavy steal jitter): the per-batch kernel cost that the actor
+    pools multiply out.  All four are vectorized (text.hashing); the
+    round-1 per-row versions ran at 6.2k (minhash), 9.5k (simhash),
+    ~3k (fnv) docs/s single-core."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgd_ray.text.analysis import Fingerprint, LangId
+    from pgd_ray.text.dedup import _MinHasher, _SimHasher
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    tbl = pa.table({"doc_id": t["doc_id"].combine_chunks(),
+                    "text": t["text"].combine_chunks()})
+    df = t.to_pandas()
+    n = t.num_rows
+
+    def best(f, reps=3):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    mh, sh, fp, li = _MinHasher(), _SimHasher(), Fingerprint(), LangId()
+    return {
+        "minhash_sig": int(n / best(lambda: mh(tbl))),
+        "simhash": int(n / best(lambda: sh(tbl))),
+        "fingerprint": int(n / best(lambda: fp(df))),
+        "lang_id": int(n / best(lambda: li(df))),
+    }
 
 
 def _transcript_scale_suite(timings: dict, nw: int) -> None:

@@ -78,23 +78,28 @@ class LangId:
     """Stopword-profile language heuristic: the language whose stopword
     set hits the most tokens wins; ties and zero hits → 'und'
     (undetermined).  Deterministic; not SQL-expressible (rows-only
-    oracle)."""
+    oracle).
+
+    Vectorized: one compiled alternation regex per language, counted
+    with the pandas C string kernel — no per-row token loop.  The
+    lookarounds pin matches to MAXIMAL letter runs, so counts equal
+    "tokens from findall([a-zA-Z]+) that are in the stopword set"
+    exactly (the previous per-row semantics)."""
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Z]+")
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.patterns = {
+            lang: r"(?<![a-zA-Z])(?:" + "|".join(sorted(words)) + r")(?![a-zA-Z])"
+            for lang, words in _LANG_PROFILES.items()
+        }
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        for t in b["text"].fillna(""):
-            toks = self.word_re.findall(t.lower())
-            best, best_hits = "und", 0
-            for lang in sorted(self.profiles):
-                hits = sum(1 for w in toks if w in self.profiles[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": langs})
+        text = b["text"].fillna("").str.lower()
+        langs = sorted(self.patterns)
+        hits = np.stack([text.str.count(self.patterns[lang]).to_numpy() for lang in langs])
+        best = hits.argmax(axis=0)  # ties → first alphabetically (as before)
+        best_hits = hits[best, np.arange(hits.shape[1])]
+        pred = np.where(best_hits > 0, np.array(langs, dtype=object)[best], "und")
+        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": pred})
 
 
 def lang_id(docs: ray.data.Dataset, concurrency=(1, 16)) -> ray.data.Dataset:
@@ -112,19 +117,22 @@ class Fingerprint:
         self.ws = re.compile(r"\s+")
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        md5s, rolls = [], []
-        for t in b["text"].fillna(""):
-            norm = self.ws.sub(" ", t.lower())
-            md5s.append(hashlib.md5(norm.encode()).hexdigest())
-            h = np.uint64(1469598103934665603)  # FNV-1a 64
-            for byte in norm.encode():
-                h = np.uint64((int(h) ^ byte) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-            rolls.append(int(h))
+        import pyarrow as pa
+
+        from pgd_ray.text.hashing import arrow_string_bytes, fnv1a_rows
+
+        norm = b["text"].fillna("").str.lower().str.replace(self.ws, " ", regex=True)
+        # md5 stays per-row (hashlib has no batch API) — it is the
+        # SQL-mirrored column; the fnv64 column is the vectorized
+        # row-parallel FNV-1a (bit-identical to the byte loop).
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+        data, s, e = arrow_string_bytes(pa.array(norm, pa.string()))
+        rolls = fnv1a_rows(data, s, e)
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"],
                 "md5": md5s,
-                "fnv64": np.array(rolls, dtype=np.uint64).astype(np.int64),
+                "fnv64": rolls.view(np.int64),
             }
         )
 

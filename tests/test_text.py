@@ -114,3 +114,34 @@ def test_fingerprints_match_duckdb_md5():
             "SELECT md5(lower(regexp_replace(?, '\\s+', ' ', 'g')))", params=[t]
         ).fetchone()[0]
         assert got == ref
+
+
+def test_embedding_neardup_lsh_equals_brute_force():
+    """The banded-LSH rewrite must find EXACTLY the brute-force pair
+    set at the oracle threshold (recall 1.0 on this corpus, seeded)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = sims[iu, ju] >= 0.45
+    expected = set(zip(ids[iu[keep]], ids[ju[keep]]))
+
+    emb = rd.from_arrow(t)
+    out = embedding_neardup(emb, threshold=0.45, dtype=np.float64)
+    got = set(map(tuple, out[["vec_a", "vec_b"]].to_numpy()))
+    assert got == expected and len(expected) > 0
+
+
+def test_exact_dedup_has_no_per_group_python():
+    """VERDICT round-1: exact_dedup must not use map_groups (one
+    Python call per distinct text)."""
+    import inspect
+
+    from pgd_ray.text import dedup as dd
+
+    assert "map_groups" not in inspect.getsource(dd.exact_dedup)
