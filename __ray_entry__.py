@@ -4,8 +4,12 @@
 CSR → PageRank + CC + graphlet counts) on sf0.001; ``queries()``
 exposes one callable per implemented operator from SURVEY.md §2; and
 ``oracle_sql()`` provides the DuckDB-equivalent SQL for every
-SQL-expressible query (iterative engines, LSH sketches and the
-language heuristic are rows-only checked).
+SQL-expressible query — including the iterative engines (PageRank /
+k-core / label propagation as recursive CTEs with aggregation in the
+recursive term), the language heuristic and the univariate stats.
+Only the MinHash/SimHash sketches (no per-character loop exists in
+SQL), the stubbed media decode, and the sampled approximation remain
+rows-only checked.
 
 Ray is initialised by the driver BEFORE this module is imported — no
 ``ray.init`` / ``ray.shutdown`` anywhere below.
@@ -326,7 +330,9 @@ def _q_pagerank_copurchase(sf_dir):
     from pgd_ray.graph.iterative import pagerank
 
     eds, dense, csr, vids = _copurchase_bundle(sf_dir)
-    pr = pagerank(csr, tol=1e-12)
+    # tol 1e-15 drives the score to its float64 fixpoint so the round-9
+    # values are stable against the oracle's fixed-300-iteration SQL
+    pr = pagerank(csr, tol=1e-15, max_iter=400)
     return pd.DataFrame({"v": vids, "score": np.round(pr, 9)})
 
 
@@ -431,7 +437,9 @@ def _q_univar_clique4(sf_dir):
     eds, csr, vocab = _tool_graph(sf_dir)
     micro = graphlet_micro(eds, csr, concurrency=(1, 4))
     st = univar_stats(micro, "clique4")
-    return pd.DataFrame([{k: float(v) for k, v in st.items()}])
+    # round 6 both sides: mean/var are exact integer ratios (identical
+    # in SQL), rounding only guards the float hash comparison
+    return pd.DataFrame([{k: round(float(v), 6) for k, v in st.items()}])
 
 
 def _q_vertex_triangles(sf_dir):
@@ -641,4 +649,95 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        # -- round-2 additions: recursive-SQL iterative engines + SQL
+        # -- mirrors for lang_id / univar (previously rows-only)
+        "pagerank_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+pr(it, v, score) AS (
+  SELECT 0, v, 1.0/(SELECT n FROM nn) FROM d
+  UNION ALL
+  SELECT it+1, s.dst, 0.15/(SELECT n FROM nn) + 0.85*SUM(pr.score/d.degree)
+  FROM pr JOIN s ON s.src = pr.v JOIN d ON d.v = pr.v
+  WHERE it < 300 GROUP BY it+1, s.dst)
+SELECT v, ROUND(score, 9) AS score FROM pr WHERE it = 300""",
+        "kcore_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+k(it, v, val) AS (
+  SELECT 0, v, degree FROM d
+  UNION ALL
+  SELECT it+1, src, CAST(MAX(LEAST(nval, rn)) AS BIGINT) FROM (
+    SELECT k.it, s.src, k2.val AS nval,
+           row_number() OVER (PARTITION BY s.src ORDER BY k2.val DESC) AS rn
+    FROM k JOIN s ON s.src = k.v JOIN k k2 ON k2.v = s.dst AND k2.it = k.it
+  ) WHERE it < 64 GROUP BY it+1, src)
+SELECT v, val AS core FROM k WHERE it = 64""",
+        "label_prop_tool": f"""
+WITH RECURSIVE {_TE_CTE}, {_S_CTE},
+vtx AS (SELECT tid AS v FROM vocab),
+lp(it, v, label) AS (
+  SELECT 0, v, v FROM vtx
+  UNION ALL
+  SELECT it+1, v, new_label FROM (
+    SELECT lp.it AS it, lp.v AS v, COALESCE(m.nl, lp.label) AS new_label
+    FROM lp LEFT JOIN (
+      SELECT s.src AS mv, lp2.label AS nl
+      FROM s JOIN lp lp2 ON lp2.v = s.dst
+      GROUP BY s.src, lp2.label
+      QUALIFY row_number() OVER (PARTITION BY s.src
+                                 ORDER BY COUNT(*) DESC, lp2.label ASC) = 1
+    ) m ON m.mv = lp.v
+  ) WHERE it < 20)
+SELECT v AS tool_id, CAST(label AS BIGINT) AS label FROM lp WHERE it = 20""",
+        "lang_id": """
+WITH h AS (SELECT doc_id,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['das','den','der','die','ein','ist','mit','nicht','und','zu'], x))) AS de,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['a','and','for','in','is','it','of','that','the','to'], x))) AS en,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['el','es','la','las','los','por','que','un','una','y'], x))) AS es,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['des','est','et','la','le','les','pour','que','un','une'], x))) AS fr
+FROM documents)
+SELECT doc_id, CASE
+  WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+  WHEN de = greatest(de, en, es, fr) THEN 'de'
+  WHEN en = greatest(de, en, es, fr) THEN 'en'
+  WHEN es = greatest(de, en, es, fr) THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM h""",
+        "univar_clique4": f"""
+WITH {_TE_CTE}, {_S_CTE},
+pe AS (
+  SELECT e.src, e.dst,
+    (SELECT COUNT(*) FROM e wx
+      WHERE EXISTS (SELECT 1 FROM s WHERE s.src = e.src AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.src AND s.dst = wx.dst)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.dst AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.dst AND s.dst = wx.dst)) AS clq
+  FROM e),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(clq AS DOUBLE)) AS sv,
+                SUM(CAST(clq AS DOUBLE)*CAST(clq AS DOUBLE)) AS svv,
+                MIN(clq) AS mn, MAX(clq) AS mx FROM pe),
+ord AS (SELECT clq AS v, row_number() OVER (ORDER BY clq) - 1 AS i FROM pe),
+idx AS (SELECT n, n//2 AS med_idx, n//4 AS q_idx FROM base),
+quant AS (SELECT
+  (SELECT v FROM ord, idx WHERE i = med_idx) AS med_hi,
+  (SELECT v FROM ord, idx WHERE i = med_idx - 1) AS med_lo,
+  (SELECT v FROM ord, idx WHERE i = med_idx - q_idx) AS q1v,
+  COALESCE((SELECT v FROM ord, idx WHERE i = med_idx + q_idx), 0) AS q3v)
+SELECT CAST(base.n AS DOUBLE) AS n,
+       ROUND(base.sv/base.n, 6) AS mean,
+       ROUND(base.svv/base.n - (base.sv/base.n)*(base.sv/base.n), 6) AS variance,
+       ROUND(sqrt(greatest(base.svv/base.n - (base.sv/base.n)*(base.sv/base.n), 0)), 6) AS std,
+       CAST(base.mn AS DOUBLE) AS min, CAST(base.mx AS DOUBLE) AS max,
+       ROUND(CASE WHEN base.n % 2 = 0 AND base.n >= 2
+                  THEN (quant.med_lo + quant.med_hi)/2.0
+                  ELSE quant.med_hi END, 6) AS median,
+       CAST(quant.q1v AS DOUBLE) AS q1,
+       CAST(quant.q3v AS DOUBLE) AS q3,
+       CAST(quant.q3v - quant.q1v AS DOUBLE) AS iqr
+FROM base, quant""",
     }
