@@ -125,11 +125,11 @@ class GraphletKernel:
         self.ind = np.zeros(self.n, dtype=np.int8)  # scratch for the loop fallback
         self.mode = mode
         self.tailed_mode = tailed_mode
-        # sorted edge-key array for O(log m) vectorized membership:
-        # key(v,w) = v*n + w; (repeat(arange,deg)*n + indices) is already
-        # sorted because the CSR itself is.  Needs n ≤ ~3e9 (n² < 2^63);
-        # beyond that the kernel falls back to the per-edge loop.
-        self.vectorized = self.n > 0 and self.n < 3_000_000_000
+        # vectorized path uses chunk-local (edge_idx·n + w) membership
+        # keys; needs chunk·n < 2^63 → n ≲ 1e12 with the default chunk
+        # budget.  Beyond that the kernel falls back to the per-edge
+        # loop.
+        self.vectorized = self.n > 0 and self.n < 1_000_000_000_000
         # dense-adjacency fast path, mirroring the reference's
         # representation auto-tuning (graphlet_core.cpp:602-611): for
         # small graphs the 2-hop terms become batched BLAS matmuls.
@@ -138,24 +138,16 @@ class GraphletKernel:
             self.adj = np.zeros((self.n, self.n), dtype=bool)
             self.adj[np.repeat(np.arange(self.n), self.deg), self.indices] = True
             self.adjf = self.adj.astype(np.float32)
-        self.keys = None
         self.vol2 = None
 
     def _ensure_keys(self):
-        if self.keys is None:
-            nn = np.int64(self.n)
-            self.keys = (
-                np.repeat(np.arange(self.n, dtype=np.int64), self.deg) * nn + self.indices
-            )
-            # 2-hop gather volume bound per vertex: Σ_{w∈N(x)} deg(w)
+        # 2-hop gather volume bound per vertex: Σ_{w∈N(x)} deg(w).
+        # (The global sorted (v·n+w) key array this method used to
+        # build is gone — all membership tests are now chunk-local,
+        # see _vec_chunk.)
+        if self.vol2 is None:
             cs = np.concatenate(([0], np.cumsum(self.deg[self.indices])))
             self.vol2 = cs[self.indptr[1:]] - cs[self.indptr[:-1]]
-
-    def _member(self, q: np.ndarray) -> np.ndarray:
-        """Vectorized edge-existence test: is key q=(a*n+b) an edge?"""
-        pos = np.searchsorted(self.keys, q)
-        pos[pos == len(self.keys)] = 0
-        return self.keys[pos] == q
 
     def _edge_counts(self, src: np.ndarray, dst: np.ndarray):
         if self.dense:
@@ -205,15 +197,25 @@ class GraphletKernel:
                 tail[a:b] = (AA * Am).sum(axis=1, dtype=np.float64).astype(np.int64)
         return tri, cyc, clq, tail, deg[src], deg[dst]
 
+    # per-edge 2-hop volume above which the mark-array loop beats the
+    # batched-searchsorted path: the loop pays ~15 µs of numpy-call
+    # overhead per edge but probes at O(1) cache speed (~3 ns), while
+    # searchsorted costs ~35 ns/element — breakeven ≈ 500; measured
+    # 5.7× loop win at vol≈14k (copurchase)
+    LOOP_VOL_THRESHOLD = 1500
+
     def _edge_counts_vec(self, src: np.ndarray, dst: np.ndarray):
-        """Fully vectorized kernel (no per-edge Python): first hop
-        classifies N(u) into triangles T and wedges A via one batched
-        membership test; the 2-hop pass gathers N(w) for all w∈T∪A at
-        once and resolves 4-clique/4-cycle/tailed conditions with
-        membership tests against N(v)/N(u).  Work is chunked so the
-        gathered arrays stay ~bounded regardless of hub degrees."""
+        """Vectorized kernel with ADAPTIVE heavy-edge routing: first
+        hop classifies N(u) into triangles T and wedges A via batched
+        chunk-local membership; the 2-hop pass gathers N(w) for w∈T
+        (and the cheaper of A/B for cycles) and resolves closures with
+        membership tests.  Edges whose estimated 2-hop volume exceeds
+        ``LOOP_VOL_THRESHOLD`` are routed to the per-edge mark-array
+        loop instead (the reference's scheme, cpp:1069-1088), whose
+        O(1) probes win once the volume amortizes its per-edge
+        overhead.  Light edges are chunked by gather volume so
+        temporaries stay bounded regardless of hub degrees."""
         indptr, indices, deg = self.indptr, self.indices, self.deg
-        nn = np.int64(self.n)
         dv_raw = deg[src]
         du_raw = deg[dst]
         swap = dv_raw > du_raw
@@ -226,21 +228,36 @@ class GraphletKernel:
         tail = np.zeros(k, dtype=np.int64)
         tri_only = self.mode == "tri"
         want_tail = self.tailed_mode == "micro"
-        # chunk by (first hop, 2-hop) gather volume
         budget = 4_000_000
         if tri_only:
             vol = deg[v_arr]
+            light = np.arange(k)
         else:
             self._ensure_keys()
-            vol = deg[u_arr] + np.minimum(self.vol2[u_arr], budget)
+            est = self.vol2[u_arr] if want_tail else np.minimum(
+                self.vol2[v_arr], self.vol2[u_arr]
+            )
+            heavy = est > self.LOOP_VOL_THRESHOLD
+            if heavy.any():
+                h = np.flatnonzero(heavy)
+                ht, hc, hq, hta, _, _ = self._edge_counts_loop(v_arr[h], u_arr[h])
+                tri[h], cyc[h], clq[h], tail[h] = ht, hc, hq, hta
+            light = np.flatnonzero(~heavy) if heavy.any() else np.arange(k)
+            vol = (deg[u_arr] + np.minimum(est, budget))[light]
+        lv, lu = v_arr[light], u_arr[light]
+        ltri = np.zeros(len(light), dtype=np.int64)
+        lcyc = np.zeros(len(light), dtype=np.int64)
+        lclq = np.zeros(len(light), dtype=np.int64)
+        ltail = np.zeros(len(light), dtype=np.int64)
         grp = np.cumsum(vol) // budget
-        splits = [0, *(np.flatnonzero(np.diff(grp)) + 1).tolist(), k]
+        splits = [0, *(np.flatnonzero(np.diff(grp)) + 1).tolist(), len(light)]
         splits = sorted(set(splits))
         for a, b in zip(splits[:-1], splits[1:]):
             self._vec_chunk(
-                v_arr[a:b], u_arr[a:b], tri[a:b], cyc[a:b], clq[a:b], tail[a:b],
+                lv[a:b], lu[a:b], ltri[a:b], lcyc[a:b], lclq[a:b], ltail[a:b],
                 tri_only, want_tail,
             )
+        tri[light], cyc[light], clq[light], tail[light] = ltri, lcyc, lclq, ltail
         return tri, cyc, clq, tail, deg[src], deg[dst]
 
     def _tri_group_mark(self, v_arr, u_arr, tri_out, min_group: int = 4):
@@ -302,40 +319,74 @@ class GraphletKernel:
         return tri_out
 
     def _vec_chunk(self, v_arr, u_arr, tri, cyc, clq, tail, tri_only, want_tail):
+        """CHUNK-LOCAL membership keys (round-2 rewrite): every 2-hop
+        test reduces to set membership in a per-edge neighborhood of
+        the CURRENT edge — x∈N(v)∧x∈N(u) ⟺ x∈T, y∈N(v)∖N(u)∖{u} ⟺
+        y∈B, y∈N(u)∖N(v)∖{v} ⟺ y∈A — so instead of probing the global
+        sorted (v·n+w) key array (O(2m) entries, DRAM-latency-bound at
+        ~680 ns/probe on large graphs), all probes search per-edge-
+        prefixed key arrays (e·n+w) built from this chunk's gathers,
+        which are a few MB and stay in cache.  The arrays are sorted
+        for free: the CSR neighbor lists are sorted and the edge
+        prefixes are nondecreasing."""
         indptr, indices, deg = self.indptr, self.indices, self.deg
         nn = np.int64(self.n)
         k = len(v_arr)
         if tri_only:
             self._tri_group_mark(v_arr, u_arr, tri)
             return
+
+        def member(sorted_keys, q):
+            if len(sorted_keys) == 0:
+                return np.zeros(len(q), dtype=bool)
+            pos = np.searchsorted(sorted_keys, q)
+            pos[pos == len(sorted_keys)] = 0
+            return sorted_keys[pos] == q
+
+        e_ids = np.arange(k, dtype=np.int64)
+        Gv = _gather_rows(indptr, indices, v_arr)
+        ev = np.repeat(e_ids, deg[v_arr])
         Gu = _gather_rows(indptr, indices, u_arr)
-        e_of = np.repeat(np.arange(k), deg[u_arr])
-        in_nv = self._member(v_arr[e_of] * nn + Gu)
-        tri[:] = np.bincount(e_of[in_nv], minlength=k)
+        eu = np.repeat(e_ids, deg[u_arr])
+        qv = ev * nn + Gv
+        qu = eu * nn + Gu
+
+        in_nv = member(qv, qu)  # first hop: classify N(u) into T / A
+        tri[:] = np.bincount(eu[in_nv], minlength=k)
         T = Gu[in_nv]
-        eT = e_of[in_nv]
-        amask = ~in_nv & (Gu != v_arr[e_of])
+        eT = eu[in_nv]
+        amask = ~in_nv & (Gu != v_arr[eu])
         A = Gu[amask]
-        eA = e_of[amask]
+        eA = eu[amask]
         if T.size:
+            qT = eT * nn + T  # sorted subset of qu
             GT = _gather_rows(indptr, indices, T)
             ex = np.repeat(eT, deg[T])
-            x = GT
-            ok = self._member(v_arr[ex] * nn + x) & self._member(u_arr[ex] * nn + x)
+            ok = member(qT, ex * nn + GT)  # x ∈ T  ⟺  4-clique closure
             clq[:] = np.bincount(ex[ok], minlength=k) // 2
         if A.size:
-            GA = _gather_rows(indptr, indices, A)
-            ey = np.repeat(eA, deg[A])
-            y = GA
-            y_in_nv = self._member(v_arr[ey] * nn + y)
-            y_in_nu = self._member(u_arr[ey] * nn + y)
-            cyc[:] = np.bincount(
-                ey[y_in_nv & ~y_in_nu & (y != u_arr[ey])], minlength=k
-            )
+            in_nu = member(qu, qv)  # classify N(v): B = N(v)∖N(u)∖{u}
+            bmask = ~in_nu & (Gv != u_arr[ev])
+            B = Gv[bmask]
+            eB = ev[bmask]
+            qA = eA * nn + A  # sorted subset of qu
             if want_tail:
-                tail[:] = np.bincount(
-                    ey[y_in_nu & ~y_in_nv & (y != v_arr[ey])], minlength=k
-                )
+                # micro: expand A once — E(A,B) from the A side plus
+                # the tailed term E(A,A)
+                qB = eB * nn + B
+                GA = _gather_rows(indptr, indices, A)
+                ey = np.repeat(eA, deg[A])
+                qy = ey * nn + GA
+                cyc[:] = np.bincount(ey[member(qB, qy)], minlength=k)
+                tail[:] = np.bincount(ey[member(qA, qy)], minlength=k)
+            elif B.size:
+                # macro: expand the LOW-degree side's wedges B (v is
+                # the lower-degree endpoint, Q8) and test membership
+                # in A — same |E(A,B)| count at deg(v)/deg(u) of the
+                # gather volume
+                GB = _gather_rows(indptr, indices, B)
+                ez = np.repeat(eB, deg[B])
+                cyc[:] = np.bincount(ez[member(qA, ez * nn + GB)], minlength=k)
 
     def _edge_counts_loop(self, src: np.ndarray, dst: np.ndarray):
         """Core loop: returns per-edge (tri, cycle4, clique4, tailed)."""
