@@ -91,22 +91,31 @@ def _run_block(program, indptr, indices, state, extras, precomp, vlo, vhi):
     idx = indptr[vlo : vhi + 1] - indptr[vlo]
     gathered = indices[indptr[vlo] : indptr[vhi]]
     if program == "pagerank":
+        return _apply_program(program, state[vlo:vhi], precomp[gathered], idx, extras)
+    return _apply_program(program, state[vlo:vhi], state[gathered], idx, extras)
+
+
+def _apply_program(program, own, vals, idx, extras):
+    """One vertex-program round for a contiguous range, given the
+    range's PRE-GATHERED neighbor values (``vals`` in CSR index order
+    — summation order is therefore identical no matter how the values
+    were fetched, which is what makes the sharded engine bit-identical
+    to the broadcast one)."""
+    if program == "pagerank":
         # new[v] = base + α·Σ_{u∈N(v)} score[u]/deg[u]
-        return extras["base"] + extras["alpha"] * _seg_sum(precomp[gathered], idx)
+        return extras["base"] + extras["alpha"] * _seg_sum(vals, idx)
     if program == "cc":
-        own = state[vlo:vhi]
-        return np.minimum(own, _seg_min(state[gathered], idx, own))
+        return np.minimum(own, _seg_min(vals, idx, own))
     if program == "lp":
-        return _lp_block(state, gathered, idx, vlo, vhi)
+        return _lp_vals(own, vals, idx)
     if program == "kcore":
-        return _kcore_block(state, gathered, idx, vlo, vhi)
+        return _kcore_vals(own, vals, idx)
     raise ValueError(program)
 
 
-def _lp_block(state, gathered, idx, vlo, vhi):
+def _lp_vals(own, vals, idx):
     """Mode of neighbor labels, ties → smallest label."""
-    out = state[vlo:vhi].copy()
-    vals = state[gathered]
+    out = own.copy()
     if not vals.size:
         return out
     seg = _seg_ids(idx)
@@ -127,19 +136,18 @@ def _lp_block(state, gathered, idx, vlo, vhi):
     return out
 
 
-def _kcore_block(state, gathered, idx, vlo, vhi):
+def _kcore_vals(own, vals, idx):
     """h-index of neighbor values (H-operator; fixpoint = coreness,
     Lü et al. 2016), replacing the reference's sequential bucket
     peeling (graphlet_core.cpp:958-1018) with a parallel round loop."""
-    vals = state[gathered]
     if not vals.size:
-        return np.zeros(vhi - vlo, dtype=state.dtype)
+        return np.zeros(len(own), dtype=own.dtype)
     seg = _seg_ids(idx)
     order = np.lexsort((-vals, seg))
     svals = vals[order]
     pos = np.arange(len(svals)) - np.repeat(idx[:-1], _seg_lens(idx))
     hit = (svals >= pos + 1).astype(np.float64)
-    return _seg_sum(hit, idx).astype(state.dtype)
+    return _seg_sum(hit, idx).astype(own.dtype)
 
 
 def _precompute(program, indptr, state, extras):
@@ -172,6 +180,108 @@ class _PullWorker:
             (vlo, _run_block(program, self.indptr, self.indices, state, extras, precomp, vlo, vhi))
             for vlo, vhi in blocks
         ]
+
+
+# --------------------------------------------------------------------
+# executor 3: sharded state (no per-round O(n) broadcast)
+# --------------------------------------------------------------------
+
+@ray.remote
+class _ShardWorker:
+    """Owns one vertex range's adjacency fragment AND its slice of the
+    state vector.  Per round it pulls only the state slices of the
+    ranges its neighbor set touches (refs exchanged through the
+    driver: O(#ranges) refs per round, never O(n) data).  Gathered
+    values are scattered back into CSR index order before the segment
+    reduction, so results are BIT-identical to the broadcast engine.
+
+    Scale story: the broadcast engines re-ship an O(n) state vector
+    every round; beyond ~1e9 vertices that per-round broadcast is the
+    bottleneck (SCALE.md).  Here per-round traffic per worker is
+    Σ|touched slices| ≤ n/P × #touched, and each worker can load its
+    adjacency from a RangeCSR fragment file instead of the broadcast
+    arrays (``fragment_path``), so no process ever holds the full
+    graph."""
+
+    def __init__(self, bounds, rid, indptr_ref=None, indices_ref=None,
+                 fragment_path=None):
+        bounds = np.asarray(bounds, dtype=np.int64)
+        self.rid = rid
+        self.vlo, self.vhi = int(bounds[rid]), int(bounds[rid + 1])
+        if fragment_path is not None:
+            from pgd_ray.graph.block_csr import _read_fragment
+
+            _, _, indptr, indices = _read_fragment(fragment_path)
+            self.idx = indptr
+            gathered = indices
+        else:
+            # top-level ObjectRef args are auto-resolved by Ray to
+            # zero-copy plasma views; accept raw refs too (local use)
+            indptr = ray.get(indptr_ref) if isinstance(indptr_ref, ray.ObjectRef) else indptr_ref
+            indices = ray.get(indices_ref) if isinstance(indices_ref, ray.ObjectRef) else indices_ref
+            self.idx = indptr[self.vlo : self.vhi + 1] - indptr[self.vlo]
+            gathered = indices[indptr[self.vlo] : indptr[self.vhi]]
+        self.deg_own = np.diff(self.idx)
+        rid_of = np.searchsorted(bounds, gathered, side="right") - 1
+        self.needed = [int(s) for s in np.unique(rid_of)]
+        self.pos = {s: np.flatnonzero(rid_of == s) for s in self.needed}
+        self.loc = {
+            s: (gathered[self.pos[s]] - int(bounds[s])) for s in self.needed
+        }
+        self.n_gathered = len(gathered)
+        self.state = None
+
+    def meta(self):
+        return self.needed
+
+    def init_state(self, full_state_ref_or_arr):
+        arr = full_state_ref_or_arr
+        self.state = np.array(arr[self.vlo : self.vhi])
+        return True
+
+    @ray.method(num_returns=2)
+    def emit(self, program):
+        """(bundle, stats) for the CURRENT state — used to prime round
+        0 and after a resume."""
+        return self._bundle(program), self._stats(0.0)
+
+    def _bundle(self, program):
+        if program == "pagerank":
+            return self.state, self.state / np.maximum(self.deg_own, 1)
+        return self.state, None
+
+    def _stats(self, delta):
+        dang = (
+            float(self.state[self.deg_own == 0].sum())
+            if self.state.dtype.kind == "f"
+            else 0.0
+        )
+        return {"delta": float(delta), "dangling": dang}
+
+    @ray.method(num_returns=2)
+    def step(self, program, extras, *bundles):
+        """One round: gather neighbor values from the needed slices,
+        apply the vertex program, keep the new slice."""
+        use_pre = program == "pagerank"
+        if bundles:
+            first = bundles[0][1] if use_pre else bundles[0][0]
+            vals = np.empty(self.n_gathered, dtype=first.dtype)
+            for s, bundle in zip(self.needed, bundles):
+                sl = bundle[1] if use_pre else bundle[0]
+                vals[self.pos[s]] = sl[self.loc[s]]
+        else:  # range with no edges
+            vals = np.empty(0, dtype=np.float64 if use_pre else self.state.dtype)
+        new = _apply_program(program, self.state, vals, self.idx, extras)
+        delta = (
+            float(np.max(np.abs(new.astype(np.float64) - self.state.astype(np.float64))))
+            if len(new)
+            else 0.0
+        )
+        self.state = new
+        return self._bundle(program), self._stats(delta)
+
+    def get_state(self):
+        return self.state
 
 
 # --------------------------------------------------------------------
@@ -349,6 +459,82 @@ class IterativeEngine:
         self.metrics = manifest.get("metrics", [])
         return np.load(f), it
 
+    def _run_sharded(
+        self, init, extras_fn, converged_fn, max_iter, resume,
+        extras_from_dangling=None, range_csr=None,
+    ) -> tuple[np.ndarray, int]:
+        """Sharded-state rounds: each worker owns one vertex range's
+        adjacency + state slice; per round only slice REFS move through
+        the driver (O(#ranges)), the slices themselves are pulled
+        worker-to-worker via plasma.  Results are bit-identical to the
+        broadcast engines (same gather order per range; the dangling
+        term is a per-slice partial sum, exactly 0.0 on graphs without
+        isolated vertices)."""
+        state, start = init, 0
+        if resume:
+            loaded = self._load()
+            if loaded is not None:
+                state, start = loaded
+        n = self.csr.n
+        if n == 0:
+            return state, 0
+        if range_csr is not None:
+            bounds = np.asarray(range_csr.bounds, dtype=np.int64)
+            paths = dict(range_csr.paths)
+            refs = (None, None)
+        else:
+            blocks = _volume_blocks(self.csr, max(1, min(self.n_workers, n)))
+            bounds = np.array([b[0] for b in blocks] + [n], dtype=np.int64)
+            paths = {}
+            refs = self.csr.put()
+        P = len(bounds) - 1
+        workers = [
+            _ShardWorker.remote(bounds, r, refs[0], refs[1], paths.get(r))
+            for r in range(P)
+        ]
+        try:
+            needed = ray.get([w.meta.remote() for w in workers])
+            state_ref = ray.put(state)
+            ray.get([w.init_state.remote(state_ref) for w in workers])
+            ex = extras_fn(state)
+            del state_ref
+            pairs = [w.emit.remote(self.program) for w in workers]
+            bundles = [p[0] for p in pairs]
+
+            def gather():
+                slices = ray.get([w.get_state.remote() for w in workers])
+                return np.concatenate(slices) if slices else init
+
+            it = start
+            for it in range(start, max_iter):
+                t0 = time.perf_counter()
+                pairs = [
+                    w.step.remote(
+                        self.program, ex, *[bundles[s] for s in needed[r]]
+                    )
+                    for r, w in enumerate(workers)
+                ]
+                bundles = [p[0] for p in pairs]
+                stats = ray.get([p[1] for p in pairs])
+                delta = max((s["delta"] for s in stats), default=0.0)
+                if extras_from_dangling is not None:
+                    ex = extras_from_dangling(sum(s["dangling"] for s in stats))
+                self.metrics.append(
+                    {"iteration": it + 1, "delta": delta,
+                     "sec": round(time.perf_counter() - t0, 4)}
+                )
+                if self.checkpoint_dir and (it + 1) % self.checkpoint_every == 0:
+                    self._save(gather(), it + 1)
+                if converged_fn(delta):
+                    break
+            out = gather()
+            if self.checkpoint_dir:
+                self._save(out, self.metrics[-1]["iteration"] if self.metrics else 0)
+            return out, (self.metrics[-1]["iteration"] if self.metrics else 0)
+        finally:
+            for w in workers:
+                ray.kill(w)
+
     def run(
         self,
         init: np.ndarray,
@@ -356,7 +542,14 @@ class IterativeEngine:
         converged_fn,
         max_iter: int,
         resume: bool = False,
+        extras_from_dangling=None,
+        range_csr=None,
     ) -> tuple[np.ndarray, int]:
+        if self.engine == "sharded":
+            return self._run_sharded(
+                init, extras_fn, converged_fn, max_iter, resume,
+                extras_from_dangling=extras_from_dangling, range_csr=range_csr,
+            )
         state, start = init, 0
         if resume:
             loaded = self._load()
@@ -424,8 +617,12 @@ def pagerank(
         dangling = float(state[dangling_mask].sum()) if dangling_mask.any() else 0.0
         return {"alpha": alpha, "base": (1.0 - alpha) / n + alpha * dangling / n}
 
+    def extras_from_dangling(d):
+        return {"alpha": alpha, "base": (1.0 - alpha) / n + alpha * d / n}
+
     state, _ = eng.run(
-        np.full(n, 1.0 / n), extras, lambda d: d < tol, max_iter, resume=resume
+        np.full(n, 1.0 / n), extras, lambda d: d < tol, max_iter, resume=resume,
+        extras_from_dangling=extras_from_dangling,
     )
     return state
 

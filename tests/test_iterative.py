@@ -134,3 +134,58 @@ def test_results_invariant_to_parallelism():
     assert (connected_components(csr, n_workers=1) == connected_components(csr, n_workers=4)).all()
     assert (kcore(csr, n_workers=1) == kcore(csr, n_workers=4)).all()
     assert (label_propagation(csr, n_workers=1) == label_propagation(csr, n_workers=4)).all()
+
+
+def test_sharded_engine_bit_identical():
+    """engine='sharded' (per-range state slices exchanged by ref, no
+    per-round O(n) broadcast) must reproduce the broadcast engine
+    bit-for-bit for all four programs (same gather order per range)."""
+    csr = _csr(400, 0.03, seed=9)
+    for fn, kw in (
+        (pagerank, dict(tol=1e-12)),
+        (connected_components, {}),
+        (kcore, {}),
+        (label_propagation, dict(max_iter=20)),
+    ):
+        a = fn(csr, engine="actors", n_workers=3, **kw)
+        b = fn(csr, engine="sharded", n_workers=3, **kw)
+        assert np.array_equal(a, b), fn.__name__
+
+
+def test_sharded_engine_with_isolated_and_dangling():
+    # vertices 8, 9 isolated (degree 0): dangling mass path + empty range
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 0])
+    csr = csr_from_edge_arrays(src, dst, n=10)
+    a = pagerank(csr, engine="actors", n_workers=4, tol=1e-12)
+    b = pagerank(csr, engine="sharded", n_workers=4, tol=1e-12)
+    np.testing.assert_allclose(a, b, atol=1e-15)
+    assert np.array_equal(
+        connected_components(csr, engine="sharded", n_workers=4),
+        connected_components(csr, engine="actors", n_workers=4),
+    )
+
+
+def test_sharded_engine_from_range_csr(tmp_path):
+    """Sharded workers can load their adjacency from RangeCSR fragment
+    files — no process ever holds the full graph."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.graph.block_csr import build_range_csr
+    from pgd_ray.graph.iterative import IterativeEngine
+
+    edges = sorted(random_graph(300, 0.04, seed=4))
+    src = np.array([a for a, b in edges], dtype=np.int64)
+    dst = np.array([b for a, b in edges], dtype=np.int64)
+    rcsr, _ = build_range_csr(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})),
+        n=300, num_ranges=4, out_dir=tmp_path,
+    )
+    csr = rcsr.to_csr()
+    eng = IterativeEngine(csr, "cc", n_workers=4, engine="sharded")
+    got, _ = eng.run(
+        np.arange(300, dtype=np.int64), lambda s: {}, lambda d: d == 0.0, 10_000,
+        range_csr=rcsr,
+    )
+    assert np.array_equal(got, connected_components(csr, engine="actors"))
