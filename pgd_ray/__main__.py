@@ -25,6 +25,10 @@ def main(argv=None) -> int:
     p.add_argument("-w", "--workers", type=int, default=8)
     p.add_argument("-o", "--ordering", default="degree",
                    help="edge ordering strategy (scheduling only; see functions.ordering)")
+    p.add_argument("--neigh-ordering", default="natural",
+                   help="per-vertex neighbor ordering (O4; scheduling only)")
+    p.add_argument("--s2l-neigh", action="store_true",
+                   help="ascending neighbor ordering (reference --s2l_neigh)")
     p.add_argument("--macro", metavar="PATH", help="write macro counts (name = value lines)")
     p.add_argument("--micro", metavar="PATH", help="write per-edge micro CSV (PGD format)")
     p.add_argument("--micro-parquet", metavar="DIR", help="write per-edge micro parquet")
@@ -71,6 +75,13 @@ def main(argv=None) -> int:
             eds = eds.materialize()
         csr = build_csr(eds, n=(len(vids) if vids is not None else None))
         print(f"graph: n={csr.n} m={csr.m} d_max={csr.max_degree}", file=sys.stderr)
+
+        if args.neigh_ordering != "natural":
+            from pgd_ray.functions.ordering import order_vertex_neighbors
+
+            csr = order_vertex_neighbors(
+                csr, args.neigh_ordering, descending=not args.s2l_neigh
+            )
 
         # Apply the edge-ordering strategy before decomposition, as the
         # reference driver does (graphlet_driver.cpp:70): scheduling /

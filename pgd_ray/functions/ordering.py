@@ -115,6 +115,58 @@ def edge_ordering_keys(
     return canonical_ds.map_batches(keys, batch_format="pyarrow")
 
 
+NEIGHBOR_ORDERINGS = ["natural", "degree", "kcore", "kcore_degree", "rand"]
+
+
+def order_vertex_neighbors(
+    csr: CSRGraph,
+    strategy: str = "degree",
+    descending: bool = True,
+    kcore_vec: np.ndarray | None = None,
+    seed: int = 42,
+) -> CSRGraph:
+    """Per-vertex neighbor-list reordering (SURVEY.md O4,
+    graphlet_core.cpp:1910-1953, bucket sort cpp:1846-1877).
+
+    Scheduling-only in the reference (counts are invariant — the
+    reference orders neighbor lists so hub scans hit heavy neighbors
+    first); default degree-descending, ``--s2l_neigh`` ascending.
+    Vectorized: ONE global lexsort keyed (vertex, ±key, neighbor) —
+    no per-vertex Python.  The returned CSR's neighbor lists are NOT
+    id-sorted; ``GraphletKernel`` detects that and re-normalizes (its
+    membership kernels require sorted lists), so the option is safe
+    everywhere."""
+    if strategy not in NEIGHBOR_ORDERINGS:
+        raise ValueError(f"unknown neighbor ordering {strategy!r}; one of {NEIGHBOR_ORDERINGS}")
+    if strategy == "natural":
+        return csr
+    deg = csr.degrees()
+    owner = np.repeat(np.arange(csr.n, dtype=np.int64), deg)
+    if strategy == "degree":
+        key = deg[csr.indices]
+    elif strategy == "kcore":
+        if kcore_vec is None:
+            from pgd_ray.graph.iterative import kcore as _kcore
+
+            kcore_vec = _kcore(csr)
+        key = kcore_vec[csr.indices]
+    elif strategy == "kcore_degree":
+        if kcore_vec is None:
+            from pgd_ray.graph.iterative import kcore as _kcore
+
+            kcore_vec = _kcore(csr)
+        key = kcore_vec[csr.indices] * deg[csr.indices]
+    else:  # rand — stable content hash, deterministic (Q5 fixed)
+        x = csr.indices.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+        x ^= x >> np.uint64(31)
+        key = (x >> np.uint64(1)).astype(np.int64)
+    key = np.asarray(key, dtype=np.int64)
+    if descending:
+        key = -key
+    perm = np.lexsort((csr.indices, key, owner))
+    return CSRGraph(n=csr.n, m=csr.m, indptr=csr.indptr.copy(), indices=csr.indices[perm])
+
+
 def sort_edges(
     canonical_ds: ray.data.Dataset,
     csr: CSRGraph,

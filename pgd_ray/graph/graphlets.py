@@ -121,6 +121,17 @@ class GraphletKernel:
         self.indptr = ray.get(indptr_ref)
         self.indices = ray.get(indices_ref)
         self.n = len(self.indptr) - 1
+        # The membership kernels require id-sorted neighbor lists; a
+        # CSR that went through order_vertex_neighbors (O4 — a
+        # scheduling-only reordering) is re-normalized here, so the
+        # option can never corrupt counts.
+        if len(self.indices) > 1:
+            seg_start = np.zeros(len(self.indices), dtype=bool)
+            starts = self.indptr[1:-1]
+            seg_start[starts[starts < len(self.indices)]] = True
+            if ((np.diff(self.indices) < 0) & ~seg_start[1:]).any():
+                owner = np.repeat(np.arange(self.n, dtype=np.int64), np.diff(self.indptr))
+                self.indices = self.indices[np.lexsort((self.indices, owner))]
         self.deg = np.diff(self.indptr)
         self.ind = np.zeros(self.n, dtype=np.int8)  # scratch for the loop fallback
         self.mode = mode

@@ -71,3 +71,46 @@ def test_univar_stats_quantile_rule():
     assert st["median"] == (arr[3] + arr[4]) / 2
     assert st["q1"] == arr[4 - 2] and st["q3"] == arr[4 + 2]
     assert abs(st["mean"] - vals.mean()) < 1e-12
+
+
+def test_order_vertex_neighbors_semantics_and_invariance():
+    """O4 (graphlet_core.cpp:1910-1953): per-vertex neighbor ordering
+    by degree/kcore/rand — scheduling-only; graphlet counts must be
+    invariant (the kernel re-normalizes internally)."""
+    import ray
+
+    from pgd_ray.functions.ordering import order_vertex_neighbors
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+    from pgd_ray.graph.graphlets import GraphletKernel
+    from tests.brute import random_graph
+
+    edges = sorted(random_graph(40, 0.2, seed=6))
+    src = np.array([a for a, b in edges])
+    dst = np.array([b for a, b in edges])
+    csr = csr_from_edge_arrays(src, dst, n=40)
+    deg = csr.degrees()
+
+    ordered = order_vertex_neighbors(csr, "degree", descending=True)
+    # same neighbor SETS, degree-descending within each vertex
+    for v in range(40):
+        a = np.sort(csr.neighbors(v))
+        b = ordered.neighbors(v)
+        assert np.array_equal(a, np.sort(b))
+        keys = deg[b]
+        assert (np.diff(keys) <= 0).all()
+    # s2l_neigh (ascending) flips the order
+    asc = order_vertex_neighbors(csr, "degree", descending=False)
+    for v in range(40):
+        assert (np.diff(deg[asc.neighbors(v)]) >= 0).all()
+    # rand is deterministic
+    r1 = order_vertex_neighbors(csr, "rand", seed=7)
+    r2 = order_vertex_neighbors(csr, "rand", seed=7)
+    assert np.array_equal(r1.indices, r2.indices)
+
+    # counts invariant: kernel consumes the REORDERED csr directly
+    k_plain = GraphletKernel(*csr.put(), mode="macro")
+    k_ord = GraphletKernel(*ordered.put(), mode="macro")
+    t1 = k_plain._edge_counts(src.astype(np.int64), dst.astype(np.int64))
+    t2 = k_ord._edge_counts(src.astype(np.int64), dst.astype(np.int64))
+    for a, b in zip(t1[:4], t2[:4]):
+        assert np.array_equal(a, b)

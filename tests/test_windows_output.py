@@ -71,7 +71,8 @@ def test_cli_end_to_end(tmp_path):
     pr = tmp_path / "pr.parquet"
     rc = main(["-f", "/root/reference/data/4-clique.txt",
                "--macro", str(macro), "--micro", str(micro),
-               "--pagerank", str(pr), "-w", "2"])
+               "--pagerank", str(pr), "-w", "2",
+               "-o", "degree", "--neigh-ordering", "degree"])
     assert rc == 0
     assert "total_4_clique = 1" in macro.read_text()
     assert len(micro.read_text().strip().splitlines()) == 7
