@@ -23,6 +23,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _quiet_worker_logging():
+    """Worker-side: the parquet 'pandas' schema-metadata blob makes
+    schemas unhashable inside read tasks, logging a benign warning per
+    task; driver-side logger config does not reach workers."""
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -33,6 +42,7 @@ def run_bench() -> dict:
             num_cpus=NUM_CPUS,
             include_dashboard=False,
             logging_level="ERROR",
+            runtime_env={"worker_process_setup_hook": _quiet_worker_logging},
         )
     from ray.data import DataContext
 

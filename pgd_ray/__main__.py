@@ -102,11 +102,21 @@ def main(argv=None) -> int:
                 for kind in ("connected", "disconnected", "all"):
                     print(kind, [round(float(x), 6) for x in gfd(mac, kind)])
         if args.micro or args.micro_parquet:
-            micro = graphlet_micro(eds, csr, concurrency=(1, args.workers))
+            micro = graphlet_micro(eds, csr, concurrency=(1, args.workers)).materialize()
             if args.micro_parquet:
                 micro.write_parquet(args.micro_parquet)
             if args.micro:
                 write_micro_csv(micro, args.micro, degree_vec=csr.degrees())
+            if args.verbose:
+                # console parity with the reference's print_micro_stats
+                # (graphlet_core.cpp:1627-1654): per-column summaries
+                from pgd_ray.stages.univar import univar_stats
+
+                for col in ("triangle", "clique4", "chordal4", "cycle4",
+                            "star3", "path4"):
+                    st = univar_stats(micro, col)
+                    print(f"{col}: mean={st['mean']:.4f} median={st['median']:.1f} "
+                          f"max={st['max']:.0f} std={st['std']:.4f}")
         for flag, fn, col in (
             (args.pagerank, lambda: pagerank(csr, n_workers=args.workers,
                                              checkpoint_dir=args.checkpoint_dir,
