@@ -42,6 +42,7 @@ def run_bench() -> dict:
             num_cpus=NUM_CPUS,
             include_dashboard=False,
             logging_level="ERROR",
+            log_to_driver=False,  # keep stdout = exactly one JSON line
             runtime_env={"worker_process_setup_hook": _quiet_worker_logging},
         )
     from ray.data import DataContext

@@ -164,7 +164,8 @@ def order_vertex_neighbors(
     if descending:
         key = -key
     perm = np.lexsort((csr.indices, key, owner))
-    return CSRGraph(n=csr.n, m=csr.m, indptr=csr.indptr.copy(), indices=csr.indices[perm])
+    return CSRGraph(n=csr.n, m=csr.m, indptr=csr.indptr.copy(),
+                    indices=csr.indices[perm], neighbors_sorted=False)
 
 
 def sort_edges(

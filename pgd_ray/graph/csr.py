@@ -48,6 +48,10 @@ class CSRGraph:
     indptr: np.ndarray  # int64 [n+1]
     indices: np.ndarray  # int64 [2m], neighbor ids sorted ascending per vertex
     _refs: tuple | None = field(default=None, repr=False, compare=False)
+    # every construction path in this package produces id-sorted
+    # neighbor lists; only functions.ordering.order_vertex_neighbors
+    # sets this False (the kernels then re-normalize once)
+    neighbors_sorted: bool = field(default=True, compare=False)
 
     def degrees(self) -> np.ndarray:
         return np.diff(self.indptr)

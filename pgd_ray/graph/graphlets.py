@@ -117,21 +117,20 @@ class GraphletKernel:
                     intended (2·|E(A,A)|, graphlet_core.cpp:1193-1204).
     """
 
-    def __init__(self, indptr_ref, indices_ref, mode: str = "macro", tailed_mode: str = "zero"):
+    def __init__(self, indptr_ref, indices_ref, mode: str = "macro", tailed_mode: str = "zero",
+                 neighbors_sorted: bool = True):
         self.indptr = ray.get(indptr_ref)
         self.indices = ray.get(indices_ref)
         self.n = len(self.indptr) - 1
         # The membership kernels require id-sorted neighbor lists; a
         # CSR that went through order_vertex_neighbors (O4 — a
-        # scheduling-only reordering) is re-normalized here, so the
-        # option can never corrupt counts.
-        if len(self.indices) > 1:
-            seg_start = np.zeros(len(self.indices), dtype=bool)
-            starts = self.indptr[1:-1]
-            seg_start[starts[starts < len(self.indices)]] = True
-            if ((np.diff(self.indices) < 0) & ~seg_start[1:]).any():
-                owner = np.repeat(np.arange(self.n, dtype=np.int64), np.diff(self.indptr))
-                self.indices = self.indices[np.lexsort((self.indices, owner))]
+        # scheduling-only reordering, flagged neighbors_sorted=False)
+        # is re-normalized here, so the option can never corrupt
+        # counts.  The flag (not an O(2m) probe) keeps kernel
+        # construction cheap in fresh worker processes.
+        if not neighbors_sorted and len(self.indices) > 1:
+            owner = np.repeat(np.arange(self.n, dtype=np.int64), np.diff(self.indptr))
+            self.indices = self.indices[np.lexsort((self.indices, owner))]
         self.deg = np.diff(self.indptr)
         self.ind = np.zeros(self.n, dtype=np.int8)  # scratch for the loop fallback
         self.mode = mode
@@ -650,12 +649,14 @@ def _kernel_stage(csr: CSRGraph, mode: str, tailed_mode: str = "zero"):
     actor pool without paying pool construction per pipeline stage.
     On a multi-node cluster each node fetches the CSR once."""
     indptr_ref, indices_ref = csr.put()
+    nsorted = getattr(csr, "neighbors_sorted", True)
     key = (indptr_ref.binary(), mode, tailed_mode)
 
     def fn(batch: pa.Table) -> pa.Table:
         kern = _KERNEL_CACHE.get(key)
         if kern is None:
-            kern = GraphletKernel(indptr_ref, indices_ref, mode=mode, tailed_mode=tailed_mode)
+            kern = GraphletKernel(indptr_ref, indices_ref, mode=mode,
+                                  tailed_mode=tailed_mode, neighbors_sorted=nsorted)
             _KERNEL_CACHE.clear()  # one graph at a time per worker
             _KERNEL_CACHE[key] = kern
         return kern(batch)

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool stages.
 
-The decode codecs themselves are STUBBED in this environment (no
-image/audio libraries in the container) behind ``DeterministicFake``
-implementations — a seeded, content-derived fake that keeps the whole
-Ray-side contract real and testable: schema, batch sizing for large
-binary rows, actor signature (model/codec "loaded" once per actor in
-``__init__``), and output layout.  Swapping in a real codec is a
-one-class change (implement ``_decode_real`` and set
-``use_real=True`` — today that raises NotImplementedError).
+Decode paths (round 2): ``use_real=True`` REALLY decodes the formats
+that need no external library — uncompressed BMP, binary PPM, and
+RIFF PCM WAV, all pure numpy (``stages/codecs.py``) — and raises
+``NotImplementedError`` only for codec formats (JPEG/PNG/MP3/...),
+which this container genuinely cannot decode.  The default
+``DeterministicFake`` path remains for opaque payloads: a seeded,
+content-derived fake that keeps the Ray-side contract testable —
+schema, batch sizing for large binary rows, actor signature (codec
+"loaded" once per actor in ``__init__``), and output layout.
 """
 
 from __future__ import annotations
@@ -60,11 +61,12 @@ class ImageDecodeFeatures:
     FEAT_DIM = 16
 
     def __init__(self, use_real: bool = False):
+        # "load the codec once per actor": bind the dispatch fn here
         self.use_real = use_real
         if use_real:
-            raise NotImplementedError(
-                "no image codec in this environment; deterministic fake only"
-            )
+            from pgd_ray.stages.codecs import decode_image
+
+            self._decode_image = decode_image
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         h = hashlib.blake2b(payload or b"", digest_size=8).digest()
@@ -73,11 +75,31 @@ class ImageDecodeFeatures:
         feat = rng.standard_normal(self.FEAT_DIM).astype(np.float32)
         return w, ht, feat
 
+    def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """BMP/PPM → real dims + 16-dim feature: (log1p dims, per-
+        channel mean and std in [0,1], 8-bin gray histogram)."""
+        px = self._decode_image(payload or b"")
+        h, w, _ = px.shape
+        pf = px.astype(np.float32) / 255.0
+        gray = pf.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+        hist = hist / max(gray.size, 1)
+        feat = np.concatenate(
+            [
+                [np.log1p(w), np.log1p(h)],
+                pf.mean(axis=(0, 1)),
+                pf.std(axis=(0, 1)),
+                hist,
+            ]
+        ).astype(np.float32)
+        return w, h, feat
+
     def __call__(self, b: pa.Table) -> pa.Table:
         payloads = b["payload"].to_pylist()
+        decode = self._decode_real if self.use_real else self._decode_fake
         ws, hs, feats = [], [], []
         for p in payloads:
-            w, h, f = self._decode_fake(p)
+            w, h, f = decode(p)
             ws.append(w)
             hs.append(h)
             feats.append(f)
@@ -100,20 +122,33 @@ class AudioFrameSample:
 
     def __init__(self, n_frames: int = 4, use_real: bool = False):
         self.n_frames = n_frames
+        self.use_real = use_real
         if use_real:
-            raise NotImplementedError(
-                "no audio codec in this environment; deterministic fake only"
-            )
+            from pgd_ray.stages.codecs import decode_audio
+
+            self._decode_audio = decode_audio
+
+    def _frames_real(self, payload: bytes) -> list[bytes]:
+        """RIFF PCM WAV → n evenly spaced windows of DECODED samples
+        (float32 mono bytes), not raw byte slices."""
+        sr, samples = self._decode_audio(payload or b"")
+        mono = samples.mean(axis=1).astype(np.float32)
+        step = max(1, len(mono) // self.n_frames)
+        return [mono[i * step : i * step + step].tobytes() for i in range(self.n_frames)]
 
     def __call__(self, b: pa.Table) -> pa.Table:
         mids, fidx, frames = [], [], []
         for mid, payload in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
             p = payload or b""
-            step = max(1, len(p) // self.n_frames)
-            for i in range(self.n_frames):
+            if self.use_real:
+                fs = self._frames_real(p)
+            else:
+                step = max(1, len(p) // self.n_frames)
+                fs = [p[i * step : i * step + step] for i in range(self.n_frames)]
+            for i, fr in enumerate(fs):
                 mids.append(mid)
                 fidx.append(i)
-                frames.append(p[i * step : i * step + step])
+                frames.append(fr)
         return pa.table(
             {
                 "media_id": pa.array(mids, pa.int64()),
@@ -123,11 +158,20 @@ class AudioFrameSample:
         )
 
 
-def decode_images(media: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 256) -> ray.data.Dataset:
+def decode_images(
+    media: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 256,
+    use_real: bool | None = None,
+) -> ray.data.Dataset:
     """Small batches on purpose: batch_size × payload size × concurrency
-    must fit the worker heap for real media."""
+    must fit the worker heap for real media.  ``use_real=None`` sniffs
+    the first payload's magic bytes: BMP/PPM decode natively."""
+    if use_real is None:
+        first = media.take(1)
+        magic = (first[0]["payload"] or b"")[:2] if first else b""
+        use_real = magic in (b"BM", b"P6")
     return media.map_batches(
         ImageDecodeFeatures,
+        fn_constructor_kwargs={"use_real": use_real},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -135,10 +179,13 @@ def decode_images(media: ray.data.Dataset, concurrency=(1, 8), batch_size: int =
     )
 
 
-def sample_frames(media: ray.data.Dataset, n_frames: int = 4, concurrency=(1, 8)) -> ray.data.Dataset:
+def sample_frames(
+    media: ray.data.Dataset, n_frames: int = 4, concurrency=(1, 8),
+    use_real: bool = False,
+) -> ray.data.Dataset:
     return media.map_batches(
         AudioFrameSample,
-        fn_constructor_kwargs={"n_frames": n_frames},
+        fn_constructor_kwargs={"n_frames": n_frames, "use_real": use_real},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,

@@ -71,9 +71,61 @@ def test_multimodal_plumbing():
     )
     frames = sample_frames(media, n_frames=4).to_pandas()
     assert len(frames) == 24
+
+
+def test_multimodal_real_decode():
+    """use_real=True REALLY decodes BMP/PPM/WAV (pure-numpy codecs);
+    codec formats (PNG/JPEG/...) still raise NotImplementedError."""
     import pytest
+
+    from pgd_ray.stages.codecs import encode_bmp, encode_ppm, encode_wav
+    from pgd_ray.stages.multimodal import decode_images, sample_frames
+
+    rng = np.random.default_rng(7)
+    px0 = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    px1 = rng.integers(0, 256, (5, 20, 3), dtype=np.uint8)
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "kind": pa.array(["image", "image"], pa.string()),
+                "payload": pa.array([encode_bmp(px0), encode_ppm(px1)], pa.binary()),
+                "meta": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+    )
+    feats = (
+        decode_images(media, concurrency=(1, 2), batch_size=2)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert feats.loc[0, "width"] == 11 and feats.loc[0, "height"] == 9
+    assert feats.loc[1, "width"] == 20 and feats.loc[1, "height"] == 5
+    # mean-RGB feature slots carry the true channel means
+    np.testing.assert_allclose(
+        np.asarray(feats.loc[0, "features"])[2:5],
+        (px0.astype(np.float64) / 255.0).mean(axis=(0, 1)),
+        atol=1e-5,
+    )
+
+    samples = (rng.standard_normal(4000) * 9000).astype(np.int16)
+    wav = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "kind": pa.array(["audio"], pa.string()),
+                "payload": pa.array([encode_wav(samples, 16000)], pa.binary()),
+                "meta": pa.array(["{}"], pa.string()),
+            }
+        )
+    )
+    fr = sample_frames(wav, n_frames=4, use_real=True).to_pandas()
+    assert len(fr) == 4
+    win = np.frombuffer(fr.loc[0, "frame"], dtype=np.float32)
+    np.testing.assert_allclose(win, samples[:1000].astype(np.float32) / 32768.0)
 
     from pgd_ray.stages.multimodal import ImageDecodeFeatures
 
     with pytest.raises(NotImplementedError):
-        ImageDecodeFeatures(use_real=True)
+        ImageDecodeFeatures(use_real=True)._decode_real(b"\x89PNG\r\n....")

@@ -108,8 +108,12 @@ def test_order_vertex_neighbors_semantics_and_invariance():
     assert np.array_equal(r1.indices, r2.indices)
 
     # counts invariant: kernel consumes the REORDERED csr directly
+    # (the neighbors_sorted=False flag triggers its re-normalization,
+    # threaded automatically by _kernel_stage from csr.neighbors_sorted)
+    assert ordered.neighbors_sorted is False
     k_plain = GraphletKernel(*csr.put(), mode="macro")
-    k_ord = GraphletKernel(*ordered.put(), mode="macro")
+    k_ord = GraphletKernel(*ordered.put(), mode="macro",
+                           neighbors_sorted=ordered.neighbors_sorted)
     t1 = k_plain._edge_counts(src.astype(np.int64), dst.astype(np.int64))
     t2 = k_ord._edge_counts(src.astype(np.int64), dst.astype(np.int64))
     for a, b in zip(t1[:4], t2[:4]):
