@@ -474,14 +474,17 @@ def _q_macro_approx_copurchase(sf_dir):
 
 
 def _q_media_decode(sf_dir):
+    """Real BMP decode round-trip: documents → real 24-bit BMP payloads
+    with dims derived from strlen(text) → actor-pool decode → dims.
+    The closed-form dims make this SQL-oracle-checkable (see
+    oracle_sql()['media_decode'])."""
     import ray.data
 
     from pgd_ray.stages.multimodal import decode_images, media_from_documents
 
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return decode_images(media_from_documents(docs)).select_columns(
-        ["media_id", "width", "height"]
-    )
+    media = media_from_documents(docs, payload_format="bmp")
+    return decode_images(media).select_columns(["media_id", "width", "height"])
 
 
 def entry() -> Any:
@@ -707,6 +710,15 @@ SELECT doc_id, CASE
   WHEN es = greatest(de, en, es, fr) THEN 'es'
   ELSE 'fr' END AS lang_pred
 FROM h""",
+        # media_decode: the Ray side builds REAL uncompressed BMPs whose
+        # dims are a pure function of the text's utf-8 byte length, then
+        # decodes them with the numpy BMP codec; the oracle re-derives
+        # the dims arithmetically (round-trip check on the real path).
+        "media_decode": """
+SELECT doc_id AS media_id,
+       CAST(strlen(coalesce(text, '')) % 47 + 4 AS INTEGER) AS width,
+       CAST((strlen(coalesce(text, '')) // 47) % 41 + 4 AS INTEGER) AS height
+FROM documents""",
         "univar_clique4": f"""
 WITH {_TE_CTE}, {_S_CTE},
 pe AS (

@@ -191,12 +191,47 @@ def _expand_fragment(path: str):
             yield pa.table({"src": src[lo:hi], "dst": dst[lo:hi]})
 
 
+def _balanced_bounds(canon: ray.data.Dataset, n: int, P: int) -> np.ndarray:
+    """Degree-balanced range bounds (2-pass): a cheap histogram pass
+    bins BOTH endpoints of every canonical edge into K uniform vertex
+    buckets (= symmetrized rows per bucket, the reduce task's work
+    driver), then cuts bucket edges at 1/P quantiles of the cumulative
+    mass.  On power-law graphs uniform bounds give the hub range many
+    times the median range's rows — one straggler reduce task; balanced
+    bounds equalize the lexsort+dedup work.  Driver state: O(K)."""
+    K = int(min(max(n, 1), max(1024, 16 * P)))
+    width = -(-n // K)  # ceil: bucket b covers vertices [b*width, (b+1)*width)
+    nb = -(-n // width)
+
+    def hist(t: pa.Table) -> pa.Table:
+        h = np.zeros(nb, np.int64)
+        for col in ("src", "dst"):
+            v = t[col].to_numpy(zero_copy_only=False)
+            if len(v):
+                h += np.bincount(v // width, minlength=nb)
+        return pa.table({"h": pa.array([h], pa.large_list(pa.int64()))})
+
+    rows = canon.map_batches(hist, batch_format="pyarrow").take_all()
+    H = np.zeros(nb, np.int64)
+    for r in rows:
+        H += np.asarray(r["h"], dtype=np.int64)
+    c = np.cumsum(H)
+    total = int(c[-1]) if len(c) else 0
+    if total == 0:
+        return np.unique(np.linspace(0, n, P + 1).astype(np.int64))
+    targets = np.arange(1, P) * (total / P)
+    idx = np.searchsorted(c, targets)  # first bucket whose cum mass >= target
+    edges = np.minimum((idx + 1) * width, n)
+    return np.unique(np.concatenate([[0], edges, [n]])).astype(np.int64)
+
+
 def build_range_csr(
     pairs: ray.data.Dataset,
     n: int | None = None,
     dense: bool = False,
     num_ranges: int | None = None,
     out_dir: str | Path | None = None,
+    balance: bool = True,
 ) -> tuple[RangeCSR, np.ndarray | None]:
     """Distributed CSR build with NO driver-side edge pass.
 
@@ -228,13 +263,21 @@ def build_range_csr(
     out_dir = Path(out_dir) if out_dir else Path(tempfile.mkdtemp(prefix="pgd_csr_", dir="/tmp"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    P = max(1, min(num_ranges or default_blocks(factor=4), max(n, 1)))
-    bounds = np.unique(np.linspace(0, n, P + 1).astype(np.int64))
-    if len(bounds) < 2:
-        bounds = np.array([0, max(n, 0)], dtype=np.int64)
-
     if n == 0:
         return RangeCSR(0, 0, np.array([0, 0], np.int64), {}, {}), vids
+
+    # One materialization: the bounds pass, symmetrize and the shuffle
+    # all read these blocks — without it each would re-run the
+    # canonicalize(+densify) chain from the source.
+    canon = canon.materialize()
+
+    P = max(1, min(num_ranges or default_blocks(factor=4), max(n, 1)))
+    if balance and n > P:
+        bounds = _balanced_bounds(canon, n, P)
+    else:
+        bounds = np.unique(np.linspace(0, n, P + 1).astype(np.int64))
+    if len(bounds) < 2:
+        bounds = np.array([0, max(n, 0)], dtype=np.int64)
 
     sym = symmetrize(canon)
 

@@ -30,19 +30,44 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def media_from_documents(docs: ray.data.Dataset, kind: str = "image") -> ray.data.Dataset:
-    """Deterministic synthetic media table: each document's utf-8 bytes
-    become an opaque payload (stand-in for real image/audio bytes)."""
+def media_from_documents(
+    docs: ray.data.Dataset, kind: str = "image", payload_format: str = "opaque"
+) -> ray.data.Dataset:
+    """Deterministic synthetic media table from the documents table.
+
+    ``payload_format="opaque"``: each document's utf-8 bytes become an
+    opaque payload (stand-in for real image/audio bytes; decodes via
+    the DeterministicFake path).
+
+    ``payload_format="bmp"``: each row becomes a REAL uncompressed
+    24-bit BMP whose dimensions derive arithmetically from the utf-8
+    byte length ``L`` of the text — ``w = L % 47 + 4``,
+    ``h = (L // 47) % 41 + 4`` — so the real-decode round-trip has a
+    closed-form DuckDB oracle over ``strlen(text)``."""
 
     def fn(b: pa.Table) -> pa.Table:
         text = b["text"].to_pylist()
-        payloads = [(t or "").encode() for t in text]
+        if payload_format == "bmp":
+            from pgd_ray.stages.codecs import encode_bmp
+
+            payloads = []
+            for t in text:
+                L = len((t or "").encode())
+                w, h = L % 47 + 4, (L // 47) % 41 + 4
+                px = ((np.arange(h * w * 3, dtype=np.int64) + L) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(encode_bmp(px))
+            codec = "bmp"
+        else:
+            payloads = [(t or "").encode() for t in text]
+            codec = "fake"
         return pa.table(
             {
                 "media_id": b["doc_id"],
                 "kind": pa.array([kind] * len(text), pa.string()),
                 "payload": pa.array(payloads, pa.binary()),
-                "meta": pa.array(['{"codec":"fake"}'] * len(text), pa.string()),
+                "meta": pa.array([f'{{"codec":"{codec}"}}'] * len(text), pa.string()),
             }
         )
 
