@@ -406,6 +406,18 @@ def _q_simhash_pairs(sf_dir):
     return simhash_dedup(docs, max_hamming=3)
 
 
+def _q_ngram_jaccard(sf_dir):
+    """Exact char-5-gram Jaccard ≥ 0.45 pairs via banded LSH candidates
+    + distributed exact verification (recall bound 5.2e-7 miss/pair at
+    the threshold — see pgd_ray.text.dedup.ngram_jaccard_pairs)."""
+    import ray.data
+
+    from pgd_ray.text.dedup import ngram_jaccard_pairs
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.45)
+
+
 def _q_topk_cosine(sf_dir):
     import ray.data
 
@@ -516,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "lang_id": _q_lang_id,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "topk_cosine": _q_topk_cosine,
         "embedding_neardup": _q_embedding_neardup,
@@ -710,6 +723,27 @@ SELECT doc_id, CASE
   WHEN es = greatest(de, en, es, fr) THEN 'es'
   ELSE 'fr' END AS lang_pred
 FROM h""",
+        # ngram_jaccard: brute-force exact char-5-gram Jaccard over the
+        # SAME normalization the shingle kernel applies (lowercase,
+        # \s+ -> ' ', right-pad to 5); the Ray side reaches the same set
+        # via LSH candidates + exact verify.
+        "ngram_jaccard": r"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
+  FROM (SELECT doc_id,
+        -- NB: DuckDB rpad TRUNCATES to the target length; pad to
+        -- max(length, 5) to mirror pyarrow utf8_rpad's min-width pad
+        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
+        FROM (SELECT doc_id,
+              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
+              FROM documents)) )
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+             (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.45""",
         # media_decode: the Ray side builds REAL uncompressed BMPs whose
         # dims are a pure function of the text's utf-8 byte length, then
         # decodes them with the numpy BMP codec; the oracle re-derives

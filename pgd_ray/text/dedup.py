@@ -305,6 +305,37 @@ def candidate_pairs_minhash(
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    k: int = 5,
+    threshold: float = 0.45,
+    num_perm: int = 128,
+    bands: int = 64,
+    pair_cap: int | None = None,
+) -> pd.DataFrame:
+    """n-gram Jaccard near-dup: ALL pairs whose exact distinct char
+    k-shingle Jaccard is ≥ ``threshold`` (doc_a < doc_b, jaccard
+    rounded to 6).
+
+    Same banded pipeline as MinHash, parameterized for COMPLETE recall
+    at the threshold rather than candidate triage: r=2-row bands give
+    per-pair miss probability (1-J²)^bands ≤ 5.2e-7 at J=0.45, and the
+    exact-Jaccard verification then makes the ≥-threshold result exact
+    (oracle-checkable in SQL — see __ray_entry__.oracle_sql()
+    ['ngram_jaccard']).  ``pair_cap=None`` emits full per-bucket
+    cliques so every qualifying PAIR surfaces (the capped star pattern
+    preserves only groups); at 10^9-doc scale set a cap and consume
+    groups via minhash_neardup instead."""
+    rows = num_perm // bands
+    assert rows >= 1
+    pairs = candidate_pairs_minhash(
+        docs, num_perm=num_perm, bands=bands, k=k,
+        threshold=threshold, pair_cap=pair_cap,
+    )
+    pairs["jaccard"] = np.round(pairs["jaccard"].to_numpy(), 6)
+    return pairs.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
 def _groups_from_pairs(n_docs_ids: np.ndarray, pairs: pd.DataFrame) -> pd.DataFrame:
     """Duplicate groups = connected components of the verified-pair
     graph, via the engine's distributed CC."""

@@ -145,3 +145,43 @@ def test_exact_dedup_has_no_per_group_python():
     from pgd_ray.text import dedup as dd
 
     assert "map_groups" not in inspect.getsource(dd.exact_dedup)
+
+
+def test_ngram_jaccard_pairs_vs_brute_force():
+    """ngram_jaccard_pairs must find EXACTLY the brute-force char
+    5-gram Jaccard >= threshold pair set (full recall at threshold)."""
+    import re
+
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about databases",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "short",
+        "x",                                             # shorter than k: padded
+    ]
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+
+    def grams(t):
+        x = re.sub(r"\s+", " ", t.lower())
+        x = x + " " * max(0, 5 - len(x))
+        return {x[i:i + 5] for i in range(len(x) - 4)}
+
+    gs = [grams(t) for t in texts]
+    expected = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(gs[i] & gs[j])
+            uni = len(gs[i] | gs[j])
+            jac = inter / uni if uni else 1.0
+            if jac >= 0.45:
+                expected[(i, j)] = round(jac, 6)
+
+    from pgd_ray.text.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, k=5, threshold=0.45)
+    got = {(int(a), int(b)): float(j)
+           for a, b, j in out[["doc_a", "doc_b", "jaccard"]].to_numpy()}
+    assert got == expected and (0, 3) in expected and (0, 1) in expected
