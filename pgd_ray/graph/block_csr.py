@@ -191,6 +191,58 @@ def _expand_fragment(path: str):
             yield pa.table({"src": src[lo:hi], "dst": dst[lo:hi]})
 
 
+def _write_manifest(out_dir: Path, rcsr: "RangeCSR", vids: np.ndarray | None) -> None:
+    """Atomic build manifest: with it, a re-run pointed at the same
+    ``out_dir`` resumes instantly (skips the whole shuffle).  The
+    manifest is written LAST, so a crashed build never leaves one."""
+    import json
+
+    if vids is not None:
+        vp = out_dir / "vertex_ids.parquet"
+        tmp = vp.with_suffix(".tmp")
+        pq.write_table(pa.table({"vid": pa.array(np.asarray(vids), pa.int64())}), tmp)
+        tmp.rename(vp)
+    doc = {
+        "n": rcsr.n,
+        "m": rcsr.m,
+        "bounds": [int(b) for b in rcsr.bounds],
+        "ranges": {str(r): {"path": rcsr.paths[r], "nnz": int(rcsr.nnz[r])}
+                   for r in rcsr.paths},
+        "has_vids": vids is not None,
+    }
+    mp = out_dir / "manifest.json"
+    tmp = mp.with_suffix(".tmp")
+    tmp.write_text(json.dumps(doc))
+    tmp.rename(mp)
+
+
+def _load_manifest(out_dir: Path) -> tuple["RangeCSR", np.ndarray | None] | None:
+    """Completed-build manifest → (RangeCSR, vids), or None if absent
+    or any fragment file is missing (fall through to a fresh build)."""
+    import json
+
+    mp = out_dir / "manifest.json"
+    if not mp.exists():
+        return None
+    doc = json.loads(mp.read_text())
+    paths = {int(r): v["path"] for r, v in doc["ranges"].items()}
+    if not all(Path(p).exists() for p in paths.values()):
+        return None
+    vids = None
+    if doc.get("has_vids"):
+        vp = out_dir / "vertex_ids.parquet"
+        if not vp.exists():
+            return None
+        vids = pq.read_table(vp)["vid"].to_numpy(zero_copy_only=False)
+    rcsr = RangeCSR(
+        n=int(doc["n"]), m=int(doc["m"]),
+        bounds=np.asarray(doc["bounds"], dtype=np.int64),
+        paths=paths,
+        nnz={int(r): int(v["nnz"]) for r, v in doc["ranges"].items()},
+    )
+    return rcsr, vids
+
+
 def _balanced_bounds(canon: ray.data.Dataset, n: int, P: int) -> np.ndarray:
     """Degree-balanced range bounds (2-pass): a cheap histogram pass
     bins BOTH endpoints of every canonical edge into K uniform vertex
@@ -243,8 +295,16 @@ def build_range_csr(
     One all-to-all: ``groupby(range_id)``.  Dedup is free inside each
     range task (duplicates of a directed row share a src, hence a
     range).  Fragments are parquet files under ``out_dir`` (a fresh
-    /tmp dir by default) in the resumable one-file-per-range layout.
+    /tmp dir by default) in the resumable one-file-per-range layout;
+    a completed build writes ``manifest.json`` LAST, and a re-run
+    with the same ``out_dir`` resumes from it without re-reading the
+    input (fragments are written atomically, so a crashed build is
+    simply rebuilt — the manifest is the commit point).
     """
+    if out_dir is not None:
+        loaded = _load_manifest(Path(out_dir))
+        if loaded is not None:
+            return loaded
     canon = canonicalize(pairs)
     vids = None
     if dense:
@@ -319,4 +379,6 @@ def build_range_csr(
     paths = {r["range_id"]: r["path"] for r in manifest}
     nnz = {r["range_id"]: r["nnz"] for r in manifest}
     m = sum(nnz.values()) // 2
-    return RangeCSR(n=n, m=m, bounds=bounds, paths=paths, nnz=nnz), vids
+    rcsr = RangeCSR(n=n, m=m, bounds=bounds, paths=paths, nnz=nnz)
+    _write_manifest(out_dir, rcsr, vids)
+    return rcsr, vids

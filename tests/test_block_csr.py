@@ -117,3 +117,38 @@ def test_empty_and_isolated_vertices(tmp_path):
     csr2 = rcsr2.to_csr()
     assert csr2.n == 5 and csr2.m == 1
     assert csr2.indptr.tolist() == [0, 1, 2, 2, 2, 2]
+
+
+def test_manifest_resume_skips_rebuild(tmp_path):
+    """A completed build writes manifest.json LAST; a re-run with the
+    same out_dir must resume from it WITHOUT touching the input."""
+    src = np.array([1000, 7, 1000, 7, 55], dtype=np.int64)
+    dst = np.array([7, 55, 55, 1000, 55], dtype=np.int64)
+    rcsr, vids = build_range_csr(
+        _pairs_ds(src, dst, blocks=2), dense=True, out_dir=tmp_path
+    )
+    assert (tmp_path / "manifest.json").exists()
+
+    class Poison:  # any attribute access = the input was touched
+        def __getattr__(self, name):
+            raise AssertionError("resume path read the input dataset")
+
+    rcsr2, vids2 = build_range_csr(Poison(), dense=True, out_dir=tmp_path)
+    assert rcsr2.n == rcsr.n and rcsr2.m == rcsr.m
+    assert rcsr2.bounds.tolist() == rcsr.bounds.tolist()
+    assert rcsr2.nnz == rcsr.nnz and rcsr2.paths == rcsr.paths
+    assert vids2.tolist() == vids.tolist() == [7, 55, 1000]
+    a, b = rcsr.to_csr(), rcsr2.to_csr()
+    assert a.indptr.tolist() == b.indptr.tolist()
+    assert a.indices.tolist() == b.indices.tolist()
+
+    # a missing fragment invalidates the manifest: full rebuild works
+    victim = next(iter(rcsr.paths.values()))
+    import os
+
+    os.remove(victim)
+    rcsr3, _ = build_range_csr(
+        _pairs_ds(src, dst, blocks=2), dense=True, out_dir=tmp_path
+    )
+    assert rcsr3.m == rcsr.m
+    assert rcsr3.to_csr().indices.tolist() == a.indices.tolist()
