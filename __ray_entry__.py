@@ -431,6 +431,23 @@ def _q_topk_cosine(sf_dir):
     return top
 
 
+def _q_ivf_topk(sf_dir):
+    """IVF ANN in its exact configuration (nprobe == n_centroids: every
+    bucket probed, so the trained codebook cannot drop a candidate) —
+    exercises the full train/assign/probe/merge machinery against the
+    brute-force SQL oracle."""
+    import ray.data
+
+    from pgd_ray.stages.similarity import ivf_topk_cosine
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 4").to_pandas().sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    top = ivf_topk_cosine(emb, q, k=10, n_centroids=8, nprobe=8, dtype=np.float64)
+    top["cosine"] = top["cosine"].round(6)
+    return top
+
+
 def _q_embedding_neardup(sf_dir):
     import ray.data
 
@@ -531,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "topk_cosine": _q_topk_cosine,
+        "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "univar_clique4": _q_univar_clique4,
         "media_decode": _q_media_decode,
@@ -539,6 +557,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "macro_approx_copurchase": _q_macro_approx_copurchase,
     }
+
+
+_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+sims AS (SELECT q.qid AS query_id, e.vec_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS c
+         FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, c,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank
+      FROM sims)
+SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -622,16 +652,9 @@ FROM documents""",
         "exact_dedup": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY md5(text)""",
-        "topk_cosine": """
-WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
-sims AS (SELECT q.qid AS query_id, e.vec_id,
-                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[])) AS c
-         FROM q CROSS JOIN embeddings e),
-r AS (SELECT query_id, vec_id, c,
-             CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank
-      FROM sims)
-SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10""",
+        "topk_cosine": _TOPK_SQL,
+        # ivf_topk with nprobe == n_centroids is exact → same oracle
+        "ivf_topk": _TOPK_SQL,
         "vertex_triangles": f"""
 WITH {_E_CTE}, {_S_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle

@@ -168,12 +168,16 @@ def ivf_topk_cosine(
     n_centroids: int = 16,
     nprobe: int = 4,
     concurrency=(1, 16),
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """IVF-bucketed ANN: vectors filtered to the ``nprobe`` closest
     centroids of each query before scoring.  Same output schema as
-    ``topk_cosine`` (approximate recall)."""
+    ``topk_cosine`` (approximate recall).  With ``nprobe ==
+    n_centroids`` every bucket is probed, so the result is EXACT
+    (independent of the trained centroids) — the oracle-checked
+    configuration; ``dtype=float64`` mirrors DuckDB's doubles."""
     cents = train_ivf_centroids(emb, n_centroids=n_centroids)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=dtype))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     c_ref = ray.put(cents)
     p_ref = ray.put(probes)
@@ -187,7 +191,7 @@ def ivf_topk_cosine(
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vid = b["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize(_stack_embeddings(b["embedding"]))
+            m = _normalize(_stack_embeddings(b["embedding"], dtype))
             assign = np.argmax(m @ self.c.T, axis=1)
             out = []
             for qi in range(len(self.q)):
