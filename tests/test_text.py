@@ -185,3 +185,41 @@ def test_ngram_jaccard_pairs_vs_brute_force():
     got = {(int(a), int(b)): float(j)
            for a, b, j in out[["doc_a", "doc_b", "jaccard"]].to_numpy()}
     assert got == expected and (0, 3) in expected and (0, 1) in expected
+
+
+def test_read_documents_format_dispatch(tmp_path):
+    """Parquet / CSV / JSONL of the same corpus → identical normalized
+    (doc_id, text) tables, so every text stage is format-agnostic."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from pgd_ray.sources.documents import read_documents
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"]).slice(0, 40)
+    pq.write_table(src, tmp_path / "docs.parquet")
+    src.to_pandas().to_csv(tmp_path / "docs.csv", index=False)
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in src.to_pylist():
+            f.write(json.dumps(r) + "\n")
+
+    frames = {}
+    for name in ("docs.parquet", "docs.csv", "docs.jsonl"):
+        df = read_documents(tmp_path / name).to_pandas()
+        assert list(df.columns) == ["doc_id", "text"]
+        assert str(df["doc_id"].dtype) == "int64"
+        frames[name] = df.sort_values("doc_id", ignore_index=True)
+    base = frames["docs.parquet"]
+    assert len(base) == 40
+    for name, df in frames.items():
+        pd.testing.assert_frame_equal(df, base)
+
+    # text stages consume the non-parquet formats unchanged
+    out = text_stats(read_documents(tmp_path / "docs.jsonl")).to_pandas()
+    assert len(out) == 40 and "token_count" in out.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_documents(tmp_path / "docs.xml")
