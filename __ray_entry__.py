@@ -211,11 +211,11 @@ def _tool_graph(sf_dir):
     if sf_dir in _TOOL_CACHE:
         return _TOOL_CACHE[sf_dir]
     from pgd_ray.graph.csr import build_csr
-    from pgd_ray.sources.edges import edges_from_transcripts, tool_vocab
+    from pgd_ray.sources.edges import edges_from_transcripts
 
     tds = _transcripts_ds(sf_dir)
-    vocab = tool_vocab(tds)
-    eds = edges_from_transcripts(tds, vocab=vocab).materialize()
+    eds, vocab = edges_from_transcripts(tds, return_vocab=True)
+    eds = eds.materialize()
     _TOOL_CACHE.clear()
     _TOOL_CACHE[sf_dir] = (eds, build_csr(eds, n=len(vocab)), vocab)
     return _TOOL_CACHE[sf_dir]

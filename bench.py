@@ -195,7 +195,7 @@ def _transcript_scale_suite(timings: dict, nw: int) -> None:
     from pgd_ray.graph.graphlets import edge_triangles
     from pgd_ray.graph.iterative import IterativeEngine, kill_pool, worker_pool
     from pgd_ray.pipelines.graph_build import build_graph
-    from pgd_ray.sources.edges import edges_from_transcripts, tool_vocab
+    from pgd_ray.sources.edges import edges_from_transcripts
     from pgd_ray.sources.transcripts import synth_transcripts
     from pgd_ray.util import default_blocks
 
@@ -212,8 +212,7 @@ def _transcript_scale_suite(timings: dict, nw: int) -> None:
     t0 = time.perf_counter()
     tds = ray.data.read_parquet(cache, columns=["conv_id", "turn_idx", "tool"],
                                 override_num_blocks=default_blocks())
-    vocab = tool_vocab(tds)
-    raw = edges_from_transcripts(tds, vocab=vocab, dedup=False)
+    raw = edges_from_transcripts(tds, dedup=False)
     dense, csr, _ = build_graph(raw, dense=False)
     timings["transcripts5m_edges"] = time.perf_counter() - t0
 

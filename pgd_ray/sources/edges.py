@@ -59,21 +59,27 @@ def tool_vocab(tds: ray.data.Dataset) -> np.ndarray:
 
 
 def edges_from_transcripts(
-    tds: ray.data.Dataset, vocab: np.ndarray | None = None, dedup: bool = True
-) -> ray.data.Dataset:
+    tds: ray.data.Dataset,
+    vocab: np.ndarray | None = None,
+    dedup: bool = True,
+    return_vocab: bool = False,
+):
     """Consecutive-turn tool co-occurrence edges.
 
-    Per conversation (one ``groupby(conv_id)`` hash shuffle, groups =
-    conversations, inherently small): sort by ``turn_idx``, pair each
-    turn's tool with the next turn's tool, map tools to dense ids via
-    the broadcast vocabulary, canonicalize, drop self-loops; global
-    exact dedup afterwards.  ``text`` is never touched — the per-turn
+    One global ``sort(conv_id, turn_idx)`` (the single shuffle), then
+    per-BLOCK vectorized pairing of each turn's tool with the next
+    turn's tool, tools mapped to dense ids via the broadcast
+    vocabulary, canonicalized, self-loops dropped; global exact dedup
+    afterwards.  ``text`` is never touched — the per-turn
     text-equality invariant holds by construction.
-    """
-    if vocab is None:
-        vocab = tool_vocab(tds)
-    vocab_ref = ray.put(np.asarray(vocab, dtype=object))
 
+    When ``vocab`` is not supplied it is derived from the already
+    materialized *sorted* table, so the input parquet is scanned
+    exactly once (at 10^12 turns a second vocabulary scan of the raw
+    input would double the read cost).  ``return_vocab=True`` hands
+    the vocabulary back alongside the edges for callers that need the
+    id→tool mapping (e.g. ``build_csr(n=len(vocab))``).
+    """
     from pgd_ray.util import strip_schema_metadata
 
     srt = (
@@ -82,6 +88,9 @@ def edges_from_transcripts(
         .sort(["conv_id", "turn_idx"])
         .materialize()
     )
+    if vocab is None:
+        vocab = tool_vocab(srt)
+    vocab_ref = ray.put(np.asarray(vocab, dtype=object))
 
     def pairs_in_block(t: pa.Table) -> pa.Table:
         from pgd_ray.graph.cache import get_cached
@@ -144,7 +153,8 @@ def edges_from_transcripts(
         )
     # dedup=False hands the raw pairs to a fused consumer
     # (pipelines.graph_build dedups during CSR assembly)
-    return dedup_edges(raw) if dedup else raw
+    out = dedup_edges(raw) if dedup else raw
+    return (out, vocab) if return_vocab else out
 
 
 def _segment_pairs(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
