@@ -137,10 +137,14 @@ class _MinHasher:
         for j in range(self.num_perm):
             v = (wh * self.a[j]) >> np.uint64(1)  # non-negative int64 range
             sig[j] = np.minimum.reduceat(v, row_starts).astype(np.int64)
+        # flat values + offsets → ListArray directly (pa.array over a
+        # Python list of rows pays one FFI call per row)
+        vals = np.ascontiguousarray(sig.T).reshape(-1)
+        offs = np.arange(nrows + 1, dtype=np.int64) * self.num_perm
         return pa.table(
             {
                 "doc_id": pa.array(doc, pa.int64()),
-                "sig": pa.array(list(sig.T), pa.large_list(pa.int64())),
+                "sig": pa.LargeListArray.from_arrays(offs, pa.array(vals, pa.int64())),
             }
         )
 
@@ -540,12 +544,14 @@ def embedding_neardup(
     r_ref = ray.put(R)
 
     def norm_batch(t: pa.Table) -> pa.Table:
+        from pgd_ray.util import list_array_2d
+
         m = _stack_embeddings(t["embedding"], dtype)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "embedding": pa.array(list(m.astype(np.float64)), pa.large_list(pa.float64())),
+                "embedding": list_array_2d(m.astype(np.float64), pa.float64()),
             }
         )
 

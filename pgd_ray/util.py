@@ -24,3 +24,17 @@ def default_blocks(factor: int = 2, floor: int = 8) -> int:
         return max(floor, int(ray.cluster_resources().get("CPU", 16)) * factor)
     except Exception:
         return 32
+
+
+def list_array_2d(m, value_type=None):
+    """(nrows, k) numpy matrix → Arrow LargeListArray of k-element
+    rows, built from the flat value buffer + offsets (one FFI call;
+    ``pa.array(list(m))`` pays one per row)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = np.ascontiguousarray(m)
+    nrows, k = m.shape
+    offs = np.arange(nrows + 1, dtype=np.int64) * k
+    vals = pa.array(m.reshape(-1), value_type) if value_type else pa.array(m.reshape(-1))
+    return pa.LargeListArray.from_arrays(offs, vals)
