@@ -46,8 +46,9 @@ def build_graph(
         num_ranges=blocks or default_blocks(factor=4),
         out_dir=out_dir,
     )
-    csr = rcsr.to_csr()
+    rcsr.assemble()  # non-blocking: the concat task overlaps the expansion below
     canonical_ds = rcsr.canonical_edges().materialize()
+    csr = rcsr.to_csr()
     if dense and vids is None:
         vids = np.array([], np.int64)
     return canonical_ds, csr, vids
