@@ -516,6 +516,60 @@ def _q_media_decode(sf_dir):
     return decode_images(media).select_columns(["media_id", "width", "height"])
 
 
+def _q_asof_orders(sf_dir):
+    """Each event joined to the user's most recent order as of the
+    event time (broadcast strategy: orders is the dimension side).
+    Ties on o_orderdate break to the min o_orderkey — deterministic."""
+    from pgd_ray.stages.joins import asof_join
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_time_as="asof_orderdate",
+        how="inner", strategy="broadcast",
+    )
+    df = out.to_pandas().rename(
+        columns={"o_orderkey": "asof_orderkey", "o_totalprice": "asof_totalprice"}
+    )
+    df["asof_totalprice"] = df["asof_totalprice"].round(6)
+    return df[["event_id", "user_id", "ts", "asof_orderkey",
+               "asof_totalprice", "asof_orderdate"]]
+
+
+def _q_range_join_ship(sf_dir):
+    """Interval join: every lineitem of an order shipped within 30 days
+    of the order date (partitioned strategy: both sides shuffle once on
+    the order-key hash)."""
+    from pgd_ray.stages.joins import range_join
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_shipdate"],
+    )
+    out = range_join(
+        orders, li,
+        left_key="o_orderkey", right_key="l_orderkey",
+        left_time="o_orderdate", right_time="l_shipdate",
+        before_us=0, after_us=30 * 86_400_000_000,
+        left_cols=["o_orderkey", "o_orderdate"],
+        right_cols=["l_partkey", "l_linenumber"],
+        right_time_as="ship_ts",
+        strategy="partitioned", num_partitions=32,
+    )
+    return out.select_columns(
+        ["o_orderkey", "o_orderdate", "l_partkey", "l_linenumber", "ship_ts"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -555,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_triangles": _q_vertex_triangles,
         "tumbling_counts": _q_tumbling_counts,
         "sessions": _q_sessions,
+        "asof_orders": _q_asof_orders,
+        "range_join_ship": _q_range_join_ship,
         "macro_approx_copurchase": _q_macro_approx_copurchase,
     }
 
@@ -681,6 +737,31 @@ SELECT user_id,
        CAST(MAX(ts) AS BIGINT) AS end_ts,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM g GROUP BY user_id, sidx""",
+        # -- stages.joins.asof_join: latest order per (user, event time);
+        # -- ties on o_orderdate -> min o_orderkey (the engine's tiebreak)
+        "asof_orders": """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts,
+         o.o_orderkey AS asof_orderkey,
+         ROUND(o.o_totalprice, 6) AS asof_totalprice,
+         CAST(epoch_us(o.o_orderdate) AS BIGINT) AS asof_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey ASC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, ts, asof_orderkey, asof_totalprice, asof_orderdate
+FROM ranked WHERE rn = 1""",
+        # -- stages.joins.range_join: lineitems shipped within 30 days
+        # -- of their order's date (inclusive interval)
+        "range_join_ship": """
+SELECT o.o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate,
+       l.l_partkey, l.l_linenumber,
+       CAST(epoch_us(l.l_shipdate) AS BIGINT) AS ship_ts
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY""",
         "embedding_neardup": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
