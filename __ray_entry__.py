@@ -173,6 +173,92 @@ FROM cl3
 """
 
 
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def _mulmod_sql(x: str, k: int) -> str:
+    """``x * k mod 2^64`` in HUGEINT-safe SQL (split k into 32-bit halves
+    so no intermediate product exceeds HUGEINT range)."""
+    k_hi, k_lo = k >> 32, k & (_M32 - 1)
+    return (f"((((({x}) // {_M32}) * {k_lo} + (({x}) % {_M32}) * {k_hi}) % {_M32}) * {_M32}"
+            f" + (({x}) % {_M32}) * {k_lo}) % {_M64}")
+
+
+def _splitmix_sql(raw: str, ln: str) -> str:
+    """splitmix64(raw ^ ln) as SQL — the exact finalizer used by
+    pgd_ray.text.hashing (xor-shift / multiply constants identical)."""
+
+    def u(x):
+        return f"CAST(({x}) AS UBIGINT)"
+
+    def h(x):
+        return f"CAST(({x}) AS HUGEINT)"
+
+    x0 = f"xor({u(raw)}, {u(ln)})"
+    x1 = u(f"(({h(x0)}) + {0x9E3779B97F4A7C15}) % {_M64}")
+    x2 = f"(SELECT xor(a, a >> 30) FROM (SELECT {x1} AS a))"
+    x3 = u(_mulmod_sql(h(x2), 0xBF58476D1CE4E5B9))
+    x4 = f"(SELECT xor(a, a >> 27) FROM (SELECT {x3} AS a))"
+    x5 = u(_mulmod_sql(h(x4), 0x94D049BB133111EB))
+    return f"(SELECT xor(a, a >> 31) FROM (SELECT {x5} AS a))"
+
+
+def _simhash_pairs_sql(docs_rel: str = "documents") -> str:
+    """Bit-exact SQL mirror of ``pgd_ray.text.dedup.simhash_dedup``:
+    per-token FNV-prime polynomial hash + splitmix64 finalizer (the
+    engine's ``_stable_hash64``), 64-bit majority-vote signature, then
+    ALL pairs at hamming <= 3.  The engine's 4x16-bit band blocking has
+    guaranteed recall at hamming <= 3 (pigeonhole), so uncapped
+    all-pairs SQL is semantically identical; verified bit-for-bit on
+    sf0.001/sf0.01/sf0.1 signatures and pair sets."""
+    sm = _splitmix_sql("raw", "CAST(L AS HUGEINT)")
+    return f"""
+WITH RECURSIVE
+pw(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, (p * {0x100000001B3}) % {_M64} FROM pw WHERE i < 255),
+tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                    x -> len(x) > 0)) AS tok
+  FROM {docs_rel}),
+toks_d AS (SELECT DISTINCT tok FROM tok),
+bytes AS (
+  SELECT tok, unnest(generate_series(1, length(tok))) AS i FROM toks_d),
+raws AS (
+  SELECT b.tok,
+         SUM(CAST(ord(substr(b.tok, b.i, 1)) AS HUGEINT) * pw.p) % {_M64} AS raw,
+         length(b.tok) AS L
+  FROM bytes b JOIN pw ON pw.i = b.i - 1
+  GROUP BY b.tok),
+uh AS (SELECT tok, {sm} AS h FROM raws),
+bitsums AS (
+  SELECT t.doc_id, g.bit,
+         SUM(CAST((uh.h >> g.bit) & 1 AS BIGINT)) AS ones,
+         COUNT(*) AS total
+  FROM tok t JOIN uh USING (tok)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) g
+  GROUP BY t.doc_id, g.bit),
+sig0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones >= total
+                  THEN (CAST(1 AS HUGEINT) * (CAST(1 AS UBIGINT) << bit))
+                  ELSE 0 END) % {_M64} AS packed
+  FROM bitsums GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN COALESCE(s.packed, 0) >= {1 << 63}
+                   THEN COALESCE(s.packed, 0) - {_M64}
+                   ELSE COALESCE(s.packed, 0) END AS BIGINT) AS simhash
+  FROM (SELECT doc_id FROM {docs_rel}) d LEFT JOIN sig0 s USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Ray-side helpers
 # ---------------------------------------------------------------------------
@@ -769,6 +855,37 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "simhash_pairs": _simhash_pairs_sql(),
+        # minhash_dedup: dup groups = connected components of the exact
+        # char-5-gram Jaccard >= 0.7 pair graph (group id = min doc_id).
+        # The Ray side reaches the same pair set via MinHash+LSH
+        # candidates (16 bands x 4 rows: miss probability < 1e-7 at
+        # J >= 0.9, the regime of the synthetic near-dups) + exact
+        # verify; equality checked empirically at sf0.001/sf0.01.
+        "minhash_dedup": r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
+  FROM (SELECT doc_id,
+        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
+        FROM (SELECT doc_id,
+              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
+              FROM documents)) ),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.7),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+walk(v, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.v),
+comp AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v)
+SELECT d.doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS dup_group
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id""",
         # -- round-2 additions: recursive-SQL iterative engines + SQL
         # -- mirrors for lang_id / univar (previously rows-only)
         "pagerank_copurchase": f"""
