@@ -27,17 +27,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _read(path: str, columns=None):
-    """read_parquet with schema metadata stripped (parquet's pandas
-    metadata blob makes schemas unhashable, which spams downstream
-    sort/groupby reduce tasks with warnings and skips a dedup fast
-    path)."""
-    import ray.data
+    """read_parquet with the file schema pre-stripped of the pandas
+    metadata blob (unhashable schemas spam every downstream task with
+    warnings and skip Ray's schema-dedup fast path)."""
+    from pgd_ray.util import read_parquet_clean
 
-    from pgd_ray.util import strip_schema_metadata
-
-    return ray.data.read_parquet(path, columns=columns).map_batches(
-        strip_schema_metadata, batch_format="pyarrow"
-    )
+    return read_parquet_clean(path, columns=columns)
 
 
 # ---------------------------------------------------------------------------

@@ -210,8 +210,9 @@ def _transcript_scale_suite(timings: dict, nw: int) -> None:
         open(os.path.join(cache, "_DONE"), "w").write("ok")
 
     t0 = time.perf_counter()
-    tds = ray.data.read_parquet(cache, columns=["conv_id", "turn_idx", "tool"],
-                                override_num_blocks=default_blocks())
+    from pgd_ray.util import read_parquet_clean
+    tds = read_parquet_clean(cache, columns=["conv_id", "turn_idx", "tool"],
+                             override_num_blocks=default_blocks())
     raw = edges_from_transcripts(tds, dedup=False)
     dense, csr, _ = build_graph(raw, dense=False)
     timings["transcripts5m_edges"] = time.perf_counter() - t0
@@ -280,7 +281,8 @@ def _synth_suite(timings: dict, nw: int) -> dict:
         open(os.path.join(cache, "_DONE"), "w").write("ok")
 
     t0 = time.perf_counter()
-    raw = ray.data.read_parquet(cache, override_num_blocks=4 * nw)
+    from pgd_ray.util import read_parquet_clean
+    raw = read_parquet_clean(cache, override_num_blocks=4 * nw)
     sdense, scsr, svids = build_graph(raw, blocks=6 * nw)
     timings["synth_etl"] = time.perf_counter() - t0
 

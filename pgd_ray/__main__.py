@@ -61,11 +61,10 @@ def main(argv=None) -> int:
 
     try:
         if args.transcripts:
-            import ray.data as rd
-
             from pgd_ray.sources.edges import edges_from_transcripts
+            from pgd_ray.util import read_parquet_clean
 
-            tds = rd.read_parquet(args.file)
+            tds = read_parquet_clean(args.file)
             eds = edges_from_transcripts(tds).materialize()
             vids = None
         else:

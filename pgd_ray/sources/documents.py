@@ -46,7 +46,9 @@ def read_documents(
     p = Path(path)
     suffix = p.suffix.lower()
     if suffix in (".parquet", ".pq") or p.is_dir():
-        ds = ray.data.read_parquet(
+        from pgd_ray.util import read_parquet_clean
+
+        ds = read_parquet_clean(
             str(p), columns=columns or ["doc_id", "text"], **read_kwargs
         )
         return _normalize_docs(ds, columns)

@@ -200,13 +200,12 @@ def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
     """
     from pgd_ray.util import default_blocks
 
-    li = ray.data.read_parquet(
+    from pgd_ray.util import read_parquet_clean
+
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"],
         override_num_blocks=default_blocks(),
     )
-    from pgd_ray.util import strip_schema_metadata
-
-    li = li.map_batches(strip_schema_metadata, batch_format="pyarrow")
     srt = li.sort("l_orderkey")
 
     def expand(t: pa.Table) -> pa.Table:

@@ -63,14 +63,13 @@ def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
     boundaries gets its rank offset fixed by a tiny driver-side pass
     over per-block fragment summaries (#fragments ≤ 2 × #blocks).
     """
-    ev = ray.data.read_parquet(
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
         override_num_blocks=_block_count(),
     )
-    from pgd_ray.util import strip_schema_metadata
-
-    ev = ev.map_batches(strip_schema_metadata, batch_format="pyarrow")
     srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
 
     # pass 1 (cheap): per-block fragment summary of the boundary users

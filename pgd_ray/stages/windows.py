@@ -26,7 +26,9 @@ from ray.data.aggregate import Count, Sum
 def tumbling_counts(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
     """Events per (event_type, hour window): columns
     (event_type, window_start, n_events, sum_value)."""
-    ev = ray.data.read_parquet(
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -58,11 +60,11 @@ def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     each block's boundary-user fragments are collapsed to (start, end,
     count, internal session pattern) summaries and stitched on the
     driver (≤ 2 fragments per block)."""
-    from pgd_ray.util import strip_schema_metadata
+    from pgd_ray.util import read_parquet_clean
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    )
     srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
 
     def block_sessions(t: pa.Table) -> pa.Table:

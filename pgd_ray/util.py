@@ -14,6 +14,33 @@ def strip_schema_metadata(t):
     return t
 
 
+def read_parquet_clean(path, columns=None, **kw):
+    """``ray.data.read_parquet`` with the file's schema pre-stripped of
+    metadata (the parquet ``pandas`` blob makes Arrow schemas
+    unhashable in this pyarrow build, so every read/sort/groupby task
+    logs "Failed to hash the schemas" and Ray skips its schema-dedup
+    fast path).  Passing the stripped — and, when ``columns`` is
+    given, projected — schema to the read itself fixes the noise at
+    the source with no extra pipeline stage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    p0 = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(p0):
+        names = sorted(n for n in os.listdir(p0) if n.endswith(".parquet"))
+        p0 = os.path.join(p0, names[0]) if names else None
+    try:
+        sch = pq.ParquetFile(p0).schema_arrow.remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+    except Exception:
+        sch = None  # odd layout (partitioned dirs etc.) — plain read
+    return ray.data.read_parquet(path, columns=columns, schema=sch, **kw)
+
+
 def default_blocks(factor: int = 2, floor: int = 8) -> int:
     """A sensible Dataset block count for this cluster: ~factor blocks
     per CPU.  Ray's default (200) drowns small/medium inputs in task

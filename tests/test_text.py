@@ -223,3 +223,37 @@ def test_read_documents_format_dispatch(tmp_path):
 
     with _pytest.raises(ValueError):
         read_documents(tmp_path / "docs.xml")
+
+
+def test_read_parquet_clean_strips_metadata(tmp_path):
+    """read_parquet_clean drops the pandas schema blob at the read
+    itself (unhashable schemas otherwise disable Ray's schema-dedup
+    fast path and spam warnings), for plain, projected and directory
+    inputs alike."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.5, 1.5, 2.5]})
+    f = tmp_path / "t.parquet"
+    df.to_parquet(f)  # attaches the pandas metadata blob
+    assert pq.ParquetFile(f).schema_arrow.metadata is not None
+
+    full = read_parquet_clean(str(f)).take_batch(3, batch_format="pyarrow")
+    assert full.schema.metadata is None
+    assert full.column_names == ["a", "b", "c"]
+    hash(full.schema)  # stripped schemas are hashable again
+
+    proj = read_parquet_clean(str(f), columns=["a", "c"]).take_batch(
+        3, batch_format="pyarrow"
+    )
+    assert proj.schema.metadata is None
+    assert proj.column_names == ["a", "c"]
+    assert proj["a"].to_pylist() == [1, 2, 3]
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    df.to_parquet(d / "p0.parquet")
+    dd = read_parquet_clean(str(d), columns=["b"]).take_batch(3, batch_format="pyarrow")
+    assert dd.schema.metadata is None and dd.column_names == ["b"]
