@@ -152,6 +152,7 @@ class RangeCSR:
             indptr=ray.get(indptr_ref),
             indices=ray.get(indices_ref),
             _refs=(indptr_ref, indices_ref),
+            range_csr=self,
         )
 
     def canonical_edges(self) -> ray.data.Dataset:

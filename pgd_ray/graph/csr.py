@@ -52,6 +52,12 @@ class CSRGraph:
     # neighbor lists; only functions.ordering.order_vertex_neighbors
     # sets this False (the kernels then re-normalize once)
     neighbors_sorted: bool = field(default=True, compare=False)
+    # back-pointer to the RangeCSR manifest this CSR was assembled
+    # from (block_csr.RangeCSR.to_csr).  Lets consumers that prefer
+    # per-range fragment files over the contiguous broadcast arrays
+    # (the sharded iterative engine) find them without plumbing a
+    # second handle through every call site.
+    range_csr: object | None = field(default=None, repr=False, compare=False)
 
     def degrees(self) -> np.ndarray:
         return np.diff(self.indptr)

@@ -211,7 +211,29 @@ class _ShardWorker:
         if fragment_path is not None:
             from pgd_ray.graph.block_csr import _read_fragment
 
-            _, _, indptr, indices = _read_fragment(fragment_path)
+            if isinstance(fragment_path, (list, tuple)):
+                # grouped ranges: [(v_lo, v_hi, path|None), ...] of
+                # CONTIGUOUS source ranges — concatenate their local
+                # (indptr, indices) into one range-local CSR.  Reading
+                # only this worker's fragment files (vs mapping the
+                # full broadcast arrays) keeps per-worker I/O at
+                # O(m/P) and avoids the 32-way concurrent page-fault
+                # storm on the shared 2m-entry indices object.
+                ptrs, idxs, base = [np.zeros(1, np.int64)], [], 0
+                for f_lo, f_hi, p in fragment_path:
+                    if p is None:
+                        ptrs.append(np.full(f_hi - f_lo, base, np.int64))
+                        continue
+                    _, _, fptr, fidx = _read_fragment(p)
+                    ptrs.append(fptr[1:] + base)
+                    idxs.append(fidx)
+                    base += len(fidx)
+                indptr = np.concatenate(ptrs)
+                indices = (
+                    np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+                )
+            else:
+                _, _, indptr, indices = _read_fragment(fragment_path)
             self.idx = indptr
             gathered = indices
         else:
@@ -478,20 +500,46 @@ class IterativeEngine:
         n = self.csr.n
         if n == 0:
             return state, 0
+        # NB: a block-built CSR carries its fragment manifest in
+        # csr.range_csr; pass it as ``range_csr`` when workers must
+        # not map the full broadcast arrays (the multi-node posture:
+        # per-worker I/O stays O(m/P)).  On one box the plasma arrays
+        # are shared pages, so the broadcast refs are FASTER to attach
+        # (~2 s vs ~4-5 s of per-fragment parquet decode at m=2e7,
+        # P=32) — hence opt-in, not automatic.
         if range_csr is not None:
-            bounds = np.asarray(range_csr.bounds, dtype=np.int64)
-            paths = dict(range_csr.paths)
-            refs = (None, None)
+            rb = np.asarray(range_csr.bounds, dtype=np.int64)
+            R = len(rb) - 1
+            P = max(1, min(self.n_workers, R))
+            # contiguous nnz-balanced grouping of the R ranges into P
+            # worker shards (R is typically several × n_workers)
+            nnz = np.array(
+                [range_csr.nnz.get(r, 0) for r in range(R)], dtype=np.int64
+            )
+            cum = np.cumsum(nnz)
+            total = int(cum[-1]) if R else 0
+            cuts = np.searchsorted(cum, (np.arange(1, P) * total) // P) + 1
+            cuts = np.unique(np.concatenate([[0], cuts, [R]]))
+            bounds = rb[cuts]
+            frag_groups = [
+                [
+                    (int(rb[r]), int(rb[r + 1]), range_csr.paths.get(r))
+                    for r in range(cuts[g], cuts[g + 1])
+                ]
+                for g in range(len(cuts) - 1)
+            ]
+            workers = [
+                _ShardWorker.remote(bounds, g, None, None, frag_groups[g])
+                for g in range(len(bounds) - 1)
+            ]
         else:
             blocks = _volume_blocks(self.csr, max(1, min(self.n_workers, n)))
             bounds = np.array([b[0] for b in blocks] + [n], dtype=np.int64)
-            paths = {}
             refs = self.csr.put()
-        P = len(bounds) - 1
-        workers = [
-            _ShardWorker.remote(bounds, r, refs[0], refs[1], paths.get(r))
-            for r in range(P)
-        ]
+            workers = [
+                _ShardWorker.remote(bounds, r, refs[0], refs[1], None)
+                for r in range(len(bounds) - 1)
+            ]
         try:
             needed = ray.get([w.meta.remote() for w in workers])
             state_ref = ray.put(state)

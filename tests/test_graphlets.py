@@ -107,3 +107,28 @@ def test_identities_and_gfd():
     assert abs(g.sum() - 1.0) < 1e-12
     assert len(gfd(mac, "connected")) == 6
     assert len(gfd(mac, "disconnected")) == 5
+
+
+def test_hub_skew_star_plus_clique():
+    """Skew mitigation: a 20k-spoke hub star welded to a K6 clique.
+    The hub edge volume is pathological (one vertex touches every
+    spoke), exercising the adaptive heavy-edge routing; counts have a
+    closed form, so correctness and termination are both checked."""
+    h = 20_000  # hub spokes
+    k = 6       # clique vertices (ids h+1 .. h+6); hub is vertex 0
+    cl = [(h + a, h + b) for a in range(1, k + 1) for b in range(a + 1, k + 1)]
+    src = np.array([0] * h + [a for a, _ in cl] + [0] * k, np.int64)
+    dst = np.array(list(range(1, h + 1)) + [b for _, b in cl]
+                   + [h + i for i in range(1, k + 1)], np.int64)
+    n = h + k + 1
+    mobj = _macro_from_arrays(src, dst, n)
+    mac = mobj.counts
+    import math
+    C = math.comb
+    # hub joins every clique vertex, so triangles = C(k,2) (inside K6,
+    # which is K7 with the hub) ... the hub+K6 form K7; spokes add none.
+    assert mac["total_3_tris"] == C(7, 3)
+    assert mac["total_4_clique"] == C(7, 4)
+    d0 = h + k  # hub degree
+    assert mac["total_2_1edge"] == h + C(k, 2) + k
+    assert mobj.total_wedges == C(d0, 2) + k * C(6, 2)

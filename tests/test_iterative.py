@@ -189,3 +189,36 @@ def test_sharded_engine_from_range_csr(tmp_path):
         range_csr=rcsr,
     )
     assert np.array_equal(got, connected_components(csr, engine="actors"))
+
+
+def test_sharded_engine_groups_ranges_to_worker_count(tmp_path):
+    """More fragment ranges than workers: contiguous nnz-balanced
+    grouping (each worker concatenates several fragment files) must
+    stay bit-identical to the broadcast-arrays path for PR and CC."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.graph.block_csr import build_range_csr
+    from pgd_ray.graph.iterative import IterativeEngine
+
+    edges = sorted(random_graph(400, 0.03, seed=11))
+    src = np.array([a for a, b in edges], dtype=np.int64)
+    dst = np.array([b for a, b in edges], dtype=np.int64)
+    rcsr, _ = build_range_csr(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})),
+        n=400, num_ranges=7, out_dir=tmp_path,
+    )
+    csr = rcsr.to_csr()
+    for prog, init in (
+        ("pagerank", np.full(400, 1.0 / 400)),
+        ("cc", np.arange(400, dtype=np.int64)),
+    ):
+        eng = IterativeEngine(csr, prog, n_workers=3, engine="sharded")
+        got, _ = eng.run(init.copy(), lambda s: {"alpha": 0.85, "base": 0.15 / 400}
+                         if prog == "pagerank" else {},
+                         lambda d: d == 0.0, 50, range_csr=rcsr)
+        eng2 = IterativeEngine(csr, prog, n_workers=3, engine="sharded")
+        want, _ = eng2.run(init.copy(), lambda s: {"alpha": 0.85, "base": 0.15 / 400}
+                           if prog == "pagerank" else {},
+                           lambda d: d == 0.0, 50)
+        assert np.array_equal(got, want), prog
