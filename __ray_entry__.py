@@ -6,10 +6,11 @@ exposes one callable per implemented operator from SURVEY.md §2; and
 ``oracle_sql()`` provides the DuckDB-equivalent SQL for every
 SQL-expressible query — including the iterative engines (PageRank /
 k-core / label propagation as recursive CTEs with aggregation in the
-recursive term), the language heuristic and the univariate stats.
-Only the MinHash/SimHash sketches (no per-character loop exists in
-SQL), the stubbed media decode, and the sampled approximation remain
-rows-only checked.
+recursive term), the language heuristic, the univariate stats, a
+bit-exact splitmix64 SimHash mirror, MinHash dup groups as recursive
+connected components of the exact-Jaccard pair graph, and the composed
+clean_corpus hygiene pipeline end-to-end.  Only the sampled graphlet
+approximation remains rows-only checked (approximate by design).
 
 Ray is initialised by the driver BEFORE this module is imported — no
 ``ray.init`` / ``ray.shutdown`` anywhere below.
@@ -478,6 +479,15 @@ def _q_minhash_dedup(sf_dir):
     return minhash_lsh_dedup(docs, threshold=0.7)
 
 
+def _q_clean_corpus(sf_dir):
+    """Composed hygiene pipeline: lang+quality filter, exact dedup,
+    MinHash near-dedup — see pgd_ray.pipelines.clean_corpus."""
+    from pgd_ray.pipelines.clean_corpus import clean_corpus
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return clean_corpus(docs)
+
+
 def _q_simhash_pairs(sf_dir):
     import ray.data
 
@@ -682,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
+        "clean_corpus": _q_clean_corpus,
         "topk_cosine": _q_topk_cosine,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -851,6 +862,73 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45""",
         "simhash_pairs": _simhash_pairs_sql(),
+        # clean_corpus: END-TO-END mirror of the composed hygiene
+        # pipeline (pipelines.clean_corpus) — lang filter + quality
+        # filter + exact-dedup (min doc_id per md5) + near-dedup
+        # (connected components of the exact char-5-gram Jaccard
+        # >= 0.7 graph, keep each component's min).  Composes the
+        # individually-oracled lang_id / text_stats / exact_dedup /
+        # minhash_dedup fragments.
+        "clean_corpus": r"""
+WITH RECURSIVE
+st AS (
+  SELECT doc_id, token_count,
+         ROUND(0.4*least(n_chars/200.0, 1.0)
+               + 0.5*(word_count/CAST(greatest(token_count,1) AS DOUBLE))
+               + 0.1*(1.0 - digit_count/CAST(greatest(n_chars,1) AS DOUBLE)), 6) AS quality
+  FROM (SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS token_count,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS word_count,
+               CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count
+        FROM documents)),
+lg AS (
+  SELECT doc_id, CASE
+    WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+    WHEN de = greatest(de, en, es, fr) THEN 'de'
+    WHEN en = greatest(de, en, es, fr) THEN 'en'
+    WHEN es = greatest(de, en, es, fr) THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM (SELECT doc_id,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['das','den','der','die','ein','ist','mit','nicht','und','zu'], x))) AS de,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['a','and','for','in','is','it','of','that','the','to'], x))) AS en,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['el','es','la','las','los','por','que','un','una','y'], x))) AS es,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['des','est','et','la','le','les','pour','que','un','une'], x))) AS fr
+  FROM documents)),
+filt AS (
+  SELECT d.doc_id, st.token_count, st.quality, md5(d.text) AS h, d.text
+  FROM documents d JOIN st USING (doc_id) JOIN lg USING (doc_id)
+  WHERE lg.lang_pred = 'en' AND st.quality >= 0.9),
+ex AS (
+  SELECT * FROM filt
+  WHERE doc_id = (SELECT MIN(f2.doc_id) FROM filt f2 WHERE f2.h = filt.h)),
+sh AS (
+  SELECT doc_id,
+    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
+  FROM (SELECT doc_id,
+        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
+        FROM (SELECT doc_id,
+              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
+              FROM ex)) ),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.7),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+walk(v, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.v),
+comp AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v)
+SELECT e.doc_id, e.token_count, e.quality
+FROM ex e LEFT JOIN comp c ON c.v = e.doc_id
+WHERE c.comp IS NULL OR c.comp = e.doc_id""",
         # minhash_dedup: dup groups = connected components of the exact
         # char-5-gram Jaccard >= 0.7 pair graph (group id = min doc_id).
         # The Ray side reaches the same pair set via MinHash+LSH

@@ -257,3 +257,36 @@ def test_read_parquet_clean_strips_metadata(tmp_path):
     df.to_parquet(d / "p0.parquet")
     dd = read_parquet_clean(str(d), columns=["b"]).take_batch(3, batch_format="pyarrow")
     assert dd.schema.metadata is None and dd.column_names == ["b"]
+
+
+def test_clean_corpus_composed_semantics():
+    """The composed hygiene pipeline: exact dups collapse to the min
+    doc_id, near-dups collapse via the verified-pair components, low
+    quality / wrong language rows drop, and empty inputs keep their
+    typed schema."""
+    import pyarrow as pa
+    import ray.data
+
+    from pgd_ray.pipelines.clean_corpus import clean_corpus
+
+    base = ("the cat and the dog are in the house and it is good "
+            "for all of that to be here")
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([base, base, base, base + " indeed",
+                          "completely different words about that and "
+                          "the other things for it to be"], pa.string()),
+    }))
+    out = clean_corpus(docs, quality_min=0.0)
+    assert out["doc_id"].tolist() == [1, 5]  # 2,3 exact dups; 4 near-dup
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    e = clean_corpus(empty)
+    assert len(e) == 0
+    assert list(e.columns) == ["doc_id", "token_count", "quality"]
+
+    digits = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["123 456", "999"], pa.string())}))
+    assert len(clean_corpus(digits)) == 0  # lang 'und' + low quality
