@@ -200,6 +200,134 @@ def _splitmix_sql(raw: str, ln: str) -> str:
     return f"(SELECT xor(a, a >> 31) FROM (SELECT {x5} AS a))"
 
 
+def _fdiv_sql(a: str, b: str) -> str:
+    """Python floor-division semantics in SQL for positive divisors
+    (DuckDB's ``//`` truncates toward zero; the engine's closure uses
+    Python ``//`` which floors — they differ on the negative
+    intermediates a noisy sampled estimate can produce)."""
+    return (f"CASE WHEN ({a}) >= 0 THEN ({a}) // ({b})"
+            f" ELSE -((-({a}) + ({b}) - 1) // ({b})) END")
+
+
+def _edgemix_sql(seed: int) -> str:
+    """The engine's content-hash edge sampler as SQL: splitmix64-style
+    mix of (src*A + dst*B + seed) — identical constants and shift
+    chain to graphlets.graphlet_macro_approx, so the sampled edge set
+    matches bit-for-bit."""
+    A_, B_, C3_ = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def u(x):
+        return f"CAST(({x}) AS UBIGINT)"
+
+    def h(x):
+        return f"CAST(({x}) AS HUGEINT)"
+
+    x0 = f"({_mulmod_sql(h('src'), A_)} + {_mulmod_sql(h('dst'), B_)} + {seed}) % {_M64}"
+    x2 = f"(SELECT xor(a, a >> 30) FROM (SELECT {u(x0)} AS a))"
+    x4 = f"(SELECT xor(a, a >> 27) FROM (SELECT {u(_mulmod_sql(h(x2), B_))} AS a))"
+    x6 = f"(SELECT xor(a, a >> 31) FROM (SELECT {u(_mulmod_sql(h(x4), C3_))} AS a))"
+    return h(x6)
+
+
+def _macro17_approx_sql(edge_cte: str, n_expr: str,
+                        fraction: float = 0.1, seed: int = 42) -> str:
+    """Sampled-estimator mirror of ``_macro17_sql``: per-edge equation
+    terms are computed against the FULL graph but summed only over the
+    content-hash p-sample (same hash+threshold as the engine), scaled
+    by 1/p, then pushed through the identical closure — bit-exact vs
+    ``graphlets.graphlet_macro_approx``."""
+    thresh = int(fraction * 2.0**64)
+    sc = round(1.0 / fraction)
+    fdiv = _fdiv_sql
+    return f"""
+WITH {edge_cte},
+{_S_CTE},
+{_D_CTE},
+nn AS (SELECT CAST({n_expr} AS BIGINT) AS n),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+es AS (SELECT src, dst FROM e WHERE {_edgemix_sql(seed)} < {thresh}),
+pe AS (
+  SELECT es.src, es.dst, d1.degree AS dv, d2.degree AS du,
+    (SELECT COUNT(*) FROM s s1 JOIN s s2 ON s1.dst = s2.dst
+      WHERE s1.src = es.src AND s2.src = es.dst) AS tri,
+    (SELECT COUNT(*) FROM e wx
+      WHERE EXISTS (SELECT 1 FROM s WHERE s.src = es.src AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = es.src AND s.dst = wx.dst)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = es.dst AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = es.dst AND s.dst = wx.dst)) AS clq,
+    (SELECT COUNT(*) FROM s w_adj, s x_adj, s wx
+      WHERE w_adj.src = es.dst AND w_adj.dst <> es.src
+        AND w_adj.dst NOT IN (SELECT s2.dst FROM s s2 WHERE s2.src = es.src)
+        AND x_adj.src = es.src AND x_adj.dst <> es.dst
+        AND x_adj.dst NOT IN (SELECT s3.dst FROM s s3 WHERE s3.src = es.dst)
+        AND wx.src = w_adj.dst AND wx.dst = x_adj.dst) AS cyc
+  FROM es JOIN d d1 ON d1.v = es.src JOIN d d2 ON d2.v = es.dst),
+pe2 AS (
+  SELECT *, dv - tri - 1 AS wv, du - tri - 1 AS wu,
+         (dv - tri - 1) + (du - tri - 1) AS s3,
+         (dv - tri - 1) + (du - tri - 1) + tri + 2 AS un
+  FROM pe),
+agg AS (
+  SELECT CAST({sc}*COUNT(*) AS BIGINT) AS cnt,
+         CAST({sc}*COALESCE(SUM(tri),0) AS BIGINT) AS stri,
+         CAST({sc}*COALESCE(SUM(s3),0) AS BIGINT) AS sstar3,
+         CAST({sc}*COALESCE(SUM(clq),0) AS BIGINT) AS sclq,
+         CAST({sc}*COALESCE(SUM(cyc),0) AS BIGINT) AS scyc,
+         CAST({sc}*COALESCE(SUM(tri*(tri-1)//2),0) AS BIGINT) AS n3,
+         CAST({sc}*COALESCE(SUM(tri*s3),0) AS BIGINT) AS n4,
+         CAST({sc}*COALESCE(SUM(wv*wu),0) AS BIGINT) AS n5,
+         CAST({sc}*COALESCE(SUM(wv*(wv-1)//2 + wu*(wu-1)//2),0) AS BIGINT) AS n6,
+         CAST({sc}*COALESCE(SUM(dv+du),0) AS BIGINT) AS sdvdu,
+         CAST({sc}*COALESCE(SUM(un),0) AS BIGINT) AS ss,
+         CAST({sc}*COALESCE(SUM(un*un),0) AS BIGINT) AS ss2,
+         CAST({sc}*COALESCE(SUM(s3*un),0) AS BIGINT) AS sstar3s,
+         CAST({sc}*COALESCE(SUM(tri*un),0) AS BIGINT) AS stris
+  FROM pe2),
+cl AS (
+  SELECT (SELECT n FROM nn) AS n, (SELECT m FROM mm) AS m, a.*,
+         a.cnt*((SELECT m FROM mm)+1) - a.sdvdu AS n7,
+         a.cnt*((SELECT n FROM nn)*((SELECT n FROM nn)-1)//2)
+           - (SELECT n FROM nn)*a.ss + (a.ss2 + a.ss)//2 AS n8,
+         (SELECT n FROM nn)*a.sstar3 - a.sstar3s AS n9,
+         (SELECT n FROM nn)*a.stri - a.stris AS n10,
+         a.cnt*(SELECT n FROM nn) - a.ss AS s31,
+         {fdiv('a.stri','3')} AS tris, {fdiv('a.sstar3','2')} AS star2,
+         {fdiv('a.sclq','6')} AS clique, {fdiv('a.scyc','4')} AS cycle
+  FROM agg a),
+cl2 AS (
+  SELECT *, n3 - 6*clique AS chord, n5 - 4*cycle AS path,
+         {fdiv('n4 - 4*(n3 - 6*clique)','2')} AS tailed
+  FROM cl),
+cl3 AS (
+  SELECT *,
+    {fdiv('n6 - tailed','3')} AS star3t,
+    {fdiv('n7 - 6*clique - 4*cycle - 4*chord - 2*path - 2*tailed','2')} AS e2
+  FROM cl2)
+SELECT
+  CAST(m AS BIGINT) AS total_2_1edge,
+  CAST(n*(n-1)//2 - m AS BIGINT) AS total_2_indep,
+  CAST(tris AS BIGINT) AS total_3_tris,
+  CAST(star2 AS BIGINT) AS total_2_star,
+  CAST(s31 AS BIGINT) AS total_3_1edge,
+  CAST(n*(n-1)*(n-2)//6 - (tris + star2 + s31) AS BIGINT) AS total_3_indep,
+  CAST(clique AS BIGINT) AS total_4_clique,
+  CAST(chord AS BIGINT) AS total_4_chordcycle,
+  CAST(tailed AS BIGINT) AS total_4_tailed_tris,
+  CAST(cycle AS BIGINT) AS total_4_cycle,
+  CAST(star3t AS BIGINT) AS total_3_star,
+  CAST(path AS BIGINT) AS total_4_path,
+  CAST(n8 - 2*e2 AS BIGINT) AS total_4_1edge,
+  CAST(e2 AS BIGINT) AS total_4_2edge,
+  CAST({fdiv('n9 - 2*path','2')} AS BIGINT) AS total_4_2star,
+  CAST({fdiv('n10 - tailed','3')} AS BIGINT) AS total_4_tri,
+  CAST(n*(n-1)*(n-2)*(n-3)//24
+       - (clique + chord + tailed + cycle + star3t + path
+          + (n8 - 2*e2) + e2 + ({fdiv('n9 - 2*path','2')}) + ({fdiv('n10 - tailed','3')}))
+       AS BIGINT) AS total_4_indep
+FROM cl3
+"""
+
+
 def _simhash_pairs_sql(docs_rel: str = "documents") -> str:
     """Bit-exact SQL mirror of ``pgd_ray.text.dedup.simhash_dedup``:
     per-token FNV-prime polynomial hash + splitmix64 finalizer (the
@@ -585,11 +713,15 @@ def _q_sessions(sf_dir):
     return sessionize(sf_dir)
 
 
-def _q_macro_approx_copurchase(sf_dir):
+def _q_macro_approx_tool_graph(sf_dir):
+    """Sampled graphlet estimator on the tool graph — the content-hash
+    sampler makes even this APPROXIMATE operator bit-reproducible in
+    SQL (oracle mirrors the same hash, threshold, 1/p scaling and
+    closure)."""
     from pgd_ray.graph.graphlets import graphlet_macro_approx
 
-    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
-    mac = graphlet_macro_approx(dense, csr, fraction=0.1)
+    eds, csr, vocab = _tool_graph(sf_dir)
+    mac = graphlet_macro_approx(eds, csr, fraction=0.1)
     return _macro_frame(mac)
 
 
@@ -703,7 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
-        "macro_approx_copurchase": _q_macro_approx_copurchase,
+        "macro_approx_tool_graph": _q_macro_approx_tool_graph,
     }
 
 
@@ -768,6 +900,9 @@ w AS (SELECT CAST(SUM(degree*(degree-1)//2) AS BIGINT) AS wedges FROM d)
 SELECT (SELECT wedges FROM w) AS total_wedges,
        ROUND(3.0*(SELECT t FROM tr) / (SELECT wedges FROM w), 9) AS global_cc""",
         "macro_tool_graph": _macro17_sql(
+            _TE_CTE, "(SELECT COUNT(DISTINCT tool) FROM t)"
+        ),
+        "macro_approx_tool_graph": _macro17_approx_sql(
             _TE_CTE, "(SELECT COUNT(DISTINCT tool) FROM t)"
         ),
         "cc_copurchase": f"""

@@ -740,8 +740,33 @@ def graphlet_macro_approx(
     ``sort_edges`` hook semantics (graphlet_core.cpp:837-851) with a
     FIXED seed: run the kernel on a p-sample of edges and scale the
     per-edge equation sums by 1/p before the closure.  Unbiased for
-    every total that is a sum over edges; exact n/m terms are kept."""
-    sample = canonical_ds.random_sample(fraction, seed=seed)
+    every total that is a sum over edges; exact n/m terms are kept.
+
+    The sample is CONTENT-HASH based (splitmix64-style mix of
+    (src, dst, seed) against a p·2^64 threshold), not RNG-based: the
+    selected edge set is a pure function of edge values, so it is
+    invariant to partitioning/block layout and reproducible in SQL —
+    the driver oracle ``macro_approx_copurchase`` mirrors the same
+    hash and threshold exactly."""
+    thresh = np.uint64(int(fraction * 2.0**64)) if fraction < 1.0 else None
+    A = np.uint64(0x9E3779B97F4A7C15)
+    B = np.uint64(0xBF58476D1CE4E5B9)
+    C3 = np.uint64(0x94D049BB133111EB)
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        if thresh is None:
+            return t
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = src * A + dst * B + np.uint64(seed)
+        x ^= x >> np.uint64(30)
+        x *= B
+        x ^= x >> np.uint64(27)
+        x *= C3
+        x ^= x >> np.uint64(31)
+        return t.filter(pa.array(x < thresh))
+
+    sample = canonical_ds.map_batches(hash_sample, batch_format="pyarrow")
     partials = sample.map_batches(
         _kernel_stage(csr, "macro"),
         batch_format="pyarrow",
