@@ -9,8 +9,9 @@ k-core / label propagation as recursive CTEs with aggregation in the
 recursive term), the language heuristic, the univariate stats, a
 bit-exact splitmix64 SimHash mirror, MinHash dup groups as recursive
 connected components of the exact-Jaccard pair graph, and the composed
-clean_corpus hygiene pipeline end-to-end.  Only the sampled graphlet
-approximation remains rows-only checked (approximate by design).
+clean_corpus hygiene pipeline end-to-end, and the sampled graphlet
+estimator (content-hash sampling → bit-reproducible in SQL).  Every
+query key has an oracle entry.
 
 Ray is initialised by the driver BEFORE this module is imported — no
 ``ray.init`` / ``ray.shutdown`` anywhere below.
