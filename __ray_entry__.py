@@ -794,6 +794,44 @@ def _q_range_join_ship(sf_dir):
     )
 
 
+def _q_hopping_counts(sf_dir):
+    """Overlapping 1h windows hopping by 15min (each event lands in 4
+    windows) — stages.windows.hopping_counts."""
+    from pgd_ray.stages.windows import hopping_counts
+
+    df = hopping_counts(sf_dir).to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    return df
+
+
+def _q_heavy_hitters(sf_dir):
+    """Top-3 event types per user by count — stages.topn.heavy_hitters
+    (sorted-block rank + boundary stitch; no map_groups)."""
+    from pgd_ray.stages.topn import heavy_hitters
+
+    return heavy_hitters(sf_dir, k=3)
+
+
+def _q_sample_docs(sf_dir):
+    """Deterministic 25% content-hash document sample —
+    text.sampling.sample_by_hash (md5 16-bit prefix threshold)."""
+    from pgd_ray.text.sampling import sample_by_hash
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    return sample_by_hash(docs, threshold_16bit=0x4000).select_columns(
+        ["doc_id", "n_chars", "h4"]
+    )
+
+
+def _q_vocab_topk(sf_dir):
+    """Corpus vocabulary: top-100 [A-Za-z]+ tokens by occurrence count
+    (ties -> token asc) — text.analysis.vocab_topk."""
+    from pgd_ray.text.analysis import vocab_topk
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_topk(docs, n=100)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -837,6 +875,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
         "macro_approx_tool_graph": _q_macro_approx_tool_graph,
+        "hopping_counts": _q_hopping_counts,
+        "heavy_hitters": _q_heavy_hitters,
+        "sample_docs": _q_sample_docs,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -947,6 +989,31 @@ et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
        GROUP BY e.src, e.dst),
 up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et)
 SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
+        "hopping_counts": """
+WITH o AS (SELECT unnest(generate_series(0, 3)) AS i)
+SELECT event_type,
+       CAST((epoch_us(ts) // 900000000 - o.i) * 900000000 AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events CROSS JOIN o
+GROUP BY event_type, window_start""",
+        "heavy_hitters": """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n_events DESC, event_type) AS rnk
+      FROM c)
+SELECT user_id, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3""",
+        "sample_docs": """
+SELECT doc_id, n_chars, substr(md5(text), 1, 4) AS h4
+FROM documents WHERE substr(md5(text), 1, 4) < '4000'""",
+        "vocab_topk": """
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
+             FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
+FROM tok GROUP BY token
+ORDER BY n_total DESC, token LIMIT 100""",
         "tumbling_counts": """
 SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start,

@@ -50,6 +50,49 @@ def tumbling_counts(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dat
     )
 
 
+def hopping_counts(
+    sf_dir: str,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+) -> ray.data.Dataset:
+    """Overlapping (hopping/sliding) windows: size ``window_us``
+    advancing by ``hop_us`` (must divide the size).  Each event lands
+    in ``window_us // hop_us`` windows; the expansion is a vectorized
+    per-batch repeat (no shuffle grows beyond the tumbling case by more
+    than that constant factor), then one hash aggregation — the same
+    scale shape as ``tumbling_counts``.  Columns
+    (event_type, window_start, n_events, sum_value)."""
+    from pgd_ray.util import read_parquet_clean
+
+    if window_us % hop_us:
+        raise ValueError("hop_us must divide window_us")
+    k = window_us // hop_us
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = ts // hop_us
+        win = (np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us
+        row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return pa.table(
+            {
+                "event_type": t["event_type"].take(row_idx),
+                "window_start": win,
+                "value": t["value"].take(row_idx),
+            }
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
 def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     """Per-user sessions split at gaps > ``gap_us``.  Returns one row
     per session: (user_id, session_idx, n_events, start_ts, end_ts)

@@ -141,3 +141,43 @@ def fingerprints(docs: ray.data.Dataset, concurrency=(1, 16)) -> ray.data.Datase
     return docs.select_columns(["doc_id", "text"]).map_batches(
         Fingerprint, batch_format="pandas", batch_size=4096, concurrency=concurrency
     )
+
+
+class _TokenCounts:
+    """Per-batch partial token counts: findall + np.unique inside the
+    batch, so the downstream ``groupby("token").sum`` shuffles at most
+    (vocab-per-batch) rows per batch, never one row per token
+    occurrence.  Pattern ``[A-Za-z]+`` is byte-identical between
+    Python re and DuckDB's RE2 (no case folding, maximal munch)."""
+
+    def __init__(self):
+        self.tok = re.compile(WORD_RE)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        # one C-level findall over the joined batch ("\n" cannot occur
+        # inside an [A-Za-z]+ token, so joining never merges tokens)
+        toks = self.tok.findall("\n".join(b["text"].fillna("")))
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        u, c = np.unique(np.asarray(toks, dtype="U"), return_counts=True)
+        return pd.DataFrame({"token": u.astype(object), "n": c.astype("int64")})
+
+
+def vocab_topk(
+    docs: ray.data.Dataset, n: int = 100, concurrency=(1, 16)
+) -> ray.data.Dataset:
+    """Top ``n`` ``[A-Za-z]+`` tokens by total occurrence count across
+    the corpus (ties → token asc).  Partial per-batch counts →
+    ``groupby("token")`` sum → distributed sort → limit: the shuffle
+    carries one row per distinct (batch, token), and the final
+    ordered head streams.  Columns (token, n_total)."""
+    from ray.data.aggregate import Sum
+
+    partial = docs.select_columns(["text"]).map_batches(
+        _TokenCounts, batch_format="pandas", batch_size=4096, concurrency=concurrency
+    )
+    totals = partial.groupby("token").aggregate(Sum("n", alias_name="n_total"))
+    return totals.sort(["n_total", "token"], descending=[True, False]).limit(n)

@@ -1,0 +1,122 @@
+"""Round-2 training-pipeline additions: grouped top-k, hopping
+windows, deterministic hash sampling, vocabulary top-k."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from pgd_ray.stages.topn import grouped_topk, heavy_hitters
+from pgd_ray.stages.windows import hopping_counts, tumbling_counts
+from pgd_ray.text.analysis import vocab_topk
+from pgd_ray.text.sampling import sample_by_hash
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_ref(df, group, order, ascending, k):
+    df = df.sort_values([group, *order], ascending=[True, *ascending],
+                        kind="stable", ignore_index=True)
+    df["rnk"] = (df.groupby(group).cumcount() + 1).astype("int64")
+    return df[df["rnk"] <= k].reset_index(drop=True)
+
+
+def test_grouped_topk_groups_spanning_blocks():
+    """Groups large enough to straddle sorted-block boundaries must be
+    re-ranked exactly by the driver stitch."""
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 37, n),          # big groups: span blocks
+            "score": rng.integers(0, 50, n),
+            "tie": np.arange(n, dtype=np.int64),  # total order
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)  # many input blocks
+    out = (
+        grouped_topk(ds, "g", ["score", "tie"], [True, False], k=5)
+        .to_pandas()
+        .sort_values(["g", "rnk"], ignore_index=True)
+    )
+    ref = _topk_ref(df, "g", ["score", "tie"], [False, True], 5).sort_values(
+        ["g", "rnk"], ignore_index=True
+    )
+    assert out[["g", "score", "tie", "rnk"]].equals(ref[["g", "score", "tie", "rnk"]])
+
+
+def test_grouped_topk_small_groups_many_blocks():
+    rng = np.random.default_rng(11)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 2_000, n),  # mostly tiny/absent groups
+            "score": rng.integers(0, 9, n),
+            "tie": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)
+    out = (
+        grouped_topk(ds, "g", ["score", "tie"], [True, False], k=2)
+        .to_pandas()
+        .sort_values(["g", "rnk"], ignore_index=True)
+    )
+    ref = _topk_ref(df, "g", ["score", "tie"], [False, True], 2).sort_values(
+        ["g", "rnk"], ignore_index=True
+    )
+    assert out[["g", "score", "tie", "rnk"]].equals(ref[["g", "score", "tie", "rnk"]])
+
+
+def test_heavy_hitters_matches_pandas():
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    c = (
+        ev.groupby(["user_id", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_events"})
+    )
+    c["n_events"] = c["n_events"].astype("int64")
+    ref = _topk_ref(c, "user_id", ["n_events", "event_type"], [False, True], 3)
+    out = heavy_hitters(SF, k=3).to_pandas()
+    key = ["user_id", "event_type", "n_events", "rnk"]
+    a = out[key].sort_values(key, ignore_index=True)
+    b = ref[key].sort_values(key, ignore_index=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_hopping_counts_event_mass():
+    """Every event contributes to exactly window/hop windows, and the
+    tumbling windows are a subset grid of the hopping ones."""
+    hop = hopping_counts(SF).to_pandas()
+    tum = tumbling_counts(SF).to_pandas()
+    assert hop["n_events"].sum() == 4 * tum["n_events"].sum() == 4 * 1000
+    assert (hop["window_start"] % 900_000_000 == 0).all()
+
+
+def test_sample_by_hash_deterministic_and_nested():
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    s25 = sample_by_hash(docs, threshold_16bit=0x4000).to_pandas()
+    s50 = sample_by_hash(docs, threshold_16bit=0x8000).to_pandas()
+    # deterministic: matches a direct per-row md5
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    h4 = texts["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()[:4])
+    assert set(s25["doc_id"]) == set(texts["doc_id"][h4 < "4000"])
+    # nested: a lower-rate sample is a subset of a higher-rate one
+    assert set(s25["doc_id"]) <= set(s50["doc_id"])
+    assert 0 < len(s25) < len(s50) < len(texts)
+
+
+def test_vocab_topk_matches_brute_force():
+    import re
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    counts = {}
+    for t in texts["text"]:
+        for tok in re.findall(r"[A-Za-z]+", t or ""):
+            counts[tok] = counts.get(tok, 0) + 1
+    ref = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = vocab_topk(docs, n=20).to_pandas()
+    assert list(zip(out["token"], out["n_total"])) == ref
