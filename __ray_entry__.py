@@ -832,6 +832,22 @@ def _q_vocab_topk(sf_dir):
     return vocab_topk(docs, n=100)
 
 
+def _q_quantiles_value(sf_dir):
+    """Distributed EXACT quantiles of events.value with NO global sort
+    (histogram-refinement rank selection) — stages.quantiles.
+    bins/fetch_cap forced low so even sf0.001 exercises a refinement
+    round."""
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["value"])
+    df = exact_quantiles(
+        ev, "value", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99],
+        bins=64, fetch_cap=100,
+    )
+    df["value"] = df["value"].round(6)
+    return df
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -879,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "sample_docs": _q_sample_docs,
         "vocab_topk": _q_vocab_topk,
+        "quantiles_value": _q_quantiles_value,
     }
 
 
@@ -1014,6 +1031,12 @@ WITH tok AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
 FROM tok GROUP BY token
 ORDER BY n_total DESC, token LIMIT 100""",
+        "quantiles_value": """
+WITH qs(q) AS (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99)),
+n AS (SELECT COUNT(*) AS c FROM events),
+s AS (SELECT value AS x, row_number() OVER (ORDER BY value) - 1 AS r FROM events)
+SELECT CAST(qs.q AS DOUBLE) AS q, ROUND(s.x, 6) AS value
+FROM qs, n, s WHERE s.r = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)""",
         "tumbling_counts": """
 SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start,

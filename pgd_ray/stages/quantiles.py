@@ -1,0 +1,154 @@
+"""Distributed EXACT quantiles without a global sort.
+
+``stages.univar`` walks a fully sorted column (fine for micro-count
+tables); at 100 TB a global sort of one column is an all-to-all
+shuffle that exists only to read back a handful of ranks.  This
+module selects exact order statistics with histogram refinement
+instead:
+
+1. one aggregate pass → (n, min, max); target rank per quantile is
+   ``floor(q * (n-1))`` (0-based over the sorted column — mirrored in
+   SQL as ``row_number() - 1``).
+2. per round, ONE streaming ``map_batches`` pass computes, for every
+   still-unresolved value interval, a fixed-width histogram plus the
+   per-bin true (vmin, vmax); a ``groupby((interval, bin))`` sum
+   reduces ≤ bins × #intervals rows to the driver.
+3. each rank walks into its bin: the new interval is that bin's
+   [vmin, vmax] (actual values, tighter than the bin edges), the rank
+   offset grows by the mass below the bin.  A bin with vmin == vmax
+   IS the answer.  Since an interval's min and max always land in
+   different bins, the candidate count strictly decreases — guaranteed
+   termination with no equal-value pathologies.
+4. an interval whose count ≤ ``fetch_cap`` is fetched outright
+   (vectorized filter → driver sort of a bounded array).
+
+Rounds needed ≈ log_bins(n / fetch_cap): 2 passes cover 10^13 rows at
+the defaults.  The reference has no quantile operator beyond the
+univar index rule (graphlet_univar_stats.h:75-108); this is the scale
+path promised in ``stages/univar.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    bins: int = 2048,
+    fetch_cap: int = 1 << 21,
+) -> pd.DataFrame:
+    """Exact value at 0-based sorted rank ``floor(q * (n-1))`` for each
+    q.  Returns columns (q, value), one row per input quantile."""
+    ds = ds.select_columns([col]).materialize()
+    agg = ds.aggregate(
+        Min(col, alias_name="mn"), Max(col, alias_name="mx"),
+        Count(alias_name="n"),
+    )
+    n = int(agg["n"] or 0)
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": pd.Series([np.nan] * len(qs))})
+    lo0, hi0 = float(agg["mn"]), float(agg["mx"])
+
+    # state per unresolved rank: value interval + mass strictly below it
+    ranks = sorted({int(np.floor(q * (n - 1))) for q in qs})
+    state = {r: {"lo": lo0, "hi": hi0, "below": 0, "cnt": n} for r in ranks}
+    resolved: dict[int, float] = {}
+
+    while len(resolved) < len(ranks):
+        live = {r: s for r, s in state.items() if r not in resolved}
+        # group ranks sharing an interval so each pass hits each
+        # interval once
+        intervals: dict[tuple, dict] = {}
+        for r, s in live.items():
+            key = (s["lo"], s["hi"])
+            intervals.setdefault(key, {"ranks": [], **s})["ranks"].append(r)
+        fetch = {k: v for k, v in intervals.items() if v["cnt"] <= fetch_cap}
+        narrow = {k: v for k, v in intervals.items() if v["cnt"] > fetch_cap}
+
+        if fetch:
+            f_iv = list(fetch.keys())
+
+            def grab(t: pa.Table, f_iv=f_iv) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                iid, val = [], []
+                for i, (lo, hi) in enumerate(f_iv):
+                    sel = v[(v >= lo) & (v <= hi)]
+                    iid.append(np.full(len(sel), i, dtype=np.int64))
+                    val.append(sel)
+                return pa.table({"iid": np.concatenate(iid),
+                                 "val": np.concatenate(val)})
+
+            got = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+            for i, (key, iv) in enumerate(fetch.items()):
+                vals = np.sort(got.loc[got["iid"] == i, "val"].to_numpy())
+                for r in iv["ranks"]:
+                    resolved[r] = float(vals[r - iv["below"]])
+
+        if narrow:
+            n_iv = [(lo, hi, np.linspace(lo, hi, bins + 1))
+                    for lo, hi in narrow.keys()]
+
+            def hist(t: pa.Table, n_iv=n_iv) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                out = {"iid": [], "bin": [], "cnt": [], "vmin": [], "vmax": []}
+                for i, (lo, hi, edges) in enumerate(n_iv):
+                    sel = v[(v >= lo) & (v <= hi)]
+                    if not len(sel):
+                        continue
+                    b = np.clip(
+                        np.searchsorted(edges, sel, side="right") - 1,
+                        0, bins - 1,
+                    )
+                    order = np.argsort(b, kind="stable")
+                    bs, ss = b[order], sel[order]
+                    ub, start = np.unique(bs, return_index=True)
+                    end = np.append(start[1:], len(bs))
+                    out["iid"].append(np.full(len(ub), i, dtype=np.int64))
+                    out["bin"].append(ub.astype(np.int64))
+                    out["cnt"].append((end - start).astype(np.int64))
+                    out["vmin"].append(np.minimum.reduceat(ss, start))
+                    out["vmax"].append(np.maximum.reduceat(ss, start))
+                if not out["iid"]:
+                    return pa.table({k: pa.array([], pa.int64() if k in
+                                     ("iid", "bin", "cnt") else pa.float64())
+                                     for k in out})
+                return pa.table({k: np.concatenate(a) for k, a in out.items()})
+
+            hdf = (
+                ds.map_batches(hist, batch_format="pyarrow")
+                .groupby(["iid", "bin"])
+                .aggregate(Sum("cnt", alias_name="cnt"),
+                           Min("vmin", alias_name="vmin"),
+                           Max("vmax", alias_name="vmax"))
+                .to_pandas()
+                .sort_values(["iid", "bin"], ignore_index=True)
+            )
+            for i, (key, iv) in enumerate(narrow.items()):
+                g = hdf[hdf["iid"] == i]
+                cum = np.concatenate(([0], np.cumsum(g["cnt"].to_numpy())))
+                for r in iv["ranks"]:
+                    # rank within this interval
+                    ri = r - iv["below"]
+                    j = int(np.searchsorted(cum, ri, side="right") - 1)
+                    row = g.iloc[j]
+                    if row["vmin"] == row["vmax"]:
+                        resolved[r] = float(row["vmin"])
+                    else:
+                        state[r] = {"lo": float(row["vmin"]),
+                                    "hi": float(row["vmax"]),
+                                    "below": iv["below"] + int(cum[j]),
+                                    "cnt": int(row["cnt"])}
+
+    rank_of = {q: int(np.floor(q * (n - 1))) for q in qs}
+    return pd.DataFrame(
+        {"q": pd.Series(qs, dtype=float),
+         "value": [resolved[rank_of[q]] for q in qs]}
+    )

@@ -6,8 +6,9 @@ aggregates; quantiles use the reference's exact index rule
 (med_idx = floor(n/2), Q1 = arr[med_idx - floor(n/4)],
 Q3 = arr[med_idx + floor(n/4)], even-n median averaged) over the
 sorted column.  The sorted-column walk streams via ``iter_batches`` —
-at extreme scale swap in a distributed quantile sketch; the index rule
-stays the contract."""
+at extreme scale use ``stages.quantiles.exact_quantiles`` (exact
+rank selection with NO global sort); the index rule stays the
+contract."""
 
 from __future__ import annotations
 

@@ -120,3 +120,35 @@ def test_vocab_topk_matches_brute_force():
     docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     out = vocab_topk(docs, n=20).to_pandas()
     assert list(zip(out["token"], out["n_total"])) == ref
+
+
+def test_exact_quantiles_matches_numpy_with_forced_refinement():
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [
+            rng.normal(0, 1, 30_000),
+            np.full(25_000, 0.5),        # heavy tie mass
+            rng.uniform(100, 101, 5_000),  # far tail
+        ]
+    )
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(16)
+    qs = [0.0, 0.1, 0.5, 0.42, 0.9, 0.999, 1.0]
+    # tiny bins/cap force several refinement rounds incl. the tie mass
+    out = exact_quantiles(ds, "x", qs, bins=4, fetch_cap=50)
+    srt = np.sort(vals)
+    expect = [srt[int(np.floor(q * (len(vals) - 1)))] for q in qs]
+    assert list(out["q"]) == qs
+    assert np.array_equal(out["value"].to_numpy(), np.array(expect))
+
+
+def test_exact_quantiles_all_equal_and_empty():
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": np.full(1000, 7.25)}))
+    out = exact_quantiles(ds, "x", [0.5], bins=4, fetch_cap=10)
+    assert out["value"].tolist() == [7.25]
+    e = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    oe = exact_quantiles(e, "x", [0.5])
+    assert np.isnan(oe["value"]).all()
