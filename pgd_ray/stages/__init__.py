@@ -1,2 +1,3 @@
 """Generic pipeline stages: similarity search, multimodal plumbing,
-micro-output writers, univariate stats."""
+micro-output writers, univariate stats, windowing, per-group top-k,
+exact distributed quantiles, as-of/range joins."""
