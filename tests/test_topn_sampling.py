@@ -152,3 +152,62 @@ def test_exact_quantiles_all_equal_and_empty():
     e = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     oe = exact_quantiles(e, "x", [0.5])
     assert np.isnan(oe["value"]).all()
+
+
+# --- property tests (small example counts: each example runs Ray ops) ---
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(50, 800),
+    n_groups=st.integers(1, 30),
+    vmax=st.integers(1, 6),
+    k=st.integers(1, 4),
+    nblocks=st.integers(1, 7),
+    seed=st.integers(0, 10_000),
+)
+def test_grouped_topk_property(n, n_groups, vmax, k, nblocks, seed):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, n_groups, n),
+            "score": rng.integers(0, vmax, n),
+            "tie": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = (
+        grouped_topk(ds, "g", ["score", "tie"], [True, False], k=k)
+        .to_pandas()
+        .sort_values(["g", "rnk"], ignore_index=True)
+    )
+    ref = _topk_ref(df, "g", ["score", "tie"], [False, True], k).sort_values(
+        ["g", "rnk"], ignore_index=True
+    )
+    cols = ["g", "score", "tie", "rnk"]
+    assert out[cols].equals(ref[cols])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    dup_frac=st.floats(0.0, 0.95),
+    bins=st.integers(2, 16),
+    cap=st.integers(1, 200),
+    seed=st.integers(0, 10_000),
+)
+def test_exact_quantiles_property(n, dup_frac, bins, cap, seed):
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(0, 10, n)
+    ndup = int(n * dup_frac)
+    if ndup:
+        vals[:ndup] = rng.choice([-1.5, 0.0, 3.25], ndup)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(4)
+    qs = [0.0, 0.03, 0.5, 0.77, 1.0]
+    out = exact_quantiles(ds, "x", qs, bins=bins, fetch_cap=cap)
+    srt = np.sort(vals)
+    expect = np.array([srt[int(np.floor(q * (n - 1)))] for q in qs])
+    assert np.array_equal(out["value"].to_numpy(), expect)
