@@ -848,6 +848,16 @@ def _q_quantiles_value(sf_dir):
     return df
 
 
+def _q_distinct_users(sf_dir):
+    """Exact COUNT(DISTINCT user_id) per event_type as two hash
+    aggregations (combiner-friendly; no per-key value sets) —
+    stages.distinct.grouped_distinct_count."""
+    from pgd_ray.stages.distinct import grouped_distinct_count
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_distinct_count(ev, "event_type", "user_id", alias="n_users")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -896,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "vocab_topk": _q_vocab_topk,
         "quantiles_value": _q_quantiles_value,
+        "distinct_users": _q_distinct_users,
     }
 
 
@@ -1031,6 +1042,9 @@ WITH tok AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
 FROM tok GROUP BY token
 ORDER BY n_total DESC, token LIMIT 100""",
+        "distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type""",
         "quantiles_value": """
 WITH qs(q) AS (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99)),
 n AS (SELECT COUNT(*) AS c FROM events),

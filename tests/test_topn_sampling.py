@@ -211,3 +211,20 @@ def test_exact_quantiles_property(n, dup_frac, bins, cap, seed):
     srt = np.sort(vals)
     expect = np.array([srt[int(np.floor(q * (n - 1)))] for q in qs])
     assert np.array_equal(out["value"].to_numpy(), expect)
+
+
+def test_grouped_distinct_count_matches_pandas():
+    from pgd_ray.stages.distinct import grouped_distinct_count
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ref = (
+        ev.groupby("event_type")["user_id"].nunique().rename("n_users").reset_index()
+    )
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    out = (
+        grouped_distinct_count(ds, "event_type", "user_id", alias="n_users")
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    ref = ref.sort_values("event_type", ignore_index=True)
+    assert out.equals(ref.astype(out.dtypes.to_dict()))
