@@ -10,6 +10,7 @@ no value set is ever held in one place.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
@@ -17,10 +18,16 @@ from ray.data.aggregate import Count
 def grouped_distinct_count(
     ds: ray.data.Dataset, key_col: str, val_col: str, alias: str = "n_distinct"
 ) -> ray.data.Dataset:
-    """Exact number of distinct ``val_col`` values per ``key_col``.
-    Columns (key_col, alias)."""
+    """Exact number of distinct non-NULL ``val_col`` values per
+    ``key_col`` (NULL values are excluded, matching SQL
+    ``COUNT(DISTINCT ...)``).  Columns (key_col, alias)."""
+
+    def _valid(t: pa.Table) -> pa.Table:
+        return t.filter(t[val_col].combine_chunks().is_valid())
+
     pairs = (
         ds.select_columns([key_col, val_col])
+        .map_batches(_valid, batch_format="pyarrow")
         .groupby([key_col, val_col])
         .aggregate(Count(alias_name="_n"))
         .select_columns([key_col, val_col])

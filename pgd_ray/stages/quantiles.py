@@ -45,12 +45,39 @@ def exact_quantiles(
     fetch_cap: int = 1 << 21,
 ) -> pd.DataFrame:
     """Exact value at 0-based sorted rank ``floor(q * (n-1))`` for each
-    q.  Returns columns (q, value), one row per input quantile."""
-    ds = ds.select_columns([col]).materialize()
+    q over the NON-NULL values (NULL/NaN rows are excluded, matching
+    SQL aggregate semantics).  Returns columns (q, value), one row per
+    input quantile.
+
+    Values are processed as float64: integer columns with magnitude
+    ≥ 2^53 (e.g. epoch-microsecond timestamps) would silently lose
+    exactness, so that case raises instead."""
+    import pyarrow.compute as pc
+
+    def _valid(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        mask = c.is_valid()
+        if pa.types.is_floating(c.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(c)))
+        return t.filter(mask)
+
+    ds = (
+        ds.select_columns([col])
+        .map_batches(_valid, batch_format="pyarrow")
+        .materialize()
+    )
     agg = ds.aggregate(
         Min(col, alias_name="mn"), Max(col, alias_name="mx"),
         Count(alias_name="n"),
     )
+    sch = ds.schema()
+    if sch is not None and pa.types.is_integer(sch.types[sch.names.index(col)]):
+        mx_abs = max(abs(float(agg["mn"] or 0)), abs(float(agg["mx"] or 0)))
+        if mx_abs >= 2.0**53:
+            raise NotImplementedError(
+                f"exact_quantiles processes values as float64; |{col}| reaches "
+                f"{mx_abs:.3g} ≥ 2^53, where int64 → float64 is lossy"
+            )
     n = int(agg["n"] or 0)
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=float),
@@ -73,6 +100,10 @@ def exact_quantiles(
         fetch = {k: v for k, v in intervals.items() if v["cnt"] <= fetch_cap}
         narrow = {k: v for k, v in intervals.items() if v["cnt"] > fetch_cap}
 
+        # NOTE: a round with both fetch and narrow intervals scans the
+        # materialized column twice (once per pass kind).  Rounds are
+        # ~log_bins(n/cap) and the scan is a single pruned column, so
+        # this stays cheaper than unifying the two output schemas.
         if fetch:
             f_iv = list(fetch.keys())
 

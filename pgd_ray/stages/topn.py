@@ -12,8 +12,9 @@ from the same sorted-block + boundary-fragment pattern as
 2. per-block vectorized rank assignment — every group fully interior
    to a block gets its exact global rank locally;
 3. only the ≤ 2 groups that touch a block edge are re-ranked on the
-   driver (O(#blocks · group_size) work, independent of dataset size)
-   and unioned back as a dataset.
+   driver, and their rows are pre-cut to block-local rank ≤ k first —
+   O(k · #blocks) driver work even when one hot key spans every block
+   — then unioned back as a dataset.
 
 Result stays a (streaming) ``ray.data.Dataset``; the driver never
 holds more than the boundary fragments.
@@ -70,7 +71,19 @@ def grouped_topk(
         t = t.append_column(rank_col, pa.array(rank)).append_column(
             "__boundary", pa.array(boundary)
         )
-        return t.filter(pa.array(boundary | (rank <= k)))
+        # Keep only block-local rank <= k EVERYWHERE, including
+        # boundary groups: a row in the global top-k of its group has
+        # all globally-prior group rows either in the same block
+        # (local rank < its own <= k) or in earlier blocks, so its
+        # LOCAL rank never exceeds its global rank.  This caps what
+        # boundary groups ship to the driver at k rows per block —
+        # a hot key spanning many blocks costs O(k * #blocks), never
+        # O(group_size).  The driver re-rank stays exact: for a true
+        # top-k row every globally-prior group row survives the local
+        # filter, so its recomputed rank equals its global rank; rows
+        # outside the top-k can only be UNDER-counted and are cut by
+        # the final rank <= k.
+        return t.filter(pa.array(rank <= k))
 
     flagged = srt.map_batches(
         block_rank, batch_format="pyarrow", batch_size=None

@@ -162,8 +162,14 @@ class _TokenCounts:
                 {"token": pd.Series([], dtype=object),
                  "n": pd.Series([], dtype="int64")}
             )
-        u, c = np.unique(np.asarray(toks, dtype="U"), return_counts=True)
-        return pd.DataFrame({"token": u.astype(object), "n": c.astype("int64")})
+        # hash-based counting over object strings: a fixed-width numpy
+        # 'U' array would inflate every element to the LONGEST token's
+        # width (one pathological letter-run × 1M tokens = GBs)
+        vc = pd.Series(toks, dtype=object).value_counts(sort=False)
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy(dtype=np.int64)}
+        )
 
 
 def vocab_topk(

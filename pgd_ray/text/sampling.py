@@ -29,15 +29,26 @@ class _HashSample:
     def __init__(self, threshold_16bit: int, column: str):
         if not 0 <= threshold_16bit <= 0x10000:
             raise ValueError("threshold must be in [0, 65536]")
-        self.thr_hex = format(threshold_16bit, "04x")
+        # 0x10000 would format as the 5-char '10000' and break the
+        # fixed-width lexicographic compare — it means "keep all"
+        self.thr_hex = (
+            None if threshold_16bit == 0x10000 else format(threshold_16bit, "04x")
+        )
         self.column = column
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        texts = b[self.column].fillna("")
+        # NULL text is dropped (not hashed as "") — matching the SQL
+        # mirror, where md5(NULL) IS NULL fails any comparison.
+        valid = b[self.column].notna().to_numpy()
+        b = b[valid]
         h4 = np.array(
-            [hashlib.md5(t.encode()).hexdigest()[:4] for t in texts], dtype=object
+            [hashlib.md5(t.encode()).hexdigest()[:4] for t in b[self.column]],
+            dtype=object,
         )
-        mask = np.asarray(h4 < self.thr_hex, dtype=bool)
+        if self.thr_hex is None:  # threshold 0x10000 → keep everything
+            mask = np.ones(len(b), dtype=bool)
+        else:
+            mask = np.asarray(h4 < self.thr_hex, dtype=bool)
         out = b[mask].copy()
         out["h4"] = h4[mask]
         return out

@@ -228,3 +228,68 @@ def test_grouped_distinct_count_matches_pandas():
     )
     ref = ref.sort_values("event_type", ignore_index=True)
     assert out.equals(ref.astype(out.dtypes.to_dict()))
+
+
+def test_sample_by_hash_threshold_boundaries_and_nulls():
+    docs = rd.from_arrow(
+        pa.table({"doc_id": np.arange(6, dtype=np.int64),
+                  "text": ["a", "b", None, "", "dd", None]})
+    )
+    # keep-all boundary: every NON-NULL row survives
+    allr = sample_by_hash(docs, threshold_16bit=0x10000).to_pandas()
+    assert sorted(allr["doc_id"]) == [0, 1, 3, 4]
+    # keep-none boundary
+    assert sample_by_hash(docs, threshold_16bit=0).count() == 0
+    # null text is dropped, never hashed as ""
+    some = sample_by_hash(docs, threshold_16bit=0xFFFF).to_pandas()
+    assert 2 not in set(some["doc_id"]) and 5 not in set(some["doc_id"])
+
+
+def test_grouped_topk_hot_key_spanning_blocks_is_driver_capped():
+    """One group holding 90% of all rows across many blocks must still
+    rank exactly — and the local-rank pre-cut means the driver only
+    ever sees O(k * blocks) boundary rows."""
+    n = 30_000
+    rng = np.random.default_rng(5)
+    g = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 10, n))
+    df = pd.DataFrame(
+        {"g": g, "score": rng.integers(0, 1000, n),
+         "tie": np.arange(n, dtype=np.int64)}
+    )
+    ds = rd.from_pandas(df).repartition(24)
+    out = (
+        grouped_topk(ds, "g", ["score", "tie"], [True, False], k=4)
+        .to_pandas()
+        .sort_values(["g", "rnk"], ignore_index=True)
+    )
+    ref = _topk_ref(df, "g", ["score", "tie"], [False, True], 4).sort_values(
+        ["g", "rnk"], ignore_index=True
+    )
+    cols = ["g", "score", "tie", "rnk"]
+    assert out[cols].equals(ref[cols])
+
+
+def test_exact_quantiles_nan_and_bigint_guard():
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    vals = np.array([np.nan, 1.0, np.nan, 3.0, 2.0, np.nan])
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    out = exact_quantiles(ds, "x", [0.0, 0.5, 1.0], bins=4, fetch_cap=2)
+    assert out["value"].tolist() == [1.0, 2.0, 3.0]
+    big = rd.from_arrow(pa.table({"t": np.array([2**60, 2**60 + 1], np.int64)}))
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        exact_quantiles(big, "t", [0.5])
+
+
+def test_grouped_distinct_count_excludes_nulls():
+    from pgd_ray.stages.distinct import grouped_distinct_count
+
+    t = pa.table({"k": ["a", "a", "a", "b", "b"],
+                  "v": pa.array([1, 1, None, None, 2], pa.int64())})
+    out = (
+        grouped_distinct_count(rd.from_arrow(t), "k", "v")
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    assert out.to_dict("records") == [
+        {"k": "a", "n_distinct": 1}, {"k": "b", "n_distinct": 1}]
