@@ -858,6 +858,18 @@ def _q_distinct_users(sf_dir):
     return grouped_distinct_count(ev, "event_type", "user_id", alias="n_users")
 
 
+def _q_hll_users(sf_dir):
+    """HyperLogLog register table (p=12) over events.user_id — the
+    DISTRIBUTED sketch state is integer-deterministic and bit-exactly
+    mirrored in SQL (splitmix64 + leading-zero rank via bin());
+    stages.cardinality.  The float estimate stays driver-side
+    (error-bound pytest)."""
+    from pgd_ray.stages.cardinality import hll_registers
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_registers(ev, "user_id", p=12)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -907,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "quantiles_value": _q_quantiles_value,
         "distinct_users": _q_distinct_users,
+        "hll_users": _q_hll_users,
     }
 
 
@@ -1045,6 +1058,17 @@ ORDER BY n_total DESC, token LIMIT 100""",
         "distinct_users": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type""",
+        # bit-exact mirror of the HLL register computation: same
+        # splitmix64, bucket = top 12 bits, rho = 52-bit leading-zero
+        # rank via exact integer bit length (bin()), max per bucket
+        "hll_users": f"""
+WITH h AS (SELECT {_splitmix_sql('user_id', '0')} AS h
+           FROM events WHERE user_id IS NOT NULL),
+parts AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+                 h & ((1::UBIGINT << 52) - 1) AS w FROM h),
+r AS (SELECT bucket, CASE WHEN w = 0 THEN 53
+                          ELSE 52 - length(bin(w)) + 1 END AS rho FROM parts)
+SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY bucket""",
         "quantiles_value": """
 WITH qs(q) AS (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99)),
 n AS (SELECT COUNT(*) AS c FROM events),

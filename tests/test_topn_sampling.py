@@ -293,3 +293,30 @@ def test_grouped_distinct_count_excludes_nulls():
     )
     assert out.to_dict("records") == [
         {"k": "a", "n_distinct": 1}, {"k": "b", "n_distinct": 1}]
+
+
+def test_hll_estimate_error_bound_and_merge():
+    from pgd_ray.stages.cardinality import approx_distinct, hll_estimate, hll_registers
+
+    n_true = 100_000
+    vals = np.arange(n_true, dtype=np.int64) * 2_654_435_761 % (1 << 62)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = approx_distinct(ds, "v", p=12)
+    # RSE = 1.04/sqrt(4096) ~ 1.6%; assert within 5 sigma
+    assert abs(est - n_true) / n_true < 0.08
+    # duplicates must not change the registers (set semantics)
+    dup = rd.from_arrow(pa.table({"v": np.concatenate([vals, vals[:50_000]])}))
+    r1 = hll_registers(ds, "v", p=12).to_pandas().sort_values("bucket", ignore_index=True)
+    r2 = hll_registers(dup, "v", p=12).to_pandas().sort_values("bucket", ignore_index=True)
+    assert r1.equals(r2)
+    # merging two halves' registers (max per bucket) == whole
+    a = hll_registers(rd.from_arrow(pa.table({"v": vals[:60_000]})), "v").to_pandas()
+    b = hll_registers(rd.from_arrow(pa.table({"v": vals[60_000:]})), "v").to_pandas()
+    merged = (
+        pd.concat([a, b]).groupby("bucket", as_index=False)["rho"].max()
+        .sort_values("bucket", ignore_index=True)
+    )
+    assert merged.equals(r1)
+    # small-range correction: tiny cardinality is near-exact
+    small = rd.from_arrow(pa.table({"v": np.arange(40, dtype=np.int64)}))
+    assert abs(approx_distinct(small, "v", p=12) - 40) < 2
