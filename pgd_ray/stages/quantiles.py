@@ -49,9 +49,11 @@ def exact_quantiles(
     SQL aggregate semantics).  Returns columns (q, value), one row per
     input quantile.
 
-    Values are processed as float64: integer columns with magnitude
-    ≥ 2^53 (e.g. epoch-microsecond timestamps) would silently lose
-    exactness, so that case raises instead."""
+    Integer columns run a fully integer refinement path (exact integer
+    bin edges; unit-width bins once an interval narrows to ≤ bins
+    values) so the result is exact for the whole int64 range — e.g.
+    epoch-microsecond timestamps ≥ 2^53 that float64 would round.
+    Float columns refine on float64 linspace edges."""
     import pyarrow.compute as pc
 
     def _valid(t: pa.Table) -> pa.Table:
@@ -71,18 +73,37 @@ def exact_quantiles(
         Count(alias_name="n"),
     )
     sch = ds.schema()
-    if sch is not None and pa.types.is_integer(sch.types[sch.names.index(col)]):
-        mx_abs = max(abs(float(agg["mn"] or 0)), abs(float(agg["mx"] or 0)))
-        if mx_abs >= 2.0**53:
-            raise NotImplementedError(
-                f"exact_quantiles processes values as float64; |{col}| reaches "
-                f"{mx_abs:.3g} ≥ 2^53, where int64 → float64 is lossy"
-            )
+    is_int = sch is not None and pa.types.is_integer(
+        sch.types[sch.names.index(col)]
+    )
+    dt = np.int64 if is_int else np.float64
+    cast = int if is_int else float
     n = int(agg["n"] or 0)
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=float),
                              "value": pd.Series([np.nan] * len(qs))})
-    lo0, hi0 = float(agg["mn"]), float(agg["mx"])
+    lo0, hi0 = cast(agg["mn"]), cast(agg["mx"])
+    if is_int and hi0 >= np.iinfo(np.int64).max - 1:
+        # the unit-bin path needs the half-open edge hi+1 in int64
+        raise NotImplementedError(
+            "exact_quantiles: integer columns reaching int64 max are not "
+            "supported (edge array would overflow)"
+        )
+
+    def _edges(lo, hi) -> np.ndarray:
+        if not is_int:
+            return np.linspace(lo, hi, bins + 1)
+        if hi - lo + 1 <= bins:
+            # unit-width bins: every distinct value gets its own bin,
+            # so each bin resolves (vmin == vmax) this round
+            return np.arange(lo, hi + 2, dtype=np.int64)
+        # exact integer edges in arbitrary precision (hi - lo can
+        # exceed what (hi-lo)*j fits in int64), strictly increasing
+        # because hi - lo >= bins
+        return np.array(
+            [lo + (hi - lo) * j // bins for j in range(bins + 1)],
+            dtype=np.int64,
+        )
 
     # state per unresolved rank: value interval + mass strictly below it
     ranks = sorted({int(np.floor(q * (n - 1))) for q in qs})
@@ -107,8 +128,8 @@ def exact_quantiles(
         if fetch:
             f_iv = list(fetch.keys())
 
-            def grab(t: pa.Table, f_iv=f_iv) -> pa.Table:
-                v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            def grab(t: pa.Table, f_iv=f_iv, dt=dt) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False).astype(dt)
                 iid, val = [], []
                 for i, (lo, hi) in enumerate(f_iv):
                     sel = v[(v >= lo) & (v <= hi)]
@@ -121,14 +142,13 @@ def exact_quantiles(
             for i, (key, iv) in enumerate(fetch.items()):
                 vals = np.sort(got.loc[got["iid"] == i, "val"].to_numpy())
                 for r in iv["ranks"]:
-                    resolved[r] = float(vals[r - iv["below"]])
+                    resolved[r] = cast(vals[r - iv["below"]])
 
         if narrow:
-            n_iv = [(lo, hi, np.linspace(lo, hi, bins + 1))
-                    for lo, hi in narrow.keys()]
+            n_iv = [(lo, hi, _edges(lo, hi)) for lo, hi in narrow.keys()]
 
-            def hist(t: pa.Table, n_iv=n_iv) -> pa.Table:
-                v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            def hist(t: pa.Table, n_iv=n_iv, dt=dt) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False).astype(dt)
                 out = {"iid": [], "bin": [], "cnt": [], "vmin": [], "vmax": []}
                 for i, (lo, hi, edges) in enumerate(n_iv):
                     sel = v[(v >= lo) & (v <= hi)]
@@ -136,7 +156,7 @@ def exact_quantiles(
                         continue
                     b = np.clip(
                         np.searchsorted(edges, sel, side="right") - 1,
-                        0, bins - 1,
+                        0, len(edges) - 2,
                     )
                     order = np.argsort(b, kind="stable")
                     bs, ss = b[order], sel[order]
@@ -148,8 +168,9 @@ def exact_quantiles(
                     out["vmin"].append(np.minimum.reduceat(ss, start))
                     out["vmax"].append(np.maximum.reduceat(ss, start))
                 if not out["iid"]:
+                    vt = pa.int64() if is_int else pa.float64()
                     return pa.table({k: pa.array([], pa.int64() if k in
-                                     ("iid", "bin", "cnt") else pa.float64())
+                                     ("iid", "bin", "cnt") else vt)
                                      for k in out})
                 return pa.table({k: np.concatenate(a) for k, a in out.items()})
 
@@ -171,10 +192,10 @@ def exact_quantiles(
                     j = int(np.searchsorted(cum, ri, side="right") - 1)
                     row = g.iloc[j]
                     if row["vmin"] == row["vmax"]:
-                        resolved[r] = float(row["vmin"])
+                        resolved[r] = cast(row["vmin"])
                     else:
-                        state[r] = {"lo": float(row["vmin"]),
-                                    "hi": float(row["vmax"]),
+                        state[r] = {"lo": cast(row["vmin"]),
+                                    "hi": cast(row["vmax"]),
                                     "below": iv["below"] + int(cum[j]),
                                     "cnt": int(row["cnt"])}
 

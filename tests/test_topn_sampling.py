@@ -269,17 +269,32 @@ def test_grouped_topk_hot_key_spanning_blocks_is_driver_capped():
     assert out[cols].equals(ref[cols])
 
 
-def test_exact_quantiles_nan_and_bigint_guard():
+def test_exact_quantiles_nan_and_bigint_exactness():
     from pgd_ray.stages.quantiles import exact_quantiles
 
     vals = np.array([np.nan, 1.0, np.nan, 3.0, 2.0, np.nan])
     ds = rd.from_arrow(pa.table({"x": vals}))
     out = exact_quantiles(ds, "x", [0.0, 0.5, 1.0], bins=4, fetch_cap=2)
     assert out["value"].tolist() == [1.0, 2.0, 3.0]
-    big = rd.from_arrow(pa.table({"t": np.array([2**60, 2**60 + 1], np.int64)}))
-    import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        exact_quantiles(big, "t", [0.5])
+    # int64 beyond 2^53: adjacent values float64 would collapse must
+    # come back EXACT via the integer refinement path
+    base = 2**60
+    tvals = base + np.arange(1000, dtype=np.int64) * 3 + 1  # 2^60+1, +4, ...
+    rng = np.random.default_rng(2)
+    tvals = tvals[rng.permutation(1000)]
+    big = rd.from_arrow(pa.table({"t": tvals})).repartition(8)
+    qs = [0.0, 0.333, 0.5, 1.0]
+    out = exact_quantiles(big, "t", qs, bins=8, fetch_cap=16)
+    srt = np.sort(tvals)
+    expect = [int(srt[int(np.floor(q * 999))]) for q in qs]
+    assert out["value"].tolist() == expect
+    assert all(isinstance(v, (int, np.integer)) for v in out["value"])
+    # tie-heavy narrow integer range exercises the unit-bin path
+    tie = rd.from_arrow(pa.table({"t": np.array([5] * 500 + [6] * 300 + [7] * 200,
+                                                np.int64)}))
+    out2 = exact_quantiles(tie, "t", [0.0, 0.49, 0.6, 0.95, 1.0],
+                           bins=4, fetch_cap=10)
+    assert out2["value"].tolist() == [5, 5, 6, 7, 7]
 
 
 def test_grouped_distinct_count_excludes_nulls():
