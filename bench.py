@@ -123,6 +123,7 @@ def run_bench() -> dict:
     _transcript_scale_suite(timings, nw)
     syn = _synth_suite(timings, nw)
     sketches = _sketch_micro()
+    r2ops = _round2_ops()
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -140,9 +141,55 @@ def run_bench() -> dict:
            if k not in ("queries", "metric", "value", "unit", "num_cpus")},
         **getattr(_transcript_scale_suite, "info", {}),
         "sketch_docs_per_sec": sketches,
+        "round2_ops_sec": r2ops,
     }
     ray.shutdown()
     return result
+
+
+def _round2_ops() -> dict:
+    """Wall time of the round-2 utility pipelines over sf0.1 (not part
+    of the headline total, which stays comparable to BENCH_r01):
+    hopping windows (4x event expansion + hash agg), per-group top-k
+    over (user, event_type) counts, exact quantiles of events.value,
+    per-key distinct users, HLL registers, 25% hash sample + vocabulary
+    top-100 over the documents table."""
+    from pgd_ray.stages.cardinality import hll_registers
+    from pgd_ray.stages.distinct import grouped_distinct_count
+    from pgd_ray.stages.quantiles import exact_quantiles
+    from pgd_ray.stages.topn import heavy_hitters
+    from pgd_ray.stages.windows import hopping_counts
+    from pgd_ray.text.analysis import vocab_topk
+    from pgd_ray.text.sampling import sample_by_hash
+    from pgd_ray.util import read_parquet_clean
+
+    out = {}
+    t0 = time.perf_counter()
+    hopping_counts(SF_DIR).materialize()
+    out["hopping_counts"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    heavy_hitters(SF_DIR, k=3).materialize()
+    out["heavy_hitters"] = round(time.perf_counter() - t0, 3)
+    ev = read_parquet_clean(f"{SF_DIR}/events.parquet",
+                            columns=["value", "event_type", "user_id"])
+    t0 = time.perf_counter()
+    exact_quantiles(ev, "value", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99])
+    out["exact_quantiles"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    grouped_distinct_count(ev, "event_type", "user_id").materialize()
+    out["distinct_users"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hll_registers(ev, "user_id").materialize()
+    out["hll_registers"] = round(time.perf_counter() - t0, 3)
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    sample_by_hash(docs).materialize()
+    out["sample_by_hash"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    vocab_topk(docs, n=100).materialize()
+    out["vocab_topk"] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def _sketch_micro() -> dict:
