@@ -870,6 +870,29 @@ def _q_hll_users(sf_dir):
     return hll_registers(ev, "user_id", p=12)
 
 
+def _q_stratified_docs(sf_dir):
+    """Per-language deterministic rebalancing: en kept at 25%, zh at
+    75%, everything else at 50% — text.sampling.stratified_sample."""
+    from pgd_ray.text.sampling import stratified_sample
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    out = stratified_sample(
+        docs, "lang", {"en": 0x4000, "zh": 0xC000}, default_16bit=0x8000
+    )
+    return out.select_columns(["doc_id", "lang", "h4"])
+
+
+def _q_cap_per_source(sf_dir):
+    """At most 5 documents per source, drawn deterministically by
+    (md5(text), doc_id) — text.sampling.cap_per_group over
+    stages.topn.grouped_topk."""
+    from pgd_ray.text.sampling import cap_per_group
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    out = cap_per_group(docs, "source", 5, id_col="doc_id")
+    return out.select_columns(["source", "doc_id", "md5", "rnk"])
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -920,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_value": _q_quantiles_value,
         "distinct_users": _q_distinct_users,
         "hll_users": _q_hll_users,
+        "stratified_docs": _q_stratified_docs,
+        "cap_per_source": _q_cap_per_source,
     }
 
 
@@ -1069,6 +1094,18 @@ parts AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
 r AS (SELECT bucket, CASE WHEN w = 0 THEN 53
                           ELSE 52 - length(bin(w)) + 1 END AS rho FROM parts)
 SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY bucket""",
+        "stratified_docs": """
+SELECT doc_id, lang, substr(md5(text), 1, 4) AS h4
+FROM documents
+WHERE text IS NOT NULL
+  AND substr(md5(text), 1, 4) <
+      CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'c000' ELSE '8000' END""",
+        "cap_per_source": """
+WITH r AS (SELECT source, doc_id, md5(text) AS md5,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS rnk
+           FROM documents WHERE text IS NOT NULL)
+SELECT source, doc_id, md5, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""",
         "quantiles_value": """
 WITH qs(q) AS (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99)),
 n AS (SELECT COUNT(*) AS c FROM events),

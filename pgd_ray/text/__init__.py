@@ -7,7 +7,7 @@ from pgd_ray.text.dedup import (
     simhash_dedup,
     embedding_neardup,
 )
-from pgd_ray.text.sampling import sample_by_hash
+from pgd_ray.text.sampling import cap_per_group, sample_by_hash, stratified_sample
 
 __all__ = [
     "text_stats",
@@ -19,4 +19,6 @@ __all__ = [
     "simhash_dedup",
     "embedding_neardup",
     "sample_by_hash",
+    "stratified_sample",
+    "cap_per_group",
 ]

@@ -335,3 +335,44 @@ def test_hll_estimate_error_bound_and_merge():
     # small-range correction: tiny cardinality is near-exact
     small = rd.from_arrow(pa.table({"v": np.arange(40, dtype=np.int64)}))
     assert abs(approx_distinct(small, "v", p=12) - 40) < 2
+
+
+def test_stratified_sample_rates_and_default():
+    from pgd_ray.text.sampling import stratified_sample
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    out = stratified_sample(
+        docs, "lang", {"en": 0x4000, "zh": 0xC000}, default_16bit=0x8000
+    ).to_pandas()
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "text"]).to_pandas()
+    h4 = ref["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()[:4])
+    thr = ref["lang"].map({"en": "4000", "zh": "c000"}).fillna("8000")
+    assert set(out["doc_id"]) == set(ref["doc_id"][h4 < thr])
+    # keep-all default: groups not in the map survive entirely
+    all_out = stratified_sample(docs, "lang", {"en": 0x0}).to_pandas()
+    assert set(all_out["lang"]) == set(ref["lang"]) - {"en"} or \
+        "en" not in set(all_out["lang"])
+    assert (ref["lang"] != "en").sum() == len(all_out)
+
+
+def test_cap_per_group_deterministic_uniform_cap():
+    from pgd_ray.text.sampling import cap_per_group
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    out = cap_per_group(docs, "source", 5, id_col="doc_id").to_pandas()
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source", "text"]).to_pandas()
+    ref["md5"] = ref["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    ref = ref.sort_values(["source", "md5", "doc_id"], ignore_index=True)
+    ref["rnk"] = ref.groupby("source").cumcount() + 1
+    ref = ref[ref["rnk"] <= 5]
+    key = ["source", "doc_id", "md5", "rnk"]
+    a = out[key].sort_values(key, ignore_index=True)
+    b = ref[key].sort_values(key, ignore_index=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert (out.groupby("source").size() <= 5).all()
