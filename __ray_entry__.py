@@ -893,6 +893,16 @@ def _q_cap_per_source(sf_dir):
     return out.select_columns(["source", "doc_id", "md5", "rnk"])
 
 
+def _q_pack_assignments(sf_dir):
+    """GPT-style sequence packing (concatenate in doc_id order, cut
+    every 1024 tokens) via a distributed prefix sum —
+    text.packing.pack_assignments."""
+    from pgd_ray.text.packing import pack_assignments
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_assignments(docs, pack_len=1024)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -945,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": _q_hll_users,
         "stratified_docs": _q_stratified_docs,
         "cap_per_source": _q_cap_per_source,
+        "pack_assignments": _q_pack_assignments,
     }
 
 
@@ -1094,6 +1105,20 @@ parts AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
 r AS (SELECT bucket, CASE WHEN w = 0 THEN 53
                           ELSE 52 - length(bin(w)) + 1 END AS rho FROM parts)
 SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY bucket""",
+        "pack_assignments": """
+WITH t AS (SELECT doc_id,
+                  CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 1024 AS pack_id,
+       start_tok % 1024 AS pack_offset
+FROM s""",
         "stratified_docs": """
 SELECT doc_id, lang, substr(md5(text), 1, 4) AS h4
 FROM documents

@@ -376,3 +376,29 @@ def test_cap_per_group_deterministic_uniform_cap():
     b = ref[key].sort_values(key, ignore_index=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
     assert (out.groupby("source").size() <= 5).all()
+
+
+def test_pack_assignments_prefix_sum_invariants():
+    import re as _re
+
+    from pgd_ray.text.analysis import TOKEN_RE
+    from pgd_ray.text.packing import pack_assignments
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        pack_assignments(docs.repartition(16), pack_len=256)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    ref = ref.sort_values("doc_id", ignore_index=True)
+    tok = _re.compile(TOKEN_RE, _re.ASCII)
+    nt = ref["text"].str.count(tok).astype("int64").to_numpy()
+    start = np.concatenate(([0], np.cumsum(nt[:-1])))
+    assert np.array_equal(out["n_tokens"].to_numpy(), nt)
+    assert np.array_equal(out["start_tok"].to_numpy(), start)
+    assert np.array_equal(out["pack_id"].to_numpy(), start // 256)
+    assert np.array_equal(out["pack_offset"].to_numpy(), start % 256)
+    # contiguity: every token position is covered exactly once
+    assert out["start_tok"].iloc[-1] + out["n_tokens"].iloc[-1] == nt.sum()
