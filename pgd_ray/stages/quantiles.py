@@ -54,6 +54,31 @@ def exact_quantiles(
     values) so the result is exact for the whole int64 range — e.g.
     epoch-microsecond timestamps ≥ 2^53 that float64 would round.
     Float columns refine on float64 linspace edges."""
+    resolved, n = exact_ranks(
+        ds, col, lambda n: {int(np.floor(q * (n - 1))) for q in qs},
+        bins=bins, fetch_cap=fetch_cap,
+    )
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": pd.Series([np.nan] * len(qs))})
+    return pd.DataFrame(
+        {"q": pd.Series(qs, dtype=float),
+         "value": [resolved[int(np.floor(q * (n - 1)))] for q in qs]}
+    )
+
+
+def exact_ranks(
+    ds: ray.data.Dataset,
+    col: str,
+    rank_fn,
+    bins: int = 2048,
+    fetch_cap: int = 1 << 21,
+) -> tuple[dict, int]:
+    """Exact order statistics at arbitrary 0-based sorted ranks.
+    ``rank_fn(n)`` receives the non-null count and returns the wanted
+    ranks (each in [0, n)).  Returns ({rank: value}, n) — the engine
+    behind ``exact_quantiles``, also used by ``stages.univar`` for its
+    index-rule quantiles."""
     import pyarrow.compute as pc
 
     def _valid(t: pa.Table) -> pa.Table:
@@ -80,8 +105,7 @@ def exact_quantiles(
     cast = int if is_int else float
     n = int(agg["n"] or 0)
     if n == 0:
-        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
-                             "value": pd.Series([np.nan] * len(qs))})
+        return {}, 0
     lo0, hi0 = cast(agg["mn"]), cast(agg["mx"])
     if is_int and hi0 >= np.iinfo(np.int64).max - 1:
         # the unit-bin path needs the half-open edge hi+1 in int64
@@ -106,7 +130,9 @@ def exact_quantiles(
         )
 
     # state per unresolved rank: value interval + mass strictly below it
-    ranks = sorted({int(np.floor(q * (n - 1))) for q in qs})
+    ranks = sorted(rank_fn(n))
+    if any(not 0 <= r < n for r in ranks):
+        raise ValueError(f"ranks must be in [0, {n})")
     state = {r: {"lo": lo0, "hi": hi0, "below": 0, "cnt": n} for r in ranks}
     resolved: dict[int, float] = {}
 
@@ -199,8 +225,4 @@ def exact_quantiles(
                                     "below": iv["below"] + int(cum[j]),
                                     "cnt": int(row["cnt"])}
 
-    rank_of = {q: int(np.floor(q * (n - 1))) for q in qs}
-    return pd.DataFrame(
-        {"q": pd.Series(qs, dtype=float),
-         "value": [resolved[rank_of[q]] for q in qs]}
-    )
+    return resolved, n

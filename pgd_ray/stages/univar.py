@@ -4,10 +4,9 @@ graphlet_univar_stats.h:75-108).
 Moment stats (mean/var/std/min/max) are distributed partial+final
 aggregates; quantiles use the reference's exact index rule
 (med_idx = floor(n/2), Q1 = arr[med_idx - floor(n/4)],
-Q3 = arr[med_idx + floor(n/4)], even-n median averaged) over the
-sorted column.  The sorted-column walk streams via ``iter_batches`` —
-at extreme scale use ``stages.quantiles.exact_quantiles`` (exact
-rank selection with NO global sort); the index rule stays the
+Q3 = arr[med_idx + floor(n/4)], even-n median averaged), selected by
+rank through ``stages.quantiles.exact_ranks`` — histogram-refinement
+order statistics with NO global sort.  The index rule stays the
 contract."""
 
 from __future__ import annotations
@@ -52,23 +51,16 @@ def univar_stats(ds: ray.data.Dataset, col: str) -> dict:
         "min": agg["mn"],
         "max": agg["mx"],
     }
-    # exact quantiles by the reference's index rule over the sorted col
+    # exact quantiles by the reference's index rule, selected by rank
+    # via the histogram-refinement engine (no global sort)
+    from pgd_ray.stages.quantiles import exact_ranks
+
     med_idx = n // 2
     q_idx = n // 4
     want = sorted({med_idx - 1, med_idx, med_idx - q_idx, med_idx + q_idx})
     want = [i for i in want if 0 <= i < n]
-    got = {}
-    seen = 0
-    for b in ds.select_columns([col]).sort(col).iter_batches(
-        batch_size=1 << 18, batch_format="pyarrow"
-    ):
-        v = b[col].to_numpy(zero_copy_only=False)
-        for i in want:
-            if seen <= i < seen + len(v):
-                got[i] = float(v[i - seen])
-        seen += len(v)
-        if len(got) == len(want):
-            break
+    raw, _ = exact_ranks(ds, col, lambda _n: want)
+    got = {i: float(v) for i, v in raw.items()}
     median = got.get(med_idx, 0.0)
     if n % 2 == 0 and med_idx - 1 in got:
         median = (got[med_idx - 1] + got[med_idx]) / 2
