@@ -903,6 +903,15 @@ def _q_pack_assignments(sf_dir):
     return pack_assignments(docs, pack_len=1024)
 
 
+def _q_repetition_stats(sf_dir):
+    """Gopher-style within-doc repetition signals + keep flag —
+    text.analysis.repetition_stats."""
+    from pgd_ray.text.analysis import repetition_stats
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -956,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": _q_stratified_docs,
         "cap_per_source": _q_cap_per_source,
         "pack_assignments": _q_pack_assignments,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1105,6 +1115,34 @@ parts AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
 r AS (SELECT bucket, CASE WHEN w = 0 THEN 53
                           ELSE 52 - length(bin(w)) + 1 END AS rho FROM parts)
 SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY bucket""",
+        "repetition_stats": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos FROM w0),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+a AS (SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS topc
+      FROM wc GROUP BY doc_id),
+g AS (SELECT x.doc_id, x.w || ' ' || y.w || ' ' || z.w AS tri
+      FROM w x JOIN w y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+               JOIN w z ON z.doc_id = x.doc_id AND z.pos = x.pos + 2),
+ga AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT tri) AS d3
+       FROM g GROUP BY doc_id),
+j AS (SELECT d.doc_id,
+             CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+             ROUND(CASE WHEN COALESCE(a.nw, 0) = 0 THEN 0.0
+                   ELSE 1.0 - a.nd / CAST(a.nw AS DOUBLE) END, 6)
+                 AS dup_word_frac,
+             ROUND(CASE WHEN COALESCE(a.nw, 0) = 0 THEN 0.0
+                   ELSE a.topc / CAST(a.nw AS DOUBLE) END, 6)
+                 AS top_word_frac,
+             ROUND(CASE WHEN COALESCE(ga.n3, 0) = 0 THEN 0.0
+                   ELSE 1.0 - ga.d3 / CAST(ga.n3 AS DOUBLE) END, 6)
+                 AS dup_3gram_frac
+      FROM documents d LEFT JOIN a USING (doc_id) LEFT JOIN ga USING (doc_id))
+SELECT *, (dup_word_frac <= 0.30 AND top_word_frac <= 0.20
+           AND dup_3gram_frac <= 0.30) AS keep
+FROM j""",
         "pack_assignments": """
 WITH t AS (SELECT doc_id,
                   CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]'))

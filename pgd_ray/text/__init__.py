@@ -1,6 +1,12 @@
 """Text-analysis and deduplication stages for training-data pipelines."""
 
-from pgd_ray.text.analysis import text_stats, lang_id, fingerprints, vocab_topk
+from pgd_ray.text.analysis import (
+    text_stats,
+    lang_id,
+    fingerprints,
+    repetition_stats,
+    vocab_topk,
+)
 from pgd_ray.text.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -14,6 +20,7 @@ __all__ = [
     "lang_id",
     "fingerprints",
     "vocab_topk",
+    "repetition_stats",
     "exact_dedup",
     "minhash_lsh_dedup",
     "simhash_dedup",

@@ -143,6 +143,87 @@ def fingerprints(docs: ray.data.Dataset, concurrency=(1, 16)) -> ray.data.Datase
     )
 
 
+class _Repetition:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1, public paper): duplicate-word fraction, top-word
+    fraction, duplicate-3-gram fraction.  Fully array-based per batch:
+    one C-level findall per row, then factorize/segmented reductions —
+    no per-word Python loop.  Mirrored exactly in SQL (parallel-unnest
+    positions + self-joins for the 3-grams)."""
+
+    #: keep thresholds (repetition above any of these → drop)
+    DUP_WORD, TOP_WORD, DUP_3GRAM = 0.30, 0.20, 0.30
+
+    def __init__(self):
+        self.tok = re.compile(WORD_RE)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        lists = b["text"].fillna("").str.findall(self.tok)
+        n_words = lists.str.len().to_numpy(dtype=np.int64)
+        nb = len(b)
+        out = {
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_words": n_words,
+            "dup_word_frac": np.zeros(nb),
+            "top_word_frac": np.zeros(nb),
+            "dup_3gram_frac": np.zeros(nb),
+        }
+        total = int(n_words.sum())
+        if total:
+            doc_idx = np.repeat(np.arange(nb, dtype=np.int64), n_words)
+            flat = np.fromiter(
+                itertools.chain.from_iterable(lists), dtype=object, count=total
+            )
+            codes, _ = pd.factorize(flat)
+            # (doc, word) pair counts → distinct words + top count per doc
+            key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            kd = (uk >> np.int64(32)).astype(np.int64)
+            n_distinct = np.bincount(kd, minlength=nb)
+            run = np.flatnonzero(np.r_[True, kd[1:] != kd[:-1]])
+            top = np.zeros(nb, dtype=np.int64)
+            top[kd[run]] = np.maximum.reduceat(cnt, run)
+            nz = n_words > 0
+            out["dup_word_frac"][nz] = 1.0 - n_distinct[nz] / n_words[nz]
+            out["top_word_frac"][nz] = top[nz] / n_words[nz]
+            # 3-grams: consecutive in-doc triples (flat is doc-major)
+            if total >= 3:
+                tri_ok = doc_idx[:-2] == doc_idx[2:]
+                if tri_ok.any():
+                    g = (flat[:-2] + " " + flat[1:-1] + " " + flat[2:])[tri_ok]
+                    gdoc = doc_idx[:-2][tri_ok]
+                    gcodes, _ = pd.factorize(g)
+                    gkey = (gdoc << np.int64(32)) | gcodes.astype(np.int64)
+                    n3 = np.bincount(gdoc, minlength=nb)
+                    d3 = np.bincount(
+                        (np.unique(gkey) >> np.int64(32)).astype(np.int64),
+                        minlength=nb,
+                    )
+                    z3 = n3 > 0
+                    out["dup_3gram_frac"][z3] = 1.0 - d3[z3] / n3[z3]
+        df = pd.DataFrame(out)
+        for c in ("dup_word_frac", "top_word_frac", "dup_3gram_frac"):
+            df[c] = df[c].round(6)
+        df["keep"] = (
+            (df["dup_word_frac"] <= self.DUP_WORD)
+            & (df["top_word_frac"] <= self.TOP_WORD)
+            & (df["dup_3gram_frac"] <= self.DUP_3GRAM)
+        )
+        return df
+
+
+def repetition_stats(docs: ray.data.Dataset, concurrency=(1, 16)) -> ray.data.Dataset:
+    """Per-doc repetition signals + keep flag (thresholds on the
+    class).  Columns (doc_id, n_words, dup_word_frac, top_word_frac,
+    dup_3gram_frac, keep)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _Repetition, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
 class _TokenCounts:
     """Per-batch partial token counts: findall + np.unique inside the
     batch, so the downstream ``groupby("token").sum`` shuffles at most

@@ -402,3 +402,36 @@ def test_pack_assignments_prefix_sum_invariants():
     assert np.array_equal(out["pack_offset"].to_numpy(), start % 256)
     # contiguity: every token position is covered exactly once
     assert out["start_tok"].iloc[-1] + out["n_tokens"].iloc[-1] == nt.sum()
+
+
+def test_repetition_stats_matches_brute_force():
+    import re as _re
+
+    from pgd_ray.text.analysis import repetition_stats
+
+    texts = ["a b c d e f g h", "x x x x x", "one two one two one two",
+             "", "solo", "p q r p q r p q s"]
+    docs = rd.from_arrow(pa.table({"doc_id": np.arange(6, dtype=np.int64),
+                                   "text": texts}))
+    out = repetition_stats(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    for i, t in enumerate(texts):
+        ws = _re.findall(r"[A-Za-z]+", t)
+        n = len(ws)
+        row = out.iloc[i]
+        assert row["n_words"] == n
+        if n:
+            from collections import Counter
+            c = Counter(ws)
+            assert row["dup_word_frac"] == round(1 - len(c) / n, 6)
+            assert row["top_word_frac"] == round(max(c.values()) / n, 6)
+            tris = [" ".join(ws[j:j+3]) for j in range(n - 2)]
+            if tris:
+                assert row["dup_3gram_frac"] == round(1 - len(set(tris)) / len(tris), 6)
+            else:
+                assert row["dup_3gram_frac"] == 0.0
+        else:
+            assert (row[["dup_word_frac", "top_word_frac", "dup_3gram_frac"]] == 0).all()
+    # repeated-word docs are dropped; clean prose kept; a one-word doc
+    # is (correctly) dropped by the top-word rule (top_word_frac = 1.0)
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[0] and not keep[1] and not keep[2] and not keep[4]
