@@ -912,6 +912,16 @@ def _q_repetition_stats(sf_dir):
     return repetition_stats(docs)
 
 
+def _q_embedding_dim_stats(sf_dir):
+    """Per-dimension moments of the embedding table (distributed
+    partial sums; d tiny rows per batch shuffle) —
+    stages.vector_stats.embedding_dim_stats."""
+    from pgd_ray.stages.vector_stats import embedding_dim_stats
+
+    em_ds = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_dim_stats(em_ds)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -966,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "pack_assignments": _q_pack_assignments,
         "repetition_stats": _q_repetition_stats,
+        "embedding_dim_stats": _q_embedding_dim_stats,
     }
 
 
@@ -1115,6 +1126,17 @@ parts AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
 r AS (SELECT bucket, CASE WHEN w = 0 THEN 53
                           ELSE 52 - length(bin(w)) + 1 END AS rho FROM parts)
 SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY bucket""",
+        "embedding_dim_stats": """
+WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  unnest(generate_series(1, len(embedding))) AS p
+           FROM embeddings),
+a AS (SELECT p - 1 AS dim, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ss,
+             MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY p)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       ROUND(s / n, 6) AS mean,
+       ROUND(SQRT(GREATEST(ss / n - (s / n) * (s / n), 0)), 6) AS std,
+       ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax
+FROM a""",
         "repetition_stats": """
 WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
             FROM documents),

@@ -435,3 +435,19 @@ def test_repetition_stats_matches_brute_force():
     # is (correctly) dropped by the top-word rule (top_word_frac = 1.0)
     keep = dict(zip(out["doc_id"], out["keep"]))
     assert keep[0] and not keep[1] and not keep[2] and not keep[4]
+
+
+def test_embedding_dim_stats_matches_numpy():
+    from pgd_ray.stages.vector_stats import embedding_dim_stats
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])
+    out = embedding_dim_stats(ds.repartition(8)).to_pandas().sort_values(
+        "dim", ignore_index=True
+    )
+    ref = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"]).to_pandas()
+    m = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    assert np.array_equal(out["n"].to_numpy(), np.full(m.shape[1], m.shape[0]))
+    assert np.allclose(out["mean"], m.mean(axis=0), atol=1e-6)
+    assert np.allclose(out["std"], m.std(axis=0), atol=1e-6)
+    assert np.allclose(out["vmin"], m.min(axis=0), atol=1e-6)
+    assert np.allclose(out["vmax"], m.max(axis=0), atol=1e-6)
