@@ -700,6 +700,27 @@ def _q_vertex_triangles(sf_dir):
     return df[["v", "triangles"]]
 
 
+def _q_cooccurrence(sf_dir):
+    """Windowed self-join: same-user event-type pairs within 5 min —
+    stages.windows.cooccurrence_pairs (sorted blocks + boundary-user
+    stitch; expansion ∝ window occupancy, never all-pairs)."""
+    from pgd_ray.stages.windows import cooccurrence_pairs
+
+    return cooccurrence_pairs(sf_dir, window_us=300_000_000)
+
+
+def _q_local_cc(sf_dir):
+    """Per-vertex local clustering coefficient on the copurchase graph
+    — graph.graphlets.local_clustering (vertex_triangles + broadcast
+    degree lookup)."""
+    from pgd_ray.graph.graphlets import local_clustering
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    df = local_clustering(dense, csr).to_pandas()
+    df["v"] = vids[df["v"].to_numpy()]
+    return df[["v", "degree", "triangles", "local_cc"]]
+
+
 def _q_tumbling_counts(sf_dir):
     from pgd_ray.stages.windows import tumbling_counts
 
@@ -977,6 +998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assignments": _q_pack_assignments,
         "repetition_stats": _q_repetition_stats,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "local_cc": _q_local_cc,
+        "cooccurrence": _q_cooccurrence,
     }
 
 
@@ -1087,6 +1110,27 @@ et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
        GROUP BY e.src, e.dst),
 up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et)
 SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
+        "cooccurrence": """
+SELECT least(a.event_type, b.event_type) AS type_a,
+       greatest(a.event_type, b.event_type) AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+GROUP BY 1, 2""",
+        "local_cc": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst),
+up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et),
+vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v)
+SELECT d.v, d.degree, vt.triangles,
+       ROUND(CASE WHEN d.degree >= 2
+             THEN 2.0 * vt.triangles / (d.degree * (d.degree - 1.0))
+             ELSE 0.0 END, 6) AS local_cc
+FROM d JOIN vt ON vt.v = d.v""",
         "hopping_counts": """
 WITH o AS (SELECT unnest(generate_series(0, 3)) AS i)
 SELECT event_type,

@@ -828,6 +828,35 @@ def vertex_triangles(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def local_clustering(
+    canonical_ds: ray.data.Dataset, csr: CSRGraph, **kw
+) -> ray.data.Dataset:
+    """Per-vertex local clustering coefficient
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) (0 when deg < 2) — composes
+    ``vertex_triangles`` with a broadcast degree lookup; vertices the
+    triangle pass never touches (isolated/degree-1) are absent from
+    its output and implicitly 0, so callers wanting every vertex union
+    with the degree table.  Output: (v, degree, triangles, local_cc)
+    for vertices with ≥ 1 incident edge."""
+    deg_ref = ray.put(csr.degrees())
+
+    def cc(t: pa.Table, deg_ref=deg_ref) -> pa.Table:
+        deg_all = ray.get(deg_ref)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        tri = t["triangles"].to_numpy(zero_copy_only=False)
+        d = deg_all[v]
+        denom = d.astype(np.float64) * (d - 1)
+        val = np.where(d >= 2, 2.0 * tri / np.maximum(denom, 1.0), 0.0)
+        return pa.table(
+            {"v": v, "degree": d.astype(np.int64), "triangles": tri,
+             "local_cc": np.round(val, 6)}
+        )
+
+    return vertex_triangles(canonical_ds, csr, **kw).map_batches(
+        cc, batch_format="pyarrow"
+    )
+
+
 def gfd(mac: MacroCounts, kind: str = "all") -> np.ndarray:
     """Graphlet frequency distribution (graphlet_core.cpp:1955-2041).
 

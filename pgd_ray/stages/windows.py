@@ -93,6 +93,131 @@ def hopping_counts(
     )
 
 
+def cooccurrence_pairs(
+    sf_dir: str, window_us: int = 300_000_000
+) -> ray.data.Dataset:
+    """Windowed self-join: unordered pairs of events of the SAME user
+    within ``window_us`` of each other, counted by the (lexically
+    sorted) event-type pair.  Columns (type_a, type_b, n_pairs).
+
+    Distributed with the sessionize block pattern: one global sort by
+    (user_id, ts, event_id); every block expands its interior users'
+    pairs vectorized (per-row window ends via searchsorted, capped at
+    the user segment end); the ≤ 2 users touching each block edge are
+    paired on the driver from their raw rows (O(#blocks · user_rows)).
+    Pair expansion is Σ window occupancy — bounded by window density,
+    never all-pairs."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id",
+                                             "event_type"]
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _pairs_arrays(uid, ts, et):
+        """Vectorized pair expansion over (user, ts)-sorted arrays:
+        partial-count DataFrame (type_a, type_b, n)."""
+        n = len(uid)
+        if n == 0:
+            return None
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        bounds = np.flatnonzero(new_u)
+        ends = np.append(bounds[1:], n)
+        runs = ends - bounds
+        # ts is sorted only WITHIN user segments; build a per-segment
+        # composite key (segment stride > max in-segment offset + W)
+        # so one global searchsorted answers every row's window end
+        # without ever crossing into the next user
+        seg_id = np.cumsum(new_u) - 1
+        rel = ts - np.repeat(ts[bounds], runs)
+        stride = int(rel.max()) + window_us + 1
+        if len(bounds) * stride < 2**62:
+            key = seg_id * stride + rel
+            hi = np.searchsorted(key, key + window_us, side="right")
+        else:  # pathological span × segment count: per-segment exact
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(bounds, ends):
+                hi[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] + window_us, side="right"
+                )
+        cnt = hi - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return None
+        left = np.repeat(np.arange(n), cnt)
+        right = (
+            np.arange(total)
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt[:-1]))), cnt)
+            + left + 1
+        )
+        ta, tb = et[left], et[right]
+        swap = ta > tb
+        return (
+            pd.DataFrame({"type_a": np.where(swap, tb, ta),
+                          "type_b": np.where(swap, ta, tb)})
+            .groupby(["type_a", "type_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        d = _pairs_arrays(uid[interior], ts[interior], et[interior])
+        if d is None or d.empty:
+            return empty
+        return pa.table({"type_a": d["type_a"].to_numpy(dtype=object),
+                         "type_b": d["type_b"].to_numpy(dtype=object),
+                         "n": d["n"].to_numpy(dtype=np.int64)})
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        keep = (uid == uid[0]) | (uid == uid[-1])
+        return t.select(cols).filter(pa.array(keep))
+
+    interior_counts = srt.map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None
+    )
+    bdf = (
+        srt.map_batches(boundary_rows, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="stable")
+    )
+    d = (
+        _pairs_arrays(
+            bdf["user_id"].to_numpy(),
+            bdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            bdf["event_type"].to_numpy(),
+        )
+        if len(bdf)
+        else None
+    )
+    if d is not None and len(d):
+        bnd = ray.data.from_arrow(
+            pa.table({"type_a": d["type_a"].to_numpy(dtype=object),
+                      "type_b": d["type_b"].to_numpy(dtype=object),
+                      "n": d["n"].to_numpy(dtype=np.int64)})
+        )
+        interior_counts = interior_counts.union(bnd)
+    return (
+        interior_counts.groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+
 def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     """Per-user sessions split at gaps > ``gap_us``.  Returns one row
     per session: (user_id, session_idx, n_events, start_ts, end_ts)

@@ -451,3 +451,32 @@ def test_embedding_dim_stats_matches_numpy():
     assert np.allclose(out["std"], m.std(axis=0), atol=1e-6)
     assert np.allclose(out["vmin"], m.min(axis=0), atol=1e-6)
     assert np.allclose(out["vmax"], m.max(axis=0), atol=1e-6)
+
+
+def test_cooccurrence_pairs_matches_brute_force():
+    from pgd_ray.stages.windows import cooccurrence_pairs
+
+    W = 300_000_000
+    out = (
+        cooccurrence_pairs(SF, window_us=W)
+        .to_pandas()
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    rows = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"], ignore_index=True)
+        t = g["ts_us"].to_numpy(); e = g["event_type"].to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if t[j] - t[i] > W:
+                    break
+                k = tuple(sorted((e[i], e[j])))
+                rows[k] = rows.get(k, 0) + 1
+    ref = (
+        pd.DataFrame([(a, b, n) for (a, b), n in rows.items()],
+                     columns=["type_a", "type_b", "n_pairs"])
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+    )
+    assert out.equals(ref.astype(out.dtypes.to_dict()))
