@@ -700,6 +700,26 @@ def _q_vertex_triangles(sf_dir):
     return df[["v", "triangles"]]
 
 
+_Q1_CUTOFF_US = 936_230_400_000_000   # 1999-09-02T00:00Z
+_Q3_CUTOFF_US = 899_164_800_000_000   # 1998-06-30T00:00Z
+
+
+def _q_tpch_q1(sf_dir):
+    """TPC-H Q1 pricing summary — pipelines.tpch.q1 (partial
+    aggregation inside map_batches; monetary sums rounded to cents)."""
+    from pgd_ray.pipelines.tpch import q1
+
+    return q1(sf_dir, cutoff_us=_Q1_CUTOFF_US)
+
+
+def _q_tpch_q3(sf_dir):
+    """TPC-H Q3 shipping priority — pipelines.tpch.q3 (two native
+    hash joins partitioned on the key + distributed ordered head)."""
+    from pgd_ray.pipelines.tpch import q3
+
+    return q3(sf_dir, cutoff_us=_Q3_CUTOFF_US, segment="BUILDING", k=10)
+
+
 def _q_cooccurrence(sf_dir):
     """Windowed self-join: same-user event-type pairs within 5 min —
     stages.windows.cooccurrence_pairs (sorted blocks + boundary-user
@@ -1000,6 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
     }
 
 
@@ -1110,6 +1132,32 @@ et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
        GROUP BY e.src, e.dst),
 up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et)
 SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
+        "tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE epoch_us(l_shipdate) <= {_Q1_CUTOFF_US}
+GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": f"""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate,
+       o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND epoch_us(o.o_orderdate) < {_Q3_CUTOFF_US}
+  AND epoch_us(l.l_shipdate) > {_Q3_CUTOFF_US}
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+LIMIT 10""",
         "cooccurrence": """
 SELECT least(a.event_type, b.event_type) AS type_a,
        greatest(a.event_type, b.event_type) AS type_b,
