@@ -487,7 +487,9 @@ def _q_triangle_count(sf_dir):
     from pgd_ray.graph.graphlets import edge_triangles
 
     eds, dense, csr, vids = _copurchase_bundle(sf_dir)
-    tri = edge_triangles(dense, csr)
+    # fragment-backed kernel path (no assembled whole-graph arrays):
+    # the at-scale posture, correctness-gated here against the oracle
+    tri = edge_triangles(dense, csr.range_csr or csr)
     total = 0
     for b in tri.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
         total += int(b["triangle"].to_numpy(zero_copy_only=False).sum())
@@ -498,7 +500,7 @@ def _q_edge_triangles(sf_dir):
     from pgd_ray.graph.graphlets import edge_triangles
 
     eds, dense, csr, vids = _copurchase_bundle(sf_dir)
-    tri = edge_triangles(dense, csr).to_pandas()
+    tri = edge_triangles(dense, csr.range_csr or csr).to_pandas()
     # map dense ids back to raw part keys for the SQL comparison
     tri["src"] = vids[tri["src"].to_numpy()]
     tri["dst"] = vids[tri["dst"].to_numpy()]
@@ -526,7 +528,9 @@ def _q_macro_tool_graph(sf_dir):
     from pgd_ray.graph.graphlets import graphlet_macro
 
     eds, csr, vocab = _tool_graph(sf_dir)
-    return _macro_frame(graphlet_macro(eds, csr, concurrency=(1, 4)))
+    # fragment-backed kernels (RangeCSR handle) — the broadcast arrays
+    # are never required for this row's green status
+    return _macro_frame(graphlet_macro(eds, csr.range_csr or csr, concurrency=(1, 4)))
 
 
 def _q_cc_copurchase(sf_dir):
@@ -695,7 +699,7 @@ def _q_vertex_triangles(sf_dir):
     from pgd_ray.graph.graphlets import vertex_triangles
 
     eds, dense, csr, vids = _copurchase_bundle(sf_dir)
-    df = vertex_triangles(dense, csr).to_pandas()
+    df = vertex_triangles(dense, csr.range_csr or csr).to_pandas()
     df["v"] = vids[df["v"].to_numpy()]
     return df[["v", "triangles"]]
 

@@ -121,10 +121,37 @@ class RangeCSR:
     paths: dict  # range_id -> fragment parquet path (missing = empty range)
     nnz: dict  # range_id -> fragment entry count
     _asm: tuple | None = field(default=None, repr=False, compare=False)
+    _frag_refs: dict | None = field(default=None, repr=False, compare=False)
 
     @property
     def num_ranges(self) -> int:
         return len(self.bounds) - 1
+
+    def fragment_refs(self) -> dict:
+        """{range_id: ObjectRef((indptr, indices))} — each fragment
+        decoded ONCE by a remote task and pinned in plasma (the driver
+        owns the refs, holds none of the arrays).  Workers attach the
+        fragments they need zero-copy; this is the kernel-side
+        'distributed shared adjacency' handle that replaces the
+        whole-graph broadcast pair (no process ever needs the full
+        (indptr, indices) concatenation)."""
+        if self._frag_refs is None:
+            self._frag_refs = {
+                r: _read_fragment_task.remote(p) for r, p in self.paths.items()
+            }
+        return self._frag_refs
+
+    def degrees(self) -> np.ndarray:
+        """Per-vertex degree array (O(n) driver state — same footprint
+        as any per-vertex state vector), read from fragment indptr
+        columns only (indices never touch the driver)."""
+        deg = np.zeros(self.n, dtype=np.int64)
+        for rid, p in self.paths.items():
+            t = pq.read_table(p, columns=["v_lo", "indptr"])
+            v_lo = t["v_lo"][0].as_py()
+            ptr = np.asarray(t["indptr"][0].values)
+            deg[v_lo : v_lo + len(ptr) - 1] = np.diff(ptr)
+        return deg
 
     def fragment(self, rid: int) -> tuple[int, int, np.ndarray, np.ndarray]:
         """(v_lo, v_hi, indptr, indices) of one range, loaded on demand."""

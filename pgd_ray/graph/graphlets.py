@@ -664,6 +664,43 @@ def _kernel_stage(csr: CSRGraph, mode: str, tailed_mode: str = "zero"):
     return fn
 
 
+def _fragment_stage(rcsr, mode: str, tailed_mode: str = "zero",
+                    cache_bytes: int = 2 << 30):
+    """Fragment-backed kernel stage (the cluster-scale path): workers
+    attach per-range adjacency fragments on demand through a
+    byte-bounded LRU instead of mapping the assembled whole-graph
+    arrays — per-worker memory is the cache budget, not the graph.
+    See ``graph.frag_kernel``."""
+    from pgd_ray.graph.frag_kernel import FragGraphletKernel, FragmentAdjacency
+
+    refs = rcsr.fragment_refs()
+    bounds, n = rcsr.bounds, rcsr.n
+    anchor = next(iter(sorted(refs))) if refs else -1
+    ref_id = refs[anchor].binary() if refs else b"empty"
+    key = ("frag", ref_id, mode, tailed_mode, cache_bytes)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kern = _KERNEL_CACHE.get(key)
+        if kern is None:
+            adj = FragmentAdjacency(bounds, refs, n, cache_bytes=cache_bytes)
+            kern = FragGraphletKernel(adj, mode=mode, tailed_mode=tailed_mode)
+            _KERNEL_CACHE.clear()  # one graph at a time per worker
+            _KERNEL_CACHE[key] = kern
+        return kern(batch)
+
+    return fn
+
+
+def _stage_for(graph, mode: str, tailed_mode: str = "zero"):
+    """Kernel-stage dispatch: a ``CSRGraph`` uses the broadcast kernels
+    (fastest while the assembled adjacency fits a node); a ``RangeCSR``
+    manifest uses the fragment-backed kernels (no whole-graph arrays
+    anywhere).  Both produce identical counts."""
+    if isinstance(graph, CSRGraph):
+        return _kernel_stage(graph, mode, tailed_mode)
+    return _fragment_stage(graph, mode, tailed_mode)
+
+
 def graphlet_macro(
     canonical_ds: ray.data.Dataset,
     csr: CSRGraph,
@@ -675,7 +712,7 @@ def graphlet_macro(
     apply the closure.  ``concurrency`` is an upper bound on in-flight
     tasks (parallelism itself follows the input's block count)."""
     partials = canonical_ds.map_batches(
-        _kernel_stage(csr, "macro"),
+        _stage_for(csr, "macro"),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
@@ -698,7 +735,7 @@ def edge_triangles(
     """Per-edge triangle counts only (src, dst, triangle) — the cheap
     O(d_v+d_u) sorted-intersection path, no 2-hop gathers."""
     return canonical_ds.map_batches(
-        _kernel_stage(csr, "tri"),
+        _stage_for(csr, "tri"),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
@@ -718,7 +755,7 @@ def graphlet_micro(
     star3, path4) — the reference's 7 per-edge arrays plus derived
     columns (graphlet_core.cpp:1483-1625)."""
     return canonical_ds.map_batches(
-        _kernel_stage(csr, "micro", tailed_mode),
+        _stage_for(csr, "micro", tailed_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
@@ -768,7 +805,7 @@ def graphlet_macro_approx(
 
     sample = canonical_ds.map_batches(hash_sample, batch_format="pyarrow")
     partials = sample.map_batches(
-        _kernel_stage(csr, "macro"),
+        _stage_for(csr, "macro"),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
