@@ -162,9 +162,14 @@ class GraphletKernel:
     def _edge_counts(self, src: np.ndarray, dst: np.ndarray):
         if self.dense:
             return self._edge_counts_dense(src, dst)
-        if self.vectorized:
-            return self._edge_counts_vec(src, dst)
-        return self._edge_counts_loop(src, dst)
+        out = (
+            self._edge_counts_vec(src, dst)
+            if self.vectorized
+            else self._edge_counts_loop(src, dst)
+        )
+        if self.mode == "macro_nocyc":
+            out[1][:] = 0  # contract: s_cyc comes from the driver trace term
+        return out
 
     def _edge_counts_dense(self, src: np.ndarray, dst: np.ndarray):
         """Dense path: per-edge masks over the n×n bool adjacency; the
@@ -173,7 +178,13 @@ class GraphletKernel:
         ≤ 8192 < 2^24 so the float32 product is exact; the per-edge
         row-sums can exceed 2^24 (up to ~d_max² per edge), so they
         accumulate in a float64 accumulator (`dtype=np.float64`),
-        exact up to 2^53."""
+        exact up to 2^53.
+
+        mode='macro_nocyc' halves the flops: per-edge cyc is only ever
+        SUMMED by the macro closure, and Σcyc has a closed form from
+        the 4-walk trace (``graphlet_macro`` adds it back driver-side:
+        C4_ind = C4_sub − N3 + 3·K4, C4_sub = (tr A⁴ − 2Σd² + Σd)/8),
+        so the AA matmul is skipped entirely."""
         adj, adjf, deg = self.adj, self.adjf, self.deg
         k = len(src)
         # v = lower-degree endpoint, as in the loop/vec paths (Q8) —
@@ -186,6 +197,7 @@ class GraphletKernel:
         clq = np.zeros(k, dtype=np.int64)
         tail = np.zeros(k, dtype=np.int64)
         want_tail = self.tailed_mode == "micro"
+        want_cyc = self.mode != "macro_nocyc"
         chunk = max(1, 32_000_000 // (self.n * self.n) * 64)
         for a in range(0, k, chunk):
             b = min(k, a + chunk)
@@ -195,16 +207,17 @@ class GraphletKernel:
             Nu = adj[u]
             Tm = Nv & Nu
             tri[a:b] = Tm.sum(axis=1)
-            Am = Nu & ~Nv
-            Am[np.arange(b - a), v] = False
-            Bm = Nv & ~Nu
-            Bm[np.arange(b - a), u] = False
             TA = Tm.astype(np.float32) @ adjf
             clq[a:b] = np.round((TA * Tm).sum(axis=1, dtype=np.float64) / 2).astype(np.int64)
-            AA = Am.astype(np.float32) @ adjf
-            cyc[a:b] = (AA * Bm).sum(axis=1, dtype=np.float64).astype(np.int64)
-            if want_tail:
-                tail[a:b] = (AA * Am).sum(axis=1, dtype=np.float64).astype(np.int64)
+            if want_cyc or want_tail:
+                Am = Nu & ~Nv
+                Am[np.arange(b - a), v] = False
+                Bm = Nv & ~Nu
+                Bm[np.arange(b - a), u] = False
+                AA = Am.astype(np.float32) @ adjf
+                cyc[a:b] = (AA * Bm).sum(axis=1, dtype=np.float64).astype(np.int64)
+                if want_tail:
+                    tail[a:b] = (AA * Am).sum(axis=1, dtype=np.float64).astype(np.int64)
         return tri, cyc, clq, tail, deg[src], deg[dst]
 
     # per-edge 2-hop volume above which the mark-array loop beats the
@@ -460,7 +473,7 @@ class GraphletKernel:
         src = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
         if len(src) == 0:
-            if self.mode == "macro":
+            if self.mode in ("macro", "macro_nocyc"):
                 return pa.table({c: pa.array([], pa.int64()) for c in _PARTIAL_COLS})
             if self.mode == "tri":
                 return pa.table(
@@ -701,6 +714,19 @@ def _stage_for(graph, mode: str, tailed_mode: str = "zero"):
     return _fragment_stage(graph, mode, tailed_mode)
 
 
+@ray.remote
+def _tr_a4_part(indptr, indices, a: int, b: int) -> int:
+    """Partial of tr(A⁴) = ‖A²‖²_F: rows [a, b) of A² squared and
+    summed, exactly (entries ≤ n ≤ 8192 are integral in f32; the
+    square-sum runs in int64).  Fanned out so no single task owns the
+    whole 2n³-flop trace."""
+    n = len(indptr) - 1
+    adjf = np.zeros((n, n), dtype=np.float32)
+    adjf[np.repeat(np.arange(n), np.diff(indptr)), indices] = 1.0
+    P = np.rint(adjf[a:b] @ adjf).astype(np.int64)
+    return int((P * P).sum())
+
+
 def graphlet_macro(
     canonical_ds: ray.data.Dataset,
     csr: CSRGraph,
@@ -710,9 +736,25 @@ def graphlet_macro(
     """Macro decomposition: stream canonical edges through the kernel
     stage, combine per-batch partials in Python ints on the driver,
     apply the closure.  ``concurrency`` is an upper bound on in-flight
-    tasks (parallelism itself follows the input's block count)."""
+    tasks (parallelism itself follows the input's block count).
+
+    Small-graph fast path: when the dense kernel applies (n ≤ 8192)
+    the per-edge AA matmul — half the dense flops — is skipped and
+    Σcyc is recovered exactly from the 4-walk trace identity
+    (validated bit-equal on random graphs): C4_ind = C4_sub − N3 +
+    3·K4 with C4_sub = (tr A⁴ − 2Σd² + Σd)/8, so
+    s_cyc = 4·C4_ind."""
+    dense_fast = isinstance(csr, CSRGraph) and 0 < csr.n <= 8192
+    tr_parts = None
+    if dense_fast:
+        indptr_ref, indices_ref = csr.put()
+        step = max(512, -(-csr.n // 8))
+        tr_parts = [
+            _tr_a4_part.remote(indptr_ref, indices_ref, a, min(a + step, csr.n))
+            for a in range(0, csr.n, step)
+        ]  # overlaps with the edge stream below
     partials = canonical_ds.map_batches(
-        _stage_for(csr, "macro"),
+        _stage_for(csr, "macro_nocyc" if dense_fast else "macro"),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
@@ -723,6 +765,11 @@ def graphlet_macro(
         for k in _PARTIAL_COLS:
             col = b[k].to_numpy(zero_copy_only=False)
             acc[k] += int(col.sum())
+    if dense_fast:
+        deg = csr.degrees().astype(np.int64)
+        tr_a4 = sum(ray.get(tr_parts))
+        c4_sub = (tr_a4 - 2 * int((deg * deg).sum()) + int(deg.sum())) // 8
+        acc["s_cyc"] = 4 * (c4_sub - acc["n3"] + 3 * (acc["s_cliq"] // 6))
     return macro_from_partials(acc, csr.n, csr.m)
 
 
