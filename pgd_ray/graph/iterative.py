@@ -334,6 +334,59 @@ class _PullBlockStage:
         )
 
 
+class ShardedPool:
+    """Persistent ``_ShardWorker`` set for one graph — the sharded
+    analogue of ``worker_pool``.  Construction pays actor spawn +
+    adjacency attach + per-range gather-plan build ONCE; pass the pool
+    as ``pool=`` to several ``IterativeEngine.run`` calls (or repeated
+    timed runs) so per-run cost is just state init + rounds.  Caller
+    kills the pool (``kill()``) when done."""
+
+    def __init__(self, csr: CSRGraph, n_workers: int, range_csr=None):
+        n = csr.n
+        if range_csr is not None:
+            rb = np.asarray(range_csr.bounds, dtype=np.int64)
+            R = len(rb) - 1
+            P = max(1, min(n_workers, R))
+            nnz = np.array(
+                [range_csr.nnz.get(r, 0) for r in range(R)], dtype=np.int64
+            )
+            cum = np.cumsum(nnz)
+            total = int(cum[-1]) if R else 0
+            cuts = np.searchsorted(cum, (np.arange(1, P) * total) // P) + 1
+            cuts = np.unique(np.concatenate([[0], cuts, [R]]))
+            bounds = rb[cuts]
+            frag_groups = [
+                [
+                    (int(rb[r]), int(rb[r + 1]), range_csr.paths.get(r))
+                    for r in range(cuts[g], cuts[g + 1])
+                ]
+                for g in range(len(cuts) - 1)
+            ]
+            self.workers = [
+                _ShardWorker.remote(bounds, g, None, None, frag_groups[g])
+                for g in range(len(bounds) - 1)
+            ]
+        else:
+            blocks = _volume_blocks(csr, max(1, min(n_workers, max(n, 1))))
+            bounds = np.array([b[0] for b in blocks] + [n], dtype=np.int64)
+            refs = csr.put()
+            self.workers = [
+                _ShardWorker.remote(bounds, r, refs[0], refs[1], None)
+                for r in range(len(bounds) - 1)
+            ]
+        self.bounds = bounds
+        self.needed = ray.get([w.meta.remote() for w in self.workers])
+
+    def kill(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+
+
+def sharded_pool(csr: CSRGraph, n_workers: int, range_csr=None) -> ShardedPool:
+    return ShardedPool(csr, n_workers, range_csr=range_csr)
+
+
 def worker_pool(csr: CSRGraph, n_workers: int) -> list:
     """Spawn a persistent _PullWorker pool for a CSR.  Pass the result
     as ``workers=`` to several IterativeEngine runs (PageRank → CC →
@@ -389,7 +442,7 @@ class IterativeEngine:
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.checkpoint_every = checkpoint_every
         self.metrics: list[dict] = []
-        self._refs = csr.put32()
+        self._refs = None  # lazily csr.put32() — only the dataset engine needs it
         self._workers = workers  # shared pool (pool spawn ~seconds; amortize
         self._owns_workers = workers is None  # it across engines, see worker_pool)
         self._block_ds = None
@@ -422,6 +475,8 @@ class IterativeEngine:
                 self._block_ds = ray.data.from_items(
                     [{"vlo": a, "vhi": b} for a, b in self.blocks]
                 ).materialize()
+            if self._refs is None:
+                self._refs = self.csr.put32()
             indptr_ref, indices_ref = self._refs
             out = self._block_ds.map_batches(
                 _PullBlockStage,
@@ -483,7 +538,7 @@ class IterativeEngine:
 
     def _run_sharded(
         self, init, extras_fn, converged_fn, max_iter, resume,
-        extras_from_dangling=None, range_csr=None,
+        extras_from_dangling=None, range_csr=None, pool=None,
     ) -> tuple[np.ndarray, int]:
         """Sharded-state rounds: each worker owns one vertex range's
         adjacency + state slice; per round only slice REFS move through
@@ -506,42 +561,14 @@ class IterativeEngine:
         # per-worker I/O stays O(m/P)).  On one box the plasma arrays
         # are shared pages, so the broadcast refs are FASTER to attach
         # (~2 s vs ~4-5 s of per-fragment parquet decode at m=2e7,
-        # P=32) — hence opt-in, not automatic.
-        if range_csr is not None:
-            rb = np.asarray(range_csr.bounds, dtype=np.int64)
-            R = len(rb) - 1
-            P = max(1, min(self.n_workers, R))
-            # contiguous nnz-balanced grouping of the R ranges into P
-            # worker shards (R is typically several × n_workers)
-            nnz = np.array(
-                [range_csr.nnz.get(r, 0) for r in range(R)], dtype=np.int64
-            )
-            cum = np.cumsum(nnz)
-            total = int(cum[-1]) if R else 0
-            cuts = np.searchsorted(cum, (np.arange(1, P) * total) // P) + 1
-            cuts = np.unique(np.concatenate([[0], cuts, [R]]))
-            bounds = rb[cuts]
-            frag_groups = [
-                [
-                    (int(rb[r]), int(rb[r + 1]), range_csr.paths.get(r))
-                    for r in range(cuts[g], cuts[g + 1])
-                ]
-                for g in range(len(cuts) - 1)
-            ]
-            workers = [
-                _ShardWorker.remote(bounds, g, None, None, frag_groups[g])
-                for g in range(len(bounds) - 1)
-            ]
-        else:
-            blocks = _volume_blocks(self.csr, max(1, min(self.n_workers, n)))
-            bounds = np.array([b[0] for b in blocks] + [n], dtype=np.int64)
-            refs = self.csr.put()
-            workers = [
-                _ShardWorker.remote(bounds, r, refs[0], refs[1], None)
-                for r in range(len(bounds) - 1)
-            ]
+        # P=32) — hence opt-in, not automatic.  A caller-owned
+        # ``pool`` (``sharded_pool``) skips worker construction
+        # entirely and survives this run.
+        owns_pool = pool is None
+        if pool is None:
+            pool = ShardedPool(self.csr, self.n_workers, range_csr=range_csr)
+        workers, needed = pool.workers, pool.needed
         try:
-            needed = ray.get([w.meta.remote() for w in workers])
             state_ref = ray.put(state)
             ray.get([w.init_state.remote(state_ref) for w in workers])
             ex = extras_fn(state)
@@ -580,8 +607,8 @@ class IterativeEngine:
                 self._save(out, self.metrics[-1]["iteration"] if self.metrics else 0)
             return out, (self.metrics[-1]["iteration"] if self.metrics else 0)
         finally:
-            for w in workers:
-                ray.kill(w)
+            if owns_pool:
+                pool.kill()
 
     def run(
         self,
@@ -592,11 +619,13 @@ class IterativeEngine:
         resume: bool = False,
         extras_from_dangling=None,
         range_csr=None,
+        pool=None,
     ) -> tuple[np.ndarray, int]:
         if self.engine == "sharded":
             return self._run_sharded(
                 init, extras_fn, converged_fn, max_iter, resume,
                 extras_from_dangling=extras_from_dangling, range_csr=range_csr,
+                pool=pool,
             )
         state, start = init, 0
         if resume:

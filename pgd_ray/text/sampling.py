@@ -12,6 +12,11 @@ engine-native vectorized samplers (splitmix64 content hashes, e.g.
 ``graph.graphlets.graphlet_macro_approx``) are preferred where no SQL
 mirror is required.
 
+The predicates are STATELESS (a few ints / a tiny dict captured by
+closure), so the stages run as plain map_batches tasks — no actor
+pool, no constructor args in the object store (the ray#53727 restart
+hazard), and retries are trivially safe.
+
 The reference has no sampling operator (SURVEY.md §2.8); this is a
 round-2 training-pipeline addition.
 """
@@ -24,34 +29,31 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+# any hex-digit string is < "g***": the sentinel threshold that keeps
+# every row while staying inside the fixed-width lexicographic compare
+_KEEP_ALL = "g000"
 
-class _HashSample:
-    def __init__(self, threshold_16bit: int, column: str):
-        if not 0 <= threshold_16bit <= 0x10000:
-            raise ValueError("threshold must be in [0, 65536]")
-        # 0x10000 would format as the 5-char '10000' and break the
-        # fixed-width lexicographic compare — it means "keep all"
-        self.thr_hex = (
-            None if threshold_16bit == 0x10000 else format(threshold_16bit, "04x")
-        )
-        self.column = column
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        # NULL text is dropped (not hashed as "") — matching the SQL
-        # mirror, where md5(NULL) IS NULL fails any comparison.
-        valid = b[self.column].notna().to_numpy()
-        b = b[valid]
-        h4 = np.array(
-            [hashlib.md5(t.encode()).hexdigest()[:4] for t in b[self.column]],
-            dtype=object,
-        )
-        if self.thr_hex is None:  # threshold 0x10000 → keep everything
-            mask = np.ones(len(b), dtype=bool)
-        else:
-            mask = np.asarray(h4 < self.thr_hex, dtype=bool)
-        out = b[mask].copy()
-        out["h4"] = h4[mask]
-        return out
+def _task_cap(concurrency):
+    if concurrency is None:
+        return None
+    if isinstance(concurrency, (tuple, list)):
+        return int(concurrency[-1])
+    return int(concurrency)
+
+
+def _thr_hex(threshold_16bit: int) -> str:
+    if not 0 <= threshold_16bit <= 0x10000:
+        raise ValueError("threshold must be in [0, 65536]")
+    # 0x10000 would format as the 5-char '10000' and break the
+    # fixed-width compare — it means "keep all"
+    return _KEEP_ALL if threshold_16bit == 0x10000 else format(threshold_16bit, "04x")
+
+
+def _md5_prefixes(texts) -> np.ndarray:
+    return np.array(
+        [hashlib.md5(t.encode()).hexdigest()[:4] for t in texts], dtype=object
+    )
 
 
 def sample_by_hash(
@@ -63,45 +65,22 @@ def sample_by_hash(
     """Keep rows where ``int(md5(column)[:4], 16) < threshold_16bit``
     (default 0x4000 → a deterministic 25 % sample).  Adds the ``h4``
     hex prefix column for auditability."""
-    return docs.map_batches(
-        _HashSample,
-        fn_constructor_args=(threshold_16bit, column),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=concurrency,
-    )
+    thr = _thr_hex(threshold_16bit)
 
-
-class _StratifiedSample:
-    """Per-group rates: rebalancing a training corpus (e.g. by
-    language or source) with the same reproducible hash predicate.
-    The rate map is tiny and ships once per actor."""
-
-    def __init__(self, rates: dict, group_col: str, column: str,
-                 default_16bit: int):
-        self.thr = {
-            g: (None if t == 0x10000 else format(t, "04x"))
-            for g, t in rates.items()
-        }
-        self.default = (
-            None if default_16bit == 0x10000 else format(default_16bit, "04x")
-        )
-        self.group_col, self.column = group_col, column
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[self.column].notna()]
-        h4 = np.array(
-            [hashlib.md5(t.encode()).hexdigest()[:4] for t in b[self.column]],
-            dtype=object,
-        )
-        thr = b[self.group_col].map(lambda g: self.thr.get(g, self.default))
-        keep_all = thr.isna().to_numpy()  # None threshold = keep everything
-        mask = keep_all.copy()
-        sel = ~keep_all
-        mask[sel] = h4[sel] < thr.to_numpy(dtype=object)[sel]
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        # NULL text is dropped (not hashed as "") — matching the SQL
+        # mirror, where md5(NULL) IS NULL fails any comparison.
+        b = b[b[column].notna().to_numpy()]
+        h4 = _md5_prefixes(b[column])
+        mask = np.asarray(h4 < thr, dtype=bool)
         out = b[mask].copy()
         out["h4"] = h4[mask]
         return out
+
+    return docs.map_batches(
+        fn, batch_format="pandas", batch_size=4096,
+        concurrency=_task_cap(concurrency),
+    )
 
 
 def stratified_sample(
@@ -116,26 +95,24 @@ def stratified_sample(
     ``int(md5(column)[:4], 16) < rates_16bit.get(g, default)``.
     Groups absent from the map keep the default rate (0x10000 = keep
     all).  Same SQL-auditable predicate as ``sample_by_hash``."""
-    for t in list(rates_16bit.values()) + [default_16bit]:
-        if not 0 <= t <= 0x10000:
-            raise ValueError("rates must be in [0, 65536]")
+    thr_map = {g: _thr_hex(t) for g, t in rates_16bit.items()}
+    default_hex = _thr_hex(default_16bit)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[column].notna().to_numpy()]
+        h4 = _md5_prefixes(b[column])
+        # Series.map(dict) is the C path (missing keys → NaN → default);
+        # _KEEP_ALL thresholds compare above every hex prefix
+        thr = b[group_col].map(thr_map).fillna(default_hex).to_numpy(dtype=object)
+        mask = np.asarray(h4 < thr, dtype=bool)
+        out = b[mask].copy()
+        out["h4"] = h4[mask]
+        return out
+
     return docs.map_batches(
-        _StratifiedSample,
-        fn_constructor_args=(rates_16bit, group_col, column, default_16bit),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=concurrency,
+        fn, batch_format="pandas", batch_size=4096,
+        concurrency=_task_cap(concurrency),
     )
-
-
-class _Md5Col:
-    def __init__(self, column: str):
-        self.column = column
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[self.column].notna()].copy()
-        b["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in b[self.column]]
-        return b
 
 
 def cap_per_group(
@@ -155,12 +132,14 @@ def cap_per_group(
     "no source may contribute more than n documents"."""
     from pgd_ray.stages.topn import grouped_topk
 
+    def md5_col(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[column].notna().to_numpy()].copy()
+        b["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in b[column]]
+        return b
+
     hashed = docs.map_batches(
-        _Md5Col,
-        fn_constructor_args=(column,),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=concurrency,
+        md5_col, batch_format="pandas", batch_size=4096,
+        concurrency=_task_cap(concurrency),
     )
     return grouped_topk(
         hashed, group_col, ["md5", id_col], [False, False], k=n

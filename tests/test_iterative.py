@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import ray
 
 from pgd_ray.graph.csr import csr_from_edge_arrays
 from pgd_ray.graph.iterative import (
@@ -222,3 +223,43 @@ def test_sharded_engine_groups_ranges_to_worker_count(tmp_path):
                            if prog == "pagerank" else {},
                            lambda d: d == 0.0, 50)
         assert np.array_equal(got, want), prog
+
+
+def test_sharded_pool_reuse_across_runs():
+    """One ShardedPool driven by several engine runs (PR then CC then
+    a second PR) gives results identical to pool-per-run — the spawn
+    amortization API the bench and repeated analytics rely on."""
+    from pgd_ray.graph.iterative import IterativeEngine, sharded_pool
+
+    edges = sorted(random_graph(250, 0.05, seed=9))
+    src = np.array([a for a, b in edges], dtype=np.int64)
+    dst = np.array([b for a, b in edges], dtype=np.int64)
+    csr = csr_from_edge_arrays(src, dst, n=250)
+    pool = sharded_pool(csr, 4)
+    try:
+        n = csr.n
+        deg = csr.degrees()
+        dang = deg == 0
+
+        def extras(state):
+            d = float(state[dang].sum()) if dang.any() else 0.0
+            return {"alpha": 0.85, "base": 0.15 / n + 0.85 * d / n}
+
+        prs = []
+        for _ in range(2):
+            eng = IterativeEngine(csr, "pagerank", n_workers=4, engine="sharded")
+            s, _ = eng.run(np.full(n, 1.0 / n), extras, lambda d: d < 1e-12, 200,
+                           pool=pool)
+            prs.append(s)
+        eng = IterativeEngine(csr, "cc", n_workers=4, engine="sharded")
+        cc, _ = eng.run(np.arange(n, dtype=np.int64), lambda s: {},
+                        lambda d: d == 0.0, 10_000, pool=pool)
+        # pool actors must survive the runs (engine does not kill a
+        # caller-owned pool)
+        ray.get([w.meta.remote() for w in pool.workers])
+    finally:
+        pool.kill()
+    np.testing.assert_array_equal(prs[0], prs[1])
+    np.testing.assert_allclose(prs[0], pagerank(csr, engine="actors", tol=1e-12),
+                               atol=1e-15)
+    assert np.array_equal(cc, connected_components(csr, engine="actors"))
