@@ -218,16 +218,43 @@ def cooccurrence_pairs(
     )
 
 
-def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
-    """Per-user sessions split at gaps > ``gap_us``.  Returns one row
-    per session: (user_id, session_idx, n_events, start_ts, end_ts)
-    with session_idx 0-based in time order.
+_SESSION_COLS = ("user_id", "session_idx", "start_ts", "end_ts", "n_events")
 
-    Distributed: sort by (user_id, ts, event_id) → per-block vectorized
-    gap detection → sessions fully inside a block are emitted there;
-    each block's boundary-user fragments are collapsed to (start, end,
-    count, internal session pattern) summaries and stitched on the
-    driver (≤ 2 fragments per block)."""
+
+def _session_arrays(t: pa.Table, gap_us: int):
+    """Vectorized gap rule over one sorted block → per-session
+    (user, start_ts, end_ts, n_events) arrays, in (user, start) order."""
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    n = len(uid)
+    new_sess = np.empty(n, dtype=bool)
+    new_sess[0] = True
+    new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+    starts = np.flatnonzero(new_sess)
+    ends = np.append(starts[1:], n) - 1
+    return (uid[starts].astype(np.int64), ts[starts], ts[ends],
+            (ends - starts + 1).astype(np.int64), uid, ts)
+
+
+def _empty_sessions() -> pa.Table:
+    return pa.table({c: pa.array([], pa.int64()) for c in _SESSION_COLS})
+
+
+def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> ray.data.Dataset:
+    """Per-user sessions split at gaps > ``gap_us``: one row per
+    session, (user_id, session_idx, start_ts, end_ts, n_events) with
+    session_idx 0-based in time order — returned as a DATASET.
+
+    Scale shape (the packing-style sorted-block prefix pattern): one
+    global sort, then two passes over the same materialized blocks.
+    Pass 1 collapses each block to ONE summary row (its first/last
+    session + per-boundary-user counts); the driver walks the
+    O(#blocks) summaries to decide, per block, whether its first/last
+    session is continued across the boundary and what session_idx its
+    first user starts at.  Pass 2 re-derives sessions per block fully
+    vectorized, drops the ≤ 2 boundary sessions the driver stitched,
+    and assigns indices locally.  Driver state and data: O(#blocks)
+    rows — never the session table (session count ∝ events)."""
     from pgd_ray.util import read_parquet_clean
 
     ev = read_parquet_clean(
@@ -235,60 +262,106 @@ def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     )
     srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
 
-    def block_sessions(t: pa.Table) -> pa.Table:
-        cols = {
-            "user_id": pa.array([], pa.int64()),
-            "start_ts": pa.array([], pa.int64()),
-            "end_ts": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "boundary": pa.array([], pa.bool_()),
-        }
+    def summary(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(cols)
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        n = len(uid)
-        new_sess = np.empty(n, dtype=bool)
-        new_sess[0] = True
-        new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
-        sess_id = np.cumsum(new_sess) - 1
-        starts = np.flatnonzero(new_sess)
-        ends = np.append(starts[1:], n) - 1
-        boundary = (uid[starts] == uid[0]) | (uid[starts] == uid[-1])
-        return pa.table(
-            {
-                "user_id": uid[starts].astype(np.int64),
-                "start_ts": ts[starts],
-                "end_ts": ts[ends],
-                "n_events": (ends - starts + 1).astype(np.int64),
-                "boundary": boundary,
-            }
-        )
+            return pa.table({c: pa.array([], pa.int64()) for c in (
+                "key_u", "key_ts", "key_eid", "fu", "first_start", "first_end",
+                "first_n", "fu_nsess", "lu", "last_start", "last_end", "last_n",
+                "lu_nsess", "k")})
+        su, ss, se, sn, uid, ts = _session_arrays(t, gap_us)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key_u": [int(uid[0])], "key_ts": [int(ts[0])], "key_eid": [int(eid[0])],
+            "fu": [int(su[0])], "first_start": [int(ss[0])],
+            "first_end": [int(se[0])], "first_n": [int(sn[0])],
+            "fu_nsess": [int((su == su[0]).sum())],
+            "lu": [int(su[-1])], "last_start": [int(ss[-1])],
+            "last_end": [int(se[-1])], "last_n": [int(sn[-1])],
+            "lu_nsess": [int((su == su[-1]).sum())], "k": [len(su)],
+        })
 
-    raw = srt.map_batches(block_sessions, batch_format="pyarrow", batch_size=None).to_pandas()
-    interior = raw[~raw["boundary"]]
-    # stitch boundary-user session fragments on the driver: fragments
-    # are themselves gap-consistent runs, so merging = re-running the
-    # gap rule over the fragment list per user (tiny)
-    b = raw[raw["boundary"]].sort_values(["user_id", "start_ts"], kind="stable")
-    merged = []
-    for uid, g in b.groupby("user_id", sort=False):
-        cur = None
-        for r in g.itertuples(index=False):
-            if cur is not None and r.start_ts - cur["end_ts"] <= gap_us:
-                cur["end_ts"] = max(cur["end_ts"], r.end_ts)
-                cur["n_events"] += r.n_events
-            else:
-                if cur is not None:
-                    merged.append(cur)
-                cur = {"user_id": uid, "start_ts": r.start_ts,
-                       "end_ts": r.end_ts, "n_events": r.n_events}
-        if cur is not None:
+    sm = srt.map_batches(summary, batch_format="pyarrow", batch_size=None).to_pandas()
+    if sm.empty:
+        return ray.data.from_arrow(_empty_sessions())
+    sm = sm.sort_values(["key_u", "key_ts", "key_eid"], ignore_index=True)
+
+    # driver walk: O(#blocks).  ``cur`` is the one open cross-block
+    # chain (sessions are contiguous per user under the sort, so at
+    # most one session can be straddling at any time).
+    params: dict = {}
+    merged: list[dict] = []
+    cur: dict | None = None
+    next_idx: dict = {}
+    rows = list(sm.itertuples(index=False))
+    for i, b in enumerate(rows):
+        key = (b.key_u, b.key_ts, b.key_eid)
+        merge_first = (
+            cur is not None and cur["user_id"] == b.fu
+            and b.first_start - cur["end_ts"] <= gap_us
+        )
+        if merge_first:
+            cur["end_ts"] = int(b.first_end)
+            cur["n_events"] += int(b.first_n)
+        nxt = rows[i + 1] if i + 1 < len(rows) else None
+        chain_last = (
+            nxt is not None and nxt.fu == b.lu
+            and nxt.first_start - b.last_end <= gap_us
+        )
+        if merge_first and b.k == 1:
+            params[key] = (True, True, 0)
+            if not chain_last:  # chain ends inside this block
+                merged.append(cur)
+                next_idx = {cur["user_id"]: cur["session_idx"] + 1}
+                cur = None
+            continue
+        if cur is not None:  # chain closed (it absorbed S_0 if merging)
             merged.append(cur)
-    out = pd.concat(
-        [interior[["user_id", "start_ts", "end_ts", "n_events"]],
-         pd.DataFrame(merged, columns=["user_id", "start_ts", "end_ts", "n_events"])],
-        ignore_index=True,
-    ).sort_values(["user_id", "start_ts"], ignore_index=True)
-    out["session_idx"] = out.groupby("user_id").cumcount()
-    return out[["user_id", "session_idx", "start_ts", "end_ts", "n_events"]]
+            next_idx = {cur["user_id"]: cur["session_idx"] + 1}
+            cur = None
+        base = next_idx.get(b.fu, 0)
+        emitted_fu = (
+            b.fu_nsess - (1 if merge_first else 0)
+            - (1 if (b.lu == b.fu and chain_last) else 0)
+        )
+        params[key] = (merge_first, chain_last, base)
+        after = (
+            base + emitted_fu if b.lu == b.fu
+            else b.lu_nsess - (1 if chain_last else 0)
+        )
+        if chain_last:
+            cur = {"user_id": int(b.lu), "session_idx": int(after),
+                   "start_ts": int(b.last_start), "end_ts": int(b.last_end),
+                   "n_events": int(b.last_n)}
+        next_idx = {int(b.lu): int(after)}
+    if cur is not None:
+        merged.append(cur)
+
+    def emit(t: pa.Table, params=params) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_sessions()
+        su, ss, se, sn, uid, ts = _session_arrays(t, gap_us)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        drop_first, drop_last, base = params[(int(uid[0]), int(ts[0]), int(eid[0]))]
+        keep = np.ones(len(su), dtype=bool)
+        if drop_first:
+            keep[0] = False
+        if drop_last:
+            keep[-1] = False
+        u, s0, s1, ne = su[keep], ss[keep], se[keep], sn[keep]
+        if not len(u):
+            return _empty_sessions()
+        gs = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        rank = np.arange(len(u)) - np.repeat(gs, np.diff(np.append(gs, len(u))))
+        idx = rank + np.where(u == su[0], base, 0)
+        return pa.table({
+            "user_id": u, "session_idx": idx.astype(np.int64),
+            "start_ts": s0, "end_ts": s1, "n_events": ne,
+        })
+
+    out = srt.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    if merged:
+        chain_tbl = pa.table({
+            c: pa.array([m[c] for m in merged], pa.int64()) for c in _SESSION_COLS
+        })
+        out = out.union(ray.data.from_arrow(chain_tbl))
+    return out

@@ -26,9 +26,120 @@ def test_sessionize_matches_pandas_reference():
             sel = ts[sid == s]
             rows.append((uid, s, sel[0], sel[-1], len(sel)))
     ref = pd.DataFrame(rows, columns=["user_id", "session_idx", "start_ts", "end_ts", "n_events"])
-    a = ours.sort_values(["user_id", "session_idx"], ignore_index=True)
+    a = ours.to_pandas().sort_values(["user_id", "session_idx"], ignore_index=True)
     b = ref.sort_values(["user_id", "session_idx"], ignore_index=True)
-    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert a[list(b.columns)].equals(b.astype(a.dtypes.to_dict()))
+
+
+def _sessions_reference(ev, gap_us=1_800_000_000):
+    import pandas as pd
+
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts_us"].to_numpy()
+        new = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(new) - 1
+        for s in range(sid.max() + 1):
+            sel = ts[sid == s]
+            rows.append((uid, s, sel[0], sel[-1], len(sel)))
+    return pd.DataFrame(
+        rows, columns=["user_id", "session_idx", "start_ts", "end_ts", "n_events"]
+    )
+
+
+def _write_events(tmp_path, uid, ts_us, shards=6):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sess_in"
+    d.mkdir(exist_ok=True)
+    eid = np.arange(len(uid), dtype=np.int64)
+    bounds = np.linspace(0, len(uid), shards + 1).astype(int)
+    for i in range(shards):
+        t = pa.table({
+            "event_id": eid[bounds[i]:bounds[i + 1]],
+            "user_id": uid[bounds[i]:bounds[i + 1]].astype(np.int64),
+            "ts": pd.to_datetime(ts_us[bounds[i]:bounds[i + 1]], unit="us"),
+        })
+        pq.write_table(t, d / f"events_{i}.parquet")
+    # sessionize reads <dir>/events.parquet: point a dir at the shards
+    import os
+    os.rename(d, tmp_path / "events.parquet_dir")
+    os.makedirs(tmp_path / "sfdir", exist_ok=True)
+    os.symlink(tmp_path / "events.parquet_dir", tmp_path / "sfdir" / "events.parquet")
+    return str(tmp_path / "sfdir")
+
+
+def test_sessionize_chains_across_many_blocks(tmp_path):
+    """Adversarial multi-block layout: one hub user whose single
+    session spans several sorted blocks (every block boundary merges),
+    plus users with many sessions around it — the streaming stitch
+    must match the pandas reference exactly, including session_idx."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    uids, tss = [], []
+    GAP = 1_800_000_000
+    # user 50: 600 events 10 min apart -> ONE session spanning blocks
+    uids += [50] * 600
+    tss += (np.arange(600, dtype=np.int64) * 600_000_000).tolist()
+    # user 10/90: alternating short sessions (gap > 30 min between them)
+    for u in (10, 90):
+        base = 10**15 if u == 90 else 0
+        for s in range(40):
+            start = base + s * 10 * GAP
+            k = int(rng.integers(1, 5))
+            uids += [u] * k
+            tss += (start + np.arange(k) * 1000).tolist()
+    # a few singleton users
+    for u in range(20, 40):
+        uids.append(u)
+        tss.append(int(rng.integers(0, 10**12)))
+    uid = np.array(uids, dtype=np.int64)
+    ts_us = np.array(tss, dtype=np.int64)
+    # shuffle so file shards interleave users (the sort does the work)
+    perm = rng.permutation(len(uid))
+    sf = _write_events(tmp_path, uid[perm], ts_us[perm], shards=8)
+
+    out = sessionize(sf).to_pandas().sort_values(
+        ["user_id", "session_idx"], ignore_index=True
+    )
+    # event_id only tie-breaks identical (user, ts) rows — absent here
+    ref = _sessions_reference(
+        pd.DataFrame({"user_id": uid, "ts_us": ts_us,
+                      "event_id": np.arange(len(uid))})
+    ).sort_values(["user_id", "session_idx"], ignore_index=True)
+    a = out[["user_id", "session_idx", "start_ts", "end_ts", "n_events"]]
+    assert a.equals(ref.astype(a.dtypes.to_dict()))
+    assert (out[out.user_id == 50].n_events == 600).all()
+
+
+def test_sessionize_driver_holds_only_block_summaries(tmp_path, monkeypatch):
+    """Scale contract: building the session Dataset pulls O(#blocks)
+    summary rows to the driver — never the session table."""
+    import ray.data.dataset as dsmod
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    uid = rng.integers(0, 500, n).astype(np.int64)
+    ts_us = rng.integers(0, 10**13, n).astype(np.int64)
+    sf = _write_events(tmp_path, uid, ts_us, shards=10)
+
+    pulled = []
+    orig = dsmod.Dataset.iter_internal_ref_bundles
+
+    def counting(self, *a, **kw):
+        for bundle in orig(self, *a, **kw):
+            rows = bundle.num_rows()
+            pulled.append(rows if rows is not None else 0)
+            yield bundle
+
+    monkeypatch.setattr(dsmod.Dataset, "iter_internal_ref_bundles", counting)
+    ds = sessionize(sf)
+    assert sum(pulled) <= 64, pulled  # summaries only (#blocks rows)
+    # the result itself is far larger than what the driver saw
+    assert ds.count() > 5_000
 
 
 def test_tumbling_counts_total():
