@@ -254,7 +254,15 @@ class _JaccardVerify:
         return pa.table({"doc_a": da, "doc_b": db, "jaccard": jac})
 
 
-def candidate_pairs_minhash(
+def _empty_pairs_ds() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()),
+                  "doc_b": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())})
+    )
+
+
+def candidate_pairs_minhash_ds(
     docs: ray.data.Dataset,
     num_perm: int = 64,
     bands: int = 16,
@@ -262,15 +270,22 @@ def candidate_pairs_minhash(
     threshold: float = 0.7,
     concurrency=(1, 16),
     pair_cap: int | None = 512,
-) -> pd.DataFrame:
-    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+) -> ray.data.Dataset:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard —
+    distributed END TO END (the round-2 driver hop is gone):
 
     shingle→minhash per batch (actor pool) → band explode →
-    ``groupby(band_id, band_hash)`` → per-bucket pairs (star-capped on
-    skewed buckets) → distributed exact-Jaccard verification against
-    worker-held candidate shingle sets.  Returns verified pairs
-    (doc_a, doc_b, jaccard ≥ threshold).
-    """
+    ``groupby(band_id, band_hash)`` buckets → per-bucket pairs
+    (star-capped on skewed buckets) → pair dedup as a SECOND
+    distributed ``groupby(doc_a, doc_b)`` (a pair surfacing from
+    several bands never leaves the cluster) → exact-Jaccard
+    verification stage over the pair Dataset.  The only driver-side
+    collection is the candidate-ID set (docs that appear in ≥ 1
+    candidate pair — the LSH-pruned set, the same bound as the shingle
+    lookup each verify worker holds).  Returns a Dataset of verified
+    pairs (doc_a, doc_b, jaccard ≥ threshold)."""
+    from ray.data.aggregate import Count
+
     rows = num_perm // bands
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         _MinHasher,
@@ -283,30 +298,46 @@ def candidate_pairs_minhash(
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         return _band_rows(b, bands, rows)
 
-    pairs = (
+    cand = (
         sigs.map_batches(explode, batch_format="pandas")
         .groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs_fn(pair_cap), batch_format="pandas")
-    ).to_pandas()
-    if pairs.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    pairs = pairs.drop_duplicates(ignore_index=True)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .materialize()
+    )
+    if cand.count() == 0:
+        return _empty_pairs_ds()
 
-    cand_ids = np.unique(np.concatenate([pairs["doc_a"], pairs["doc_b"]]))
+    # candidate ids: streamed, ∝ LSH candidates (not the corpus)
+    cand_ids = np.unique(np.concatenate([
+        np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
+                        b["doc_b"].to_numpy(zero_copy_only=False)])
+        for b in cand.iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+        if b.num_rows
+    ]))
     sh_ds = _candidate_shingle_ds(docs, cand_ids, k)
     refs = sh_ds.to_arrow_refs()
-    out = (
-        ray.data.from_pandas(pairs)
-        .map_batches(
-            _JaccardVerify,
-            fn_constructor_kwargs={"refs": refs},
-            batch_format="pyarrow",
-            batch_size=8192,
-            concurrency=concurrency,
-        )
-        .to_pandas()
+    verified = cand.map_batches(
+        _JaccardVerify,
+        fn_constructor_kwargs={"refs": refs},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
     )
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    return verified.filter(expr=f"jaccard >= {threshold!r}")
+
+
+def candidate_pairs_minhash(
+    docs: ray.data.Dataset, **kw
+) -> pd.DataFrame:
+    """DataFrame convenience over ``candidate_pairs_minhash_ds`` for
+    consumers whose downstream state is ∝ the verified-pair count
+    (clean_corpus's union-find, the ngram oracle)."""
+    out = candidate_pairs_minhash_ds(docs, **kw).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    return out[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
@@ -358,22 +389,34 @@ def _groups_from_pairs(n_docs_ids: np.ndarray, pairs: pd.DataFrame) -> pd.DataFr
 
 def minhash_lsh_dedup(
     docs: ray.data.Dataset, threshold: float = 0.7, **kw
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
-    distributed CC grouping.  Returns (doc_id, dup_group)."""
-    ids = np.sort(
-        np.concatenate(
-            [
-                b["doc_id"].to_numpy(zero_copy_only=False)
-                for b in docs.select_columns(["doc_id"]).iter_batches(
-                    batch_size=1 << 20, batch_format="pyarrow"
-                )
-                if b.num_rows
-            ]
-        )
-    )
+    CC grouping over PARTICIPANTS only (docs with ≥ 1 verified pair —
+    the driver never collects the corpus doc-id universe; the
+    round-2 full-corpus collect is gone) → broadcast (participant →
+    group) map applied as a streaming stage.  Returns a Dataset
+    (doc_id, dup_group); non-participants keep dup_group = doc_id."""
     pairs = candidate_pairs_minhash(docs, threshold=threshold, **kw)
-    return _groups_from_pairs(ids, pairs)
+    if len(pairs):
+        participants = np.unique(
+            np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+        )
+        groups = _groups_from_pairs(participants, pairs)
+        mapping = dict(zip(groups["doc_id"].astype(int), groups["dup_group"].astype(int)))
+    else:
+        mapping = {}
+    map_ref = ray.put(mapping)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        d = b["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"doc_id": d, "dup_group": d.map(m).fillna(d).astype("int64")}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pandas", batch_size=1 << 16
+    )
 
 
 # --------------------------------------------------------------------

@@ -52,7 +52,7 @@ def test_minhash_finds_near_duplicates():
         base.replace("quick", "rapid"),           # near-dup of 0/1
         "another unrelated string with vectors and embeddings in a ray data pipeline",
     ]
-    out = minhash_lsh_dedup(_docs(texts), threshold=0.5)
+    out = minhash_lsh_dedup(_docs(texts), threshold=0.5).to_pandas()
     g = out.set_index("doc_id")["dup_group"]
     assert g[0] == g[1] == g[3]
     assert g[2] != g[0] and g[4] != g[0] and g[2] != g[4]
@@ -60,8 +60,8 @@ def test_minhash_finds_near_duplicates():
 
 def test_minhash_deterministic():
     texts = ["some text here " * 5, "other text there " * 5]
-    a = minhash_lsh_dedup(_docs(texts), threshold=0.5)
-    b = minhash_lsh_dedup(_docs(texts), threshold=0.5)
+    a = minhash_lsh_dedup(_docs(texts), threshold=0.5).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = minhash_lsh_dedup(_docs(texts), threshold=0.5).to_pandas().sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
 
 
@@ -290,3 +290,34 @@ def test_clean_corpus_composed_semantics():
         "doc_id": pa.array([1, 2], pa.int64()),
         "text": pa.array(["123 456", "999"], pa.string())}))
     assert len(clean_corpus(digits)) == 0  # lang 'und' + low quality
+
+
+def test_minhash_dedup_driver_sees_only_pairs(ray_session, monkeypatch):
+    """Scale contract: minhash_lsh_dedup pulls only candidate/verified
+    PAIR rows (plus tiny aggregates) to the driver — never the corpus
+    doc-id universe or the signature table."""
+    import ray.data.dataset as dsmod
+
+    n = 400
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i:03d}x{i * 7 % 97}" for i in range(500)])
+    texts = [" ".join(rng.choice(vocab, 12, replace=False)) for _ in range(n)]
+    texts[7] = texts[3] + " extra"  # one near-dup pair
+    docs = _docs(texts)
+
+    pulled = []
+    orig = dsmod.Dataset.iter_internal_ref_bundles
+
+    def counting(self, *a, **kw):
+        for bundle in orig(self, *a, **kw):
+            rows = bundle.num_rows()
+            pulled.append(rows if rows is not None else 0)
+            yield bundle
+
+    monkeypatch.setattr(dsmod.Dataset, "iter_internal_ref_bundles", counting)
+    out = minhash_lsh_dedup(docs, threshold=0.5)
+    assert sum(pulled) < n // 4, pulled  # pairs + aggregates, not the corpus
+    monkeypatch.setattr(dsmod.Dataset, "iter_internal_ref_bundles", orig)
+    df = out.to_pandas().set_index("doc_id")["dup_group"]
+    assert df[7] == df[3] == 3
+    assert (df.drop([3, 7]) == df.drop([3, 7]).index).all()
