@@ -161,6 +161,161 @@ def train_ivf_centroids(
     return cents
 
 
+class IVFIndex:
+    """Centroid-PARTITIONED IVF index: the corpus is bucketed by
+    nearest centroid ONCE (one assignment scan writing per-cid parquet
+    partitions + an O(#files) manifest), and every query set then
+    READS only its ``nprobe`` partitions — I/O, not just compute, is
+    pruned by nprobe/nlist (the round-2 version rescanned 100 % of the
+    corpus per query set and filtered inside the scan).
+
+    Layout: ``index_dir/cid=<c>/part-<uuid>.parquet`` — files are
+    written by the assignment tasks themselves (no extra shuffle; a
+    partition is just the set of files listing it in the manifest),
+    the same resumable one-file-per-unit pattern as the RangeCSR
+    build."""
+
+    def __init__(self, centroids: np.ndarray, files: dict, counts: dict,
+                 index_dir: str):
+        self.centroids = centroids
+        self.files = files      # cid -> [parquet paths]
+        self.counts = counts    # cid -> row count
+        self.index_dir = index_dir
+        self.last_rows_read = None  # rows scanned by the latest search
+
+    @classmethod
+    def build(
+        cls,
+        emb: ray.data.Dataset,
+        n_centroids: int = 16,
+        index_dir: str | None = None,
+        iters: int = 5,
+        seed: int = 11,
+        dtype=np.float32,
+    ) -> "IVFIndex":
+        import tempfile
+        import uuid
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        cents = train_ivf_centroids(emb, n_centroids=n_centroids, iters=iters,
+                                    seed=seed)
+        index_dir = index_dir or tempfile.mkdtemp(prefix="pgd_ivf_", dir="/tmp")
+        for c in range(len(cents)):
+            Path(index_dir, f"cid={c}").mkdir(parents=True, exist_ok=True)
+        c_ref = ray.put(cents)
+
+        def bucket_write(b: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            if b.num_rows == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "rows": pa.array([], pa.int64()),
+                                 "path": pa.array([], pa.string())})
+            m = _normalize(_stack_embeddings(b["embedding"], dtype))
+            assign = np.argmax(m @ c.T, axis=1).astype(np.int64)
+            b = b.append_column("cid", pa.array(assign))
+            cids, paths, rows = [], [], []
+            for cid in np.unique(assign):
+                part = b.filter(pa.array(assign == cid))
+                p = Path(index_dir, f"cid={int(cid)}",
+                         f"part-{uuid.uuid4().hex}.parquet")
+                tmp = p.with_suffix(".tmp")
+                pq.write_table(part, tmp)
+                tmp.rename(p)
+                cids.append(int(cid))
+                rows.append(part.num_rows)
+                paths.append(str(p))
+            return pa.table({"cid": pa.array(cids, pa.int64()),
+                             "rows": pa.array(rows, pa.int64()),
+                             "path": pa.array(paths, pa.string())})
+
+        manifest = (
+            emb.select_columns(["vec_id", "embedding"])
+            .map_batches(bucket_write, batch_format="pyarrow", batch_size=8192)
+            .take_all()
+        )  # O(#files) rows — the only thing the driver holds
+        files: dict = {}
+        counts: dict = {}
+        for r in manifest:
+            files.setdefault(r["cid"], []).append(r["path"])
+            counts[r["cid"]] = counts.get(r["cid"], 0) + r["rows"]
+        return cls(cents, files, counts, index_dir)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        concurrency=(1, 16),
+        dtype=np.float32,
+    ) -> pd.DataFrame:
+        """Probe-read: only the partitions in some query's nprobe list
+        are opened.  Output schema matches ``topk_cosine``; with
+        nprobe == n_centroids the result is exact."""
+        from pgd_ray.util import read_parquet_clean
+
+        q = _normalize(np.asarray(queries, dtype=dtype))
+        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        needed = sorted({int(c) for row in probes for c in row if int(c) in self.files})
+        self.last_rows_read = sum(self.counts.get(c, 0) for c in needed)
+        paths = [p for c in needed for p in self.files[c]]
+        if not paths:
+            return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+        part = read_parquet_clean(paths, columns=["vec_id", "embedding", "cid"])
+        p_ref = ray.put(probes)
+        q_ref = ray.put(q)
+
+        class Scorer:
+            def __init__(self):
+                self.probes = ray.get(p_ref)
+                self.q = ray.get(q_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                empty = pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+                if b.num_rows == 0:
+                    return empty
+                vid = b["vec_id"].to_numpy(zero_copy_only=False)
+                cid = b["cid"].to_numpy(zero_copy_only=False)
+                m = _normalize(_stack_embeddings(b["embedding"], dtype))
+                out = []
+                for qi in range(len(self.q)):
+                    mask = np.isin(cid, self.probes[qi])
+                    if not mask.any():
+                        continue
+                    sims = m[mask] @ self.q[qi]
+                    kk = min(k, len(sims))
+                    mvid = vid[mask]
+                    sel = _local_topk(sims, mvid, kk)
+                    out.append(
+                        pa.table(
+                            {
+                                "query_id": np.full(len(sel), qi, np.int64),
+                                "vec_id": mvid[sel].astype(np.int64),
+                                "cosine": sims[sel].astype(np.float64),
+                            }
+                        )
+                    )
+                return pa.concat_tables(out) if out else empty
+
+        cands = part.map_batches(
+            Scorer, batch_format="pyarrow", batch_size=8192,
+            concurrency=concurrency,
+        ).to_pandas()
+        if cands.empty:
+            return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+        cands = cands.sort_values(
+            ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+        )
+        top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        top["rank"] = top.groupby("query_id").cumcount()
+        return top[["query_id", "rank", "vec_id", "cosine"]]
+
+
 def ivf_topk_cosine(
     emb: ray.data.Dataset,
     queries: np.ndarray,
@@ -170,62 +325,12 @@ def ivf_topk_cosine(
     concurrency=(1, 16),
     dtype=np.float32,
 ) -> pd.DataFrame:
-    """IVF-bucketed ANN: vectors filtered to the ``nprobe`` closest
-    centroids of each query before scoring.  Same output schema as
-    ``topk_cosine`` (approximate recall).  With ``nprobe ==
-    n_centroids`` every bucket is probed, so the result is EXACT
-    (independent of the trained centroids) — the oracle-checked
+    """IVF ANN via the centroid-partitioned index: build (one
+    assignment scan, partitioned parquet) + probe-read search.  Same
+    output schema as ``topk_cosine`` (approximate recall).  With
+    ``nprobe == n_centroids`` every bucket is probed, so the result is
+    EXACT (independent of the trained centroids) — the oracle-checked
     configuration; ``dtype=float64`` mirrors DuckDB's doubles."""
-    cents = train_ivf_centroids(emb, n_centroids=n_centroids)
-    q = _normalize(np.asarray(queries, dtype=dtype))
-    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    c_ref = ray.put(cents)
-    p_ref = ray.put(probes)
-    q_ref = ray.put(q)
-
-    class Scorer:
-        def __init__(self):
-            self.c = ray.get(c_ref)
-            self.probes = ray.get(p_ref)
-            self.q = ray.get(q_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            vid = b["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize(_stack_embeddings(b["embedding"], dtype))
-            assign = np.argmax(m @ self.c.T, axis=1)
-            out = []
-            for qi in range(len(self.q)):
-                mask = np.isin(assign, self.probes[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.q[qi]
-                kk = min(k, len(sims))
-                mvid = vid[mask]
-                sel = _local_topk(sims, mvid, kk)
-                out.append(
-                    pa.table(
-                        {
-                            "query_id": np.full(len(sel), qi, np.int64),
-                            "vec_id": mvid[sel].astype(np.int64),
-                            "cosine": sims[sel].astype(np.float64),
-                        }
-                    )
-                )
-            if not out:
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())}
-                )
-            return pa.concat_tables(out)
-
-    cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
-        Scorer, batch_format="pyarrow", batch_size=8192, concurrency=concurrency
-    ).to_pandas()
-    if cands.empty:
-        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
-    cands = cands.sort_values(
-        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
-    )
-    top = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount()
-    return top[["query_id", "rank", "vec_id", "cosine"]]
+    index = IVFIndex.build(emb, n_centroids=n_centroids, dtype=dtype)
+    return index.search(queries, k=k, nprobe=nprobe, concurrency=concurrency,
+                        dtype=dtype)

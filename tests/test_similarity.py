@@ -129,3 +129,43 @@ def test_multimodal_real_decode():
 
     with pytest.raises(NotImplementedError):
         ImageDecodeFeatures(use_real=True)._decode_real(b"\x89PNG\r\n....")
+
+
+def test_ivf_index_probe_reads_only_nprobe_partitions(tmp_path):
+    """Scale contract: the partitioned index reads rows ∝ nprobe/nlist
+    — not the whole corpus — and full-probe search is exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pgd_ray.stages.similarity import IVFIndex, topk_cosine
+
+    rng = np.random.default_rng(3)
+    n, d, nlist = 2000, 16, 8
+    # well-separated clusters so Lloyd converges to balanced buckets
+    centers = rng.standard_normal((nlist, d)) * 25
+    mat = centers[np.arange(n) % nlist] + rng.standard_normal((n, d))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float64())),
+    })).repartition(8)
+    idx = IVFIndex.build(emb, n_centroids=nlist, index_dir=str(tmp_path / "ivf"))
+    assert sum(idx.counts.values()) == n  # every vector landed in one bucket
+
+    q = mat[[5, 17]]
+    total = sum(idx.counts.values())
+    idx.search(q, k=5, nprobe=1)
+    one = idx.last_rows_read
+    idx.search(q, k=5, nprobe=2)
+    two = idx.last_rows_read
+    # I/O pruning: probed-partition bytes only, growing with nprobe
+    assert one <= two < total
+    assert two <= total * (2 * 2) / nlist * 2  # ≤ union of ≤4 buckets (2x slack)
+
+    full = idx.search(q, k=5, nprobe=nlist)
+    assert idx.last_rows_read == total
+    brute = topk_cosine(emb, q, k=5)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), brute.reset_index(drop=True)
+    )
