@@ -141,18 +141,128 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 # --------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfiltering — the format LLM pipelines
+# actually store; no external library needed)
+# --------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (color type 2, filter 0 rows)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / RGB / palette / gray+alpha /
+    RGBA) → (h, w, 3) uint8 RGB.  All five row filters (None/Sub/Up/
+    Average/Paeth) are supported; Sub is a per-row mod-256 cumsum, Up
+    a vector add, Average/Paeth fall back to a per-byte row loop (the
+    only sequential recurrences in the spec)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = ch = ct = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or inter != 0 or comp != 0 or filt != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} interlace={inter} not supported (8-bit "
+                    "non-interlaced only)")
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+            if ch is None:
+                raise NotImplementedError(f"PNG color type {ct}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    ftype = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    for r in range(h):
+        f = int(ftype[r])
+        cur = data[r].astype(np.int32)
+        up = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = cur + up
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]  (mod 256)
+            rec = np.cumsum(cur.reshape(-1, ch), axis=0).reshape(stride)
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] & 0xFF if x >= ch else 0
+                rec[x] = cur[x] + ((left + up[x]) >> 1)
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] & 0xFF if x >= ch else 0
+                c = up[x - ch] if x >= ch else 0
+                b = up[x]
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                rec[x] = cur[x] + pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = rec & 0xFF
+    px = out.reshape(h, w, ch)
+    if ct == 2:
+        return px.copy()
+    if ct == 0:
+        return np.repeat(px, 3, axis=2)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]]
+    if ct == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # ct == 6 (RGBA)
+
+
+# --------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from BMP/PPM; codec formats raise."""
+    """(h, w, 3) uint8 RGB from BMP/PPM/PNG; codec formats that truly
+    need an external library (JPEG) raise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no codec for image magic {payload[:4]!r} in this environment "
-        "(BMP and P6 PPM decode natively)"
+        "(BMP, P6 PPM and 8-bit PNG decode natively)"
     )
 
 

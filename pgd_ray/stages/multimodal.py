@@ -47,18 +47,22 @@ def media_from_documents(
 
     def fn(b: pa.Table) -> pa.Table:
         text = b["text"].to_pylist()
-        if payload_format == "bmp":
-            from pgd_ray.stages.codecs import encode_bmp
+        if payload_format in ("bmp", "png", "mixed"):
+            from pgd_ray.stages.codecs import encode_bmp, encode_png
 
+            ids = b["doc_id"].to_pylist()
             payloads = []
-            for t in text:
+            for i, t in zip(ids, text):
                 L = len((t or "").encode())
                 w, h = L % 47 + 4, (L // 47) % 41 + 4
                 px = ((np.arange(h * w * 3, dtype=np.int64) + L) % 256).astype(
                     np.uint8
                 ).reshape(h, w, 3)
-                payloads.append(encode_bmp(px))
-            codec = "bmp"
+                use_png = payload_format == "png" or (
+                    payload_format == "mixed" and i % 2 == 1
+                )
+                payloads.append(encode_png(px) if use_png else encode_bmp(px))
+            codec = payload_format
         else:
             payloads = [(t or "").encode() for t in text]
             codec = "fake"
@@ -193,7 +197,7 @@ def decode_images(
     if use_real is None:
         first = media.take(1)
         magic = (first[0]["payload"] or b"")[:2] if first else b""
-        use_real = magic in (b"BM", b"P6")
+        use_real = magic in (b"BM", b"P6", b"\x89P")
     return media.map_batches(
         ImageDecodeFeatures,
         fn_constructor_kwargs={"use_real": use_real},

@@ -74,8 +74,8 @@ def test_multimodal_plumbing():
 
 
 def test_multimodal_real_decode():
-    """use_real=True REALLY decodes BMP/PPM/WAV (pure-numpy codecs);
-    codec formats (PNG/JPEG/...) still raise NotImplementedError."""
+    """use_real=True REALLY decodes BMP/PPM/PNG/WAV (pure-numpy
+    codecs); JPEG still raises NotImplementedError (honest stub)."""
     import pytest
 
     from pgd_ray.stages.codecs import encode_bmp, encode_ppm, encode_wav
@@ -128,7 +128,7 @@ def test_multimodal_real_decode():
     from pgd_ray.stages.multimodal import ImageDecodeFeatures
 
     with pytest.raises(NotImplementedError):
-        ImageDecodeFeatures(use_real=True)._decode_real(b"\x89PNG\r\n....")
+        ImageDecodeFeatures(use_real=True)._decode_real(b"\xff\xd8\xff\xe0jpeg")
 
 
 def test_ivf_index_probe_reads_only_nprobe_partitions(tmp_path):
@@ -169,3 +169,62 @@ def test_ivf_index_probe_reads_only_nprobe_partitions(tmp_path):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), brute.reset_index(drop=True)
     )
+
+
+def test_png_codec_roundtrip_and_filters():
+    """encode_png/decode_png round-trip, plus a hand-filtered stream
+    exercising all five PNG row filters and the non-RGB color types."""
+    import struct
+    import zlib
+
+    from pgd_ray.stages.codecs import _png_chunk, decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(px)), px)
+
+    # hand-build a stream whose row r uses filter r % 5
+    h, w, ch = 10, 7, 3
+    img = rng.integers(0, 256, (h, w * ch), dtype=np.uint8).astype(np.int32)
+    out = []
+    for r in range(h):
+        f = r % 5
+        cur = img[r]
+        up = img[r - 1] if r else np.zeros(w * ch, np.int32)
+        raw = np.empty(w * ch, np.int32)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up[x]
+            elif f == 3:
+                pred = (left + up[x]) >> 1
+            else:
+                p = left + up[x] - ul
+                pa_, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else (up[x] if pb <= pc else ul)
+            raw[x] = (cur[x] - pred) & 0xFF
+        out.append(bytes([f]) + raw.astype(np.uint8).tobytes())
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (sig + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+               + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(
+        decode_png(payload), img.astype(np.uint8).reshape(h, w, ch))
+
+    # grayscale (ct 0) and RGBA (ct 6)
+    gray = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    body = b"".join(b"\x00" + gray[r].tobytes() for r in range(6))
+    pl = (sig + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 0, 0, 0, 0))
+          + _png_chunk(b"IDAT", zlib.compress(body)) + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(pl), np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+    body = b"".join(b"\x00" + rgba[r].tobytes() for r in range(4))
+    pl = (sig + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 6, 0, 0, 0))
+          + _png_chunk(b"IDAT", zlib.compress(body)) + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(pl), rgba[:, :, :3])
