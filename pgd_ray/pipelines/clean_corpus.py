@@ -43,16 +43,21 @@ class _AnalyzeBatch:
     the text column (three separate stages would scan it three times)."""
 
     def __init__(self):
+        import re
+
         self.lang_patterns = {
             lang: r"(?<![a-zA-Z])(?:" + "|".join(sorted(words)) + r")(?![a-zA-Z])"
             for lang, words in _LANG_PROFILES.items()
         }
+        # re.ASCII keeps \w identical to the DuckDB oracle's RE2 ASCII
+        # \w (and to text.packing._TokCount) on non-ASCII text
+        self.token_re = re.compile(TOKEN_RE, re.ASCII)
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         text = b["text"].fillna("")
         low = text.str.lower()
         n_chars = text.str.len().astype("int64")
-        token_count = text.str.count(TOKEN_RE).astype("int64")
+        token_count = text.str.count(self.token_re).astype("int64")
         word_count = text.str.count(WORD_RE).astype("int64")
         digit_count = text.str.count(DIGIT_RE).astype("int64")
         quality = (

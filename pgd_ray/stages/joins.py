@@ -157,7 +157,13 @@ def _build_probe(right: ray.data.Dataset, right_key: str, right_time: str,
     if parts:
         tbl = pa.concat_tables(parts)
     else:
-        tbl = pa.table({c: pa.array([], pa.int64()) for c in cols})
+        # typed empty probe from the right schema: the how='left' null
+        # columns must keep their true types even when right is empty
+        sch = right.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        tbl = pa.table(
+            {c: pa.array([], types.get(c, pa.int64())) for c in cols}
+        )
     rk = tbl[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
     rt = _us_np(tbl[right_time])
     tb = tbl[tiebreak].to_numpy(zero_copy_only=False)
@@ -191,6 +197,23 @@ def _take_right(probe: _Probe, right_cols: list[str], right_time_as: str | None,
     return out
 
 
+def _check_collisions(left_names, right_cols: list[str],
+                      right_time_as: str | None) -> None:
+    """Output columns are left ∪ right payload: a name collision would
+    silently overwrite the left column — reject it at entry."""
+    seen = set(left_names)
+    dup = [c for c in right_cols if c in seen]
+    if len(set(right_cols)) != len(right_cols):
+        dup += [c for c in set(right_cols) if right_cols.count(c) > 1]
+    if right_time_as and (right_time_as in seen or right_time_as in right_cols):
+        dup.append(right_time_as)
+    if dup:
+        raise ValueError(
+            f"join output name collision: {sorted(set(dup))!r} — rename via "
+            "right_time_as / distinct right_cols"
+        )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -217,6 +240,7 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    _check_collisions(left.schema().names, right_cols, right_time_as)
     if strategy == "broadcast":
         probe_ref = ray.put(_build_probe(right, right_key, right_time,
                                          tiebreak, right_cols))
@@ -275,6 +299,7 @@ def range_join(
     ``right_time`` in ``[left_time - before_us, left_time + after_us]``
     (inclusive).  Output columns = ``left_cols`` (``left_time`` as
     int64 us if included) + ``right_cols`` (+ ``right_time_as``)."""
+    _check_collisions(left_cols, right_cols, right_time_as)
     if strategy == "broadcast":
         probe_ref = ray.put(_build_probe(right, right_key, right_time,
                                          right_key, right_cols))

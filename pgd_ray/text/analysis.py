@@ -46,7 +46,9 @@ class TextStats:
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         text = b["text"].fillna("")
         n_chars = text.str.len().astype("int64")
-        token_count = text.str.count(TOKEN_RE).astype("int64")
+        # the COMPILED (re.ASCII) pattern: Python's Unicode \w would
+        # diverge from the DuckDB oracle's RE2 ASCII \w on non-ASCII text
+        token_count = text.str.count(self.token_re).astype("int64")
         word_count = text.str.count(WORD_RE).astype("int64")
         punct_count = text.str.count(PUNCT_RE).astype("int64")
         digit_count = text.str.count(DIGIT_RE).astype("int64")

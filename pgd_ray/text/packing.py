@@ -87,6 +87,14 @@ def pack_assignments(
     block_start = dict(
         zip(sm["min_doc"], np.concatenate(([0], np.cumsum(totals[:-1]))))
     )
+    # blocks are keyed by their min doc_id: a duplicated doc_id that
+    # straddles a block boundary would make two blocks share a key and
+    # silently corrupt start_tok — enforce the unique-doc_id contract
+    if len(block_start) != len(sm):
+        raise ValueError(
+            "pack_assignments requires globally unique doc_ids "
+            "(duplicate ids straddle a sorted-block boundary)"
+        )
 
     def assign(t: pa.Table, block_start=block_start) -> pa.Table:
         if t.num_rows == 0:

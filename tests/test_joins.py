@@ -152,3 +152,46 @@ def test_range_join_micro_and_empty_right(strategy):
         num_partitions=4,
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_join_rejects_output_name_collisions():
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.stages.joins import asof_join, range_join
+
+    left = rd.from_arrow(pa.table({"k": [1], "t": [10], "v": [1.0]}))
+    right = rd.from_arrow(pa.table({"k": [1], "t": [5], "v": [2.0]}))
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, left_key="k", right_key="k", left_time="t",
+                  right_time="t", tiebreak="k", right_cols=["v"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, left_key="k", right_key="k", left_time="t",
+                  right_time="t", tiebreak="k", right_cols=[],
+                  right_time_as="t")
+    with pytest.raises(ValueError, match="collision"):
+        range_join(left, right, left_key="k", right_key="k", left_time="t",
+                   right_time="t", before_us=1, after_us=1,
+                   left_cols=["k", "t"], right_cols=["t"])
+
+
+def test_asof_left_join_empty_right_keeps_types():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.stages.joins import asof_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "t": pa.array([10, 20], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "rt": pa.array([], pa.int64()),
+        "name": pa.array([], pa.string()), "price": pa.array([], pa.float64()),
+    }))
+    out = asof_join(left, right, left_key="k", right_key="k", left_time="t",
+                    right_time="rt", tiebreak="k",
+                    right_cols=["name", "price"], how="left")
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert sch["name"] == pa.string() and sch["price"] == pa.float64()
+    df = out.to_pandas()
+    assert len(df) == 2 and df["name"].isna().all()
