@@ -558,6 +558,25 @@ def _q_kcore_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "core": kcore(csr).astype(np.int64)})
 
 
+def _q_bfs_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import bfs_distances
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seed = int(np.argmin(vids))  # dense id of the smallest raw part key
+    dist = bfs_distances(csr, [seed])
+    reached = dist < csr.n  # drop the unreachable sentinel, like the SQL
+    return pd.DataFrame({"v": vids[reached], "dist": dist[reached]})
+
+
+def _q_ppr_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import personalized_pagerank
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seed = int(np.argmin(vids))
+    ppr = personalized_pagerank(csr, seed, tol=1e-15, max_iter=400)
+    return pd.DataFrame({"v": vids, "score": np.round(ppr, 9)})
+
+
 def _q_label_prop_tool(sf_dir):
     from pgd_ray.graph.iterative import label_propagation
 
@@ -992,6 +1011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_copurchase": _q_cc_copurchase,
         "pagerank_copurchase": _q_pagerank_copurchase,
         "kcore_copurchase": _q_kcore_copurchase,
+        "bfs_copurchase": _q_bfs_copurchase,
+        "ppr_copurchase": _q_ppr_copurchase,
         "label_prop_tool": _q_label_prop_tool,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
@@ -1466,6 +1487,38 @@ k(it, v, val) AS (
     FROM k JOIN s ON s.src = k.v JOIN k k2 ON k2.v = s.dst AND k2.it = k.it
   ) WHERE it < 64 GROUP BY it+1, src)
 SELECT v, val AS core FROM k WHERE it = 64""",
+        # bfs_copurchase: multi-level reachability walk capped at 64
+        # hops (>> the co-purchase graph's diameter), min dist per
+        # vertex; only reached vertices appear — mirroring the engine's
+        # sentinel filter.  Seed = smallest raw part key.
+        "bfs_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seed AS (SELECT MIN(v) AS sv FROM d),
+walk(v, dist) AS (
+  SELECT sv, 0 FROM seed
+  UNION
+  SELECT s.dst, walk.dist + 1
+  FROM walk JOIN s ON s.src = walk.v
+  WHERE walk.dist < 64)
+SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY v""",
+        # ppr_copurchase: personalized PageRank, preference vector
+        # e_seed (seed = smallest raw part key) — the pagerank mirror
+        # with the teleport term moved onto the seed row.  No vertex in
+        # d is dangling (degree >= 1 by construction).
+        "ppr_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seed AS (SELECT MIN(v) AS sv FROM d),
+pr(it, v, score) AS (
+  -- CAST: a bare CASE literal types score DECIMAL(2,1), which
+  -- silently truncates every score/degree division downstream
+  SELECT 0, v, CAST(CASE WHEN v = (SELECT sv FROM seed) THEN 1.0 ELSE 0.0 END AS DOUBLE) FROM d
+  UNION ALL
+  SELECT it+1, s.dst,
+         0.85*SUM(pr.score/d.degree) +
+         CASE WHEN s.dst = (SELECT sv FROM seed) THEN 0.15 ELSE 0.0 END
+  FROM pr JOIN s ON s.src = pr.v JOIN d ON d.v = pr.v
+  WHERE it < 300 GROUP BY it+1, s.dst)
+SELECT v, ROUND(score, 9) AS score FROM pr WHERE it = 300""",
         "label_prop_tool": f"""
 WITH RECURSIVE {_TE_CTE}, {_S_CTE},
 vtx AS (SELECT tid AS v FROM vocab),

@@ -482,21 +482,26 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N=4 → 4N=16: both levels inside the VM's physical-core region.
-    # (32 vCPUs are SMT threads over ~16 cores: a 32-proc busy-loop
-    # delivers only 3.2x the cycles of 8 procs — a 0.80 hardware
-    # ceiling on any 8→32 efficiency measurement; see BASELINE.md.)
-    lo_cpu, hi_cpu = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # Three levels, 4 → 8 → 16, all inside the VM's physical-core
+    # region.  (32 vCPUs are SMT threads over ~16 cores: a 32-proc
+    # busy-loop delivers only 3.2x the cycles of 8 procs — a 0.80
+    # hardware ceiling on any 8→32 efficiency measurement; see
+    # BASELINE.md.)  Three levels give three pairwise efficiencies
+    # (4→8, 8→16, 4→16) so the claim rests on a median, not on the
+    # single cleanest window.
+    levels = sorted(
+        int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,8,16").split(",")
+    )
     # interleaved best-of-3 per level with per-stage minima: this
     # sandbox's VM shows ±40-50 % wall-clock jitter between identical
     # runs (CPU steal), and whole bad windows can swallow one level's
-    # runs — interleaving samples both levels under similar conditions
+    # runs — interleaving samples all levels under similar conditions
     # and the per-stage min is the steal-free estimate.
     rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
-    los, his = [], []
+    runs_by_level: dict[int, list] = {c: [] for c in levels}
     for _ in range(rounds):
-        los.append(one(lo_cpu))
-        his.append(one(hi_cpu))
+        for c in levels:
+            runs_by_level[c].append(one(c))
 
     def stage_mins(runs):
         return {
@@ -508,29 +513,37 @@ def run_scaling() -> dict:
             "total": min(r["value"] for r in runs),
         }
 
-    lo_m, hi_m = stage_mins(los), stage_mins(his)
-    lo, hi = los[0], his[0]
+    mins = {c: stage_mins(runs_by_level[c]) for c in levels}
     # north-rule scaling: PageRank iterations (median round), triangle
     # pass and macro graphlet pass on the synthetic graphs
-    t_lo = lo_m["pr10"] + lo_m["tri"] + lo_m["macro"]
-    t_hi = hi_m["pr10"] + hi_m["tri"] + hi_m["macro"]
-    eff = (t_lo / t_hi) / (hi_cpu / lo_cpu)
+    suite = {c: mins[c]["pr10"] + mins[c]["tri"] + mins[c]["macro"] for c in levels}
+    pairs = [(a, b) for i, a in enumerate(levels) for b in levels[i + 1:]]
+    pair_eff = {
+        f"{a}->{b}": round((suite[a] / suite[b]) / (b / a), 3) for a, b in pairs
+    }
+    effs = sorted(pair_eff.values())
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    lo_cpu, hi_cpu = levels[0], levels[-1]
+    eff = pair_eff[f"{lo_cpu}->{hi_cpu}"]
     cal = _cpu_calibration(lo_cpu, hi_cpu)
     return {
-        "metric": f"throughput scaling efficiency, N={lo_cpu} → 4N={hi_cpu} CPUs "
+        "metric": f"throughput scaling efficiency, {levels} CPUs "
                   "(fresh ray.init each), PageRank(10 iter) + triangles + "
                   "macro graphlets on synthetic link graphs",
-        "cpus": [lo_cpu, hi_cpu],
-        "suite_sec": [round(t_lo, 3), round(t_hi, 3)],
+        "cpus": levels,
+        "suite_sec": [round(suite[c], 3) for c in levels],
         "rounds": rounds,
         "stage_sec_min": {
-            "pagerank_10it_median": [round(lo_m["pr10"], 3), round(hi_m["pr10"], 3)],
-            "triangles": [round(lo_m["tri"], 3), round(hi_m["tri"], 3)],
-            "macro_graphlets": [round(lo_m["macro"], 3), round(hi_m["macro"], 3)],
+            "pagerank_10it_median": [round(mins[c]["pr10"], 3) for c in levels],
+            "triangles": [round(mins[c]["tri"], 3) for c in levels],
+            "macro_graphlets": [round(mins[c]["macro"], 3) for c in levels],
         },
-        "synth_edges_per_sec_per_pr_iter": [lo_m["pr_thr"], hi_m["pr_thr"]],
-        "synth_edges_per_sec_triangles": [lo_m["tri_thr"], hi_m["tri_thr"]],
-        "suite_total_sec": [lo_m["total"], hi_m["total"]],
+        "synth_edges_per_sec_per_pr_iter": [mins[c]["pr_thr"] for c in levels],
+        "synth_edges_per_sec_triangles": [mins[c]["tri_thr"] for c in levels],
+        "suite_total_sec": [mins[c]["total"] for c in levels],
+        "pairwise_efficiency": pair_eff,
+        "median_efficiency": round(median_eff, 3),
         "throughput_scaling_efficiency": round(eff, 3),
         "cpu_delivered_cycle_ratio": round(cal, 3),
         "hw_ceiling_efficiency": round(cal / (hi_cpu / lo_cpu), 3),

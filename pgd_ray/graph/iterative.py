@@ -90,22 +90,36 @@ def _seg_min(vals: np.ndarray, idx: np.ndarray, empty_fill: np.ndarray) -> np.nd
 def _run_block(program, indptr, indices, state, extras, precomp, vlo, vhi):
     idx = indptr[vlo : vhi + 1] - indptr[vlo]
     gathered = indices[indptr[vlo] : indptr[vhi]]
-    if program == "pagerank":
-        return _apply_program(program, state[vlo:vhi], precomp[gathered], idx, extras)
-    return _apply_program(program, state[vlo:vhi], state[gathered], idx, extras)
+    if program in ("pagerank", "ppr"):
+        return _apply_program(program, state[vlo:vhi], precomp[gathered], idx, extras, vlo)
+    return _apply_program(program, state[vlo:vhi], state[gathered], idx, extras, vlo)
 
 
-def _apply_program(program, own, vals, idx, extras):
+def _apply_program(program, own, vals, idx, extras, vlo=0):
     """One vertex-program round for a contiguous range, given the
     range's PRE-GATHERED neighbor values (``vals`` in CSR index order
     — summation order is therefore identical no matter how the values
     were fetched, which is what makes the sharded engine bit-identical
-    to the broadcast one)."""
+    to the broadcast one).  ``vlo`` is the range's global offset, for
+    programs whose update references a global vertex id (ppr seed)."""
     if program == "pagerank":
         # new[v] = base + α·Σ_{u∈N(v)} score[u]/deg[u]
         return extras["base"] + extras["alpha"] * _seg_sum(vals, idx)
+    if program == "ppr":
+        # personalized PageRank, preference vector e_seed: teleport and
+        # dangling mass land on the seed vertex instead of uniformly
+        out = extras["alpha"] * _seg_sum(vals, idx)
+        s = extras["seed"] - vlo
+        if 0 <= s < len(out):
+            out[s] += extras["seed_mass"]
+        return out
     if program == "cc":
         return np.minimum(own, _seg_min(vals, idx, own))
+    if program == "bfs":
+        # frontier relaxation: dist[v] = min(dist[v], 1 + min_{u∈N(v)} dist[u]);
+        # the unreached sentinel is n (> any real distance), so empty
+        # neighborhoods fall back to min(own, own+1) = own
+        return np.minimum(own, _seg_min(vals, idx, own) + 1)
     if program == "lp":
         return _lp_vals(own, vals, idx)
     if program == "kcore":
@@ -151,7 +165,7 @@ def _kcore_vals(own, vals, idx):
 
 
 def _precompute(program, indptr, state, extras):
-    if program == "pagerank":
+    if program in ("pagerank", "ppr"):
         return state / np.maximum(np.diff(indptr), 1)
     return None
 
@@ -268,7 +282,7 @@ class _ShardWorker:
         return self._bundle(program), self._stats(0.0)
 
     def _bundle(self, program):
-        if program == "pagerank":
+        if program in ("pagerank", "ppr"):
             return self.state, self.state / np.maximum(self.deg_own, 1)
         return self.state, None
 
@@ -284,7 +298,7 @@ class _ShardWorker:
     def step(self, program, extras, *bundles):
         """One round: gather neighbor values from the needed slices,
         apply the vertex program, keep the new slice."""
-        use_pre = program == "pagerank"
+        use_pre = program in ("pagerank", "ppr")
         if bundles:
             first = bundles[0][1] if use_pre else bundles[0][0]
             vals = np.empty(self.n_gathered, dtype=first.dtype)
@@ -293,7 +307,7 @@ class _ShardWorker:
                 vals[self.pos[s]] = sl[self.loc[s]]
         else:  # range with no edges
             vals = np.empty(0, dtype=np.float64 if use_pre else self.state.dtype)
-        new = _apply_program(program, self.state, vals, self.idx, extras)
+        new = _apply_program(program, self.state, vals, self.idx, extras, self.vlo)
         delta = (
             float(np.max(np.abs(new.astype(np.float64) - self.state.astype(np.float64))))
             if len(new)
@@ -700,6 +714,87 @@ def pagerank(
     state, _ = eng.run(
         np.full(n, 1.0 / n), extras, lambda d: d < tol, max_iter, resume=resume,
         extras_from_dangling=extras_from_dangling,
+    )
+    return state
+
+
+def personalized_pagerank(
+    csr: CSRGraph,
+    seed: int,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 200,
+    checkpoint_dir=None,
+    resume: bool = False,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Personalized PageRank with preference vector e_seed: both the
+    (1-α) teleport and the dangling mass land on ``seed`` instead of
+    uniformly.  Same gather-scatter rounds as ``pagerank`` — only the
+    base term differs — so all three executors and checkpoint/resume
+    apply unchanged."""
+    n = csr.n
+    if n == 0:
+        return np.array([])
+    if not (0 <= seed < n):
+        raise ValueError(f"seed {seed} outside [0, {n})")
+    deg = csr.degrees()
+    dangling_mask = deg == 0
+    eng = IterativeEngine(
+        csr, "ppr", n_workers=n_workers, engine=engine,
+        checkpoint_dir=checkpoint_dir, workers=workers,
+    )
+
+    def extras(state):
+        dangling = float(state[dangling_mask].sum()) if dangling_mask.any() else 0.0
+        return {"alpha": alpha, "seed": int(seed),
+                "seed_mass": (1.0 - alpha) + alpha * dangling}
+
+    def extras_from_dangling(d):
+        return {"alpha": alpha, "seed": int(seed),
+                "seed_mass": (1.0 - alpha) + alpha * d}
+
+    init = np.zeros(n)
+    init[seed] = 1.0
+    state, _ = eng.run(
+        init, extras, lambda d: d < tol, max_iter, resume=resume,
+        extras_from_dangling=extras_from_dangling,
+    )
+    return state
+
+
+def bfs_distances(
+    csr: CSRGraph,
+    sources,
+    max_iter: int | None = None,
+    checkpoint_dir=None,
+    resume: bool = False,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Unweighted shortest-path distance from the nearest of
+    ``sources`` (multi-source BFS), as synchronous frontier relaxation
+    rounds — converges in eccentricity(sources) rounds.  Unreachable
+    vertices keep the sentinel ``n`` (callers usually filter or map it
+    to -1).  Distances are exact regardless of block/shard boundaries:
+    min-relaxation is confluent, like ``connected_components``."""
+    n = csr.n
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    src = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    if src.size == 0:
+        raise ValueError("bfs_distances needs at least one source")
+    if src.min() < 0 or src.max() >= n:
+        raise ValueError(f"sources outside [0, {n})")
+    eng = IterativeEngine(csr, "bfs", n_workers=n_workers, engine=engine,
+                          checkpoint_dir=checkpoint_dir, workers=workers)
+    init = np.full(n, n, dtype=np.int64)
+    init[src] = 0
+    state, _ = eng.run(
+        init, lambda s: {}, lambda d: d == 0.0, max_iter or n, resume=resume,
     )
     return state
 

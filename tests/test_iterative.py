@@ -4,10 +4,12 @@ import ray
 
 from pgd_ray.graph.csr import csr_from_edge_arrays
 from pgd_ray.graph.iterative import (
+    bfs_distances,
     connected_components,
     kcore,
     label_propagation,
     pagerank,
+    personalized_pagerank,
 )
 from tests.brute import random_graph
 
@@ -106,6 +108,83 @@ def test_label_propagation_two_cliques():
     lab = label_propagation(csr, max_iter=20, n_workers=2)
     assert len(set(lab[:5])) == 1
     assert len(set(lab[5:])) == 1
+
+
+def _bfs_ref(csr, sources):
+    from collections import deque
+
+    dist = np.full(csr.n, csr.n, dtype=np.int64)
+    q = deque()
+    for s in sources:
+        dist[s] = 0
+        q.append(s)
+    while q:
+        v = q.popleft()
+        for u in csr.neighbors(v):
+            if dist[u] > dist[v] + 1:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    return dist
+
+
+def _ppr_ref(csr, seed, alpha=0.85, tol=1e-12):
+    n = csr.n
+    deg = csr.degrees()
+    s = np.zeros(n)
+    s[seed] = 1.0
+    src = np.repeat(np.arange(n), deg)
+    dst = csr.indices
+    for _ in range(500):
+        w = s / np.maximum(deg, 1)
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, w[src])
+        new = alpha * contrib
+        new[seed] += (1 - alpha) + alpha * s[deg == 0].sum()
+        if np.abs(new - s).max() < tol:
+            return new
+        s = new
+    return s
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_bfs_distances_exact(seed):
+    csr = _csr(60, 0.05, seed)
+    got = bfs_distances(csr, [0], n_workers=2)
+    assert (got == _bfs_ref(csr, [0])).all()
+    # multi-source: distance from the nearest of {0, 17, 42}
+    got = bfs_distances(csr, [0, 17, 42], n_workers=2)
+    assert (got == _bfs_ref(csr, [0, 17, 42])).all()
+
+
+def test_bfs_unreachable_sentinel():
+    csr = csr_from_edge_arrays(np.array([0, 1]), np.array([1, 2]), n=5)
+    d = bfs_distances(csr, [0], n_workers=1)
+    assert list(d[:3]) == [0, 1, 2]
+    assert d[3] == 5 and d[4] == 5  # sentinel n for unreachable
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_personalized_pagerank_allclose(seed):
+    csr = _csr(40, 0.1, seed)
+    got = personalized_pagerank(csr, seed=3, tol=1e-12, n_workers=2)
+    assert np.allclose(got, _ppr_ref(csr, 3), atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9  # mass conserved
+
+
+def test_bfs_ppr_parallelism_and_sharded_parity():
+    csr = _csr(80, 0.06, seed=5)
+    a = bfs_distances(csr, [2], n_workers=1)
+    assert (a == bfs_distances(csr, [2], n_workers=4)).all()
+    assert (a == bfs_distances(csr, [2], engine="sharded", n_workers=3)).all()
+    p = personalized_pagerank(csr, seed=2, tol=1e-12, n_workers=1)
+    assert np.allclose(
+        p, personalized_pagerank(csr, seed=2, tol=1e-12, n_workers=4), atol=1e-15
+    )
+    assert np.allclose(
+        p,
+        personalized_pagerank(csr, seed=2, tol=1e-12, engine="sharded", n_workers=3),
+        atol=1e-15,
+    )
 
 
 def test_pagerank_resume(tmp_path):
