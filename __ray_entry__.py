@@ -558,6 +558,22 @@ def _q_kcore_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "core": kcore(csr).astype(np.int64)})
 
 
+def _q_ktruss_copurchase(sf_dir):
+    from pgd_ray.graph.truss import ktruss_edges
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    kept = ktruss_edges(dense, csr, k=5).to_pandas()
+    if kept.empty:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64)})
+    kept["src"] = vids[kept["src"].to_numpy()]
+    kept["dst"] = vids[kept["dst"].to_numpy()]
+    # canonical orientation on RAW ids for the SQL comparison
+    lo = np.minimum(kept["src"], kept["dst"])
+    hi = np.maximum(kept["src"], kept["dst"])
+    return pd.DataFrame({"src": lo, "dst": hi})
+
+
 def _q_bfs_copurchase(sf_dir):
     from pgd_ray.graph.iterative import bfs_distances
 
@@ -1012,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_copurchase": _q_pagerank_copurchase,
         "kcore_copurchase": _q_kcore_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
+        "ktruss_copurchase": _q_ktruss_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
         "label_prop_tool": _q_label_prop_tool,
         "text_stats": _q_text_stats,
@@ -1487,6 +1504,29 @@ k(it, v, val) AS (
     FROM k JOIN s ON s.src = k.v JOIN k k2 ON k2.v = s.dst AND k2.it = k.it
   ) WHERE it < 64 GROUP BY it+1, src)
 SELECT v, val AS core FROM k WHERE it = 64""",
+        # ktruss_copurchase: 5-truss by peeling — per level, recompute
+        # each surviving edge's support (common neighbors within the
+        # surviving symmetrized set; `tr` inside the recursive term is
+        # the previous level's working table) and keep support >= 3.
+        # Peeling converges in 3 rounds at sf0.01 / 0 at sf0.001; 8
+        # levels is a comfortable cap (surviving rows just self-copy
+        # after the fixpoint).
+        "ktruss_copurchase": f"""
+WITH RECURSIVE {_E_CTE},
+tr(it, src, dst) AS (
+  SELECT 0, src, dst FROM e
+  UNION ALL
+  SELECT t.it+1, t.src, t.dst
+  FROM tr t
+  JOIN (
+    SELECT n1.a AS u, n2.a AS v, COUNT(*) AS c
+    FROM (SELECT src AS a, dst AS b FROM tr UNION ALL SELECT dst, src FROM tr) n1
+    JOIN (SELECT src AS a, dst AS b FROM tr UNION ALL SELECT dst, src FROM tr) n2
+      ON n1.b = n2.b AND n1.a < n2.a
+    GROUP BY n1.a, n2.a
+  ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
+  WHERE t.it < 8)
+SELECT src, dst FROM tr WHERE it = 8""",
         # bfs_copurchase: multi-level reachability walk capped at 64
         # hops (>> the co-purchase graph's diameter), min dist per
         # vertex; only reached vertices appear — mirroring the engine's
