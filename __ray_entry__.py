@@ -574,6 +574,17 @@ def _q_ktruss_copurchase(sf_dir):
     return pd.DataFrame({"src": lo, "dst": hi})
 
 
+def _q_link_pred_copurchase(sf_dir):
+    from pgd_ray.graph.linkpred import link_prediction
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    head = link_prediction(csr, top_n=100)
+    # vids is ascending, so the (cn desc, u, v) order survives the map
+    head["u"] = vids[head["u"].to_numpy()]
+    head["v"] = vids[head["v"].to_numpy()]
+    return head
+
+
 def _q_bfs_copurchase(sf_dir):
     from pgd_ray.graph.iterative import bfs_distances
 
@@ -1029,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": _q_kcore_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
+        "link_pred_copurchase": _q_link_pred_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
         "label_prop_tool": _q_label_prop_tool,
         "text_stats": _q_text_stats,
@@ -1527,6 +1539,24 @@ tr(it, src, dst) AS (
   ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
   WHERE t.it < 8)
 SELECT src, dst FROM tr WHERE it = 8""",
+        # link_pred_copurchase: top-100 non-adjacent distance-2 pairs
+        # by common-neighbor count (deterministic (cn DESC, u, v)
+        # ranking — the integer key makes the rank-100 cutoff exact),
+        # with the Adamic-Adar score alongside.
+        "link_pred_copurchase": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+p AS (
+  SELECT s1.dst AS u, s2.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(1.0/ln(d.degree)) AS aa
+  FROM s s1 JOIN s s2 ON s1.src = s2.src AND s1.dst < s2.dst
+  JOIN d ON d.v = s1.src
+  GROUP BY s1.dst, s2.dst),
+np AS (SELECT p.u, p.v, p.cn, p.aa FROM p
+       LEFT JOIN e ON e.src = p.u AND e.dst = p.v
+       WHERE e.src IS NULL)
+SELECT u, v, cn, ROUND(aa, 6) AS aa FROM np
+ORDER BY cn DESC, u, v LIMIT 100""",
         # bfs_copurchase: multi-level reachability walk capped at 64
         # hops (>> the co-purchase graph's diameter), min dist per
         # vertex; only reached vertices appear — mirroring the engine's
