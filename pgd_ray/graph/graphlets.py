@@ -198,6 +198,10 @@ class GraphletKernel:
         tail = np.zeros(k, dtype=np.int64)
         want_tail = self.tailed_mode == "micro"
         want_cyc = self.mode != "macro_nocyc"
+        # macro_nocyc contract: BOTH quadratic per-edge terms come from
+        # driver-side identities (s_cliq via _nbr_tri_part, s_cyc via
+        # the 4-walk trace), so only the linear tri pass remains here
+        want_clq = self.mode != "macro_nocyc"
         chunk = max(1, 32_000_000 // (self.n * self.n) * 64)
         for a in range(0, k, chunk):
             b = min(k, a + chunk)
@@ -207,8 +211,9 @@ class GraphletKernel:
             Nu = adj[u]
             Tm = Nv & Nu
             tri[a:b] = Tm.sum(axis=1)
-            TA = Tm.astype(np.float32) @ adjf
-            clq[a:b] = np.round((TA * Tm).sum(axis=1, dtype=np.float64) / 2).astype(np.int64)
+            if want_clq:
+                TA = Tm.astype(np.float32) @ adjf
+                clq[a:b] = np.round((TA * Tm).sum(axis=1, dtype=np.float64) / 2).astype(np.int64)
             if want_cyc or want_tail:
                 Am = Nu & ~Nv
                 Am[np.arange(b - a), v] = False
@@ -727,6 +732,30 @@ def _tr_a4_part(indptr, indices, a: int, b: int) -> int:
     return int((P * P).sum())
 
 
+@ray.remote
+def _nbr_tri_part(indptr, indices, a: int, b: int) -> int:
+    """Σ_{x∈[a,b)} tr(S_x³) where S_x = adjacency of the subgraph
+    induced by N(x): per-vertex neighborhood-triangle totals.  Over all
+    vertices, Σ tr(S³) = 6·Σ tri(G[N(x)]) = 24·K4, giving
+    s_cliq = Σ_e clq_e = 6·K4 WITHOUT the per-edge (m·n²)-flop masked
+    matmul — per-vertex cost is 2·d³ flops (Σ 2d³ ≈ 0.56 TF vs 4.1 TF
+    on the 518k-edge dense bench graph).  Entries of S² are < d ≤ n ≤
+    8192 < 2²⁴, exact in f32; the masked sum accumulates in f64, exact
+    below 2⁵³ (d² ≤ 6.7e7 terms × < 2²⁴ each at the n-cap)."""
+    n = len(indptr) - 1
+    adj = np.zeros((n, n), dtype=bool)
+    adj[np.repeat(np.arange(n), np.diff(indptr)), indices] = True
+    total = 0
+    for x in range(a, b):
+        N = indices[indptr[x] : indptr[x + 1]]
+        if len(N) < 2:
+            continue
+        S = adj[np.ix_(N, N)]
+        Sf = S.astype(np.float32)
+        total += int((Sf @ Sf)[S].sum(dtype=np.float64))
+    return total
+
+
 def graphlet_macro(
     canonical_ds: ray.data.Dataset,
     csr: CSRGraph,
@@ -739,13 +768,15 @@ def graphlet_macro(
     tasks (parallelism itself follows the input's block count).
 
     Small-graph fast path: when the dense kernel applies (n ≤ 8192)
-    the per-edge AA matmul — half the dense flops — is skipped and
-    Σcyc is recovered exactly from the 4-walk trace identity
-    (validated bit-equal on random graphs): C4_ind = C4_sub − N3 +
-    3·K4 with C4_sub = (tr A⁴ − 2Σd² + Σd)/8, so
-    s_cyc = 4·C4_ind."""
+    BOTH per-edge matmuls are skipped — Σcyc is recovered exactly from
+    the 4-walk trace identity (C4_ind = C4_sub − N3 + 3·K4 with
+    C4_sub = (tr A⁴ − 2Σd² + Σd)/8, so s_cyc = 4·C4_ind) and Σclq
+    from the per-vertex neighborhood-triangle identity
+    s_cliq = 6·K4 = Σ_v tr(S_v³)/4 (``_nbr_tri_part``), whose Σ 2d³
+    flops are ~7× below the per-edge m·n² route on the dense bench
+    graph.  Both validated bit-equal on random graphs."""
     dense_fast = isinstance(csr, CSRGraph) and 0 < csr.n <= 8192
-    tr_parts = None
+    tr_parts = nbr_parts = None
     if dense_fast:
         indptr_ref, indices_ref = csr.put()
         step = max(512, -(-csr.n // 8))
@@ -753,6 +784,18 @@ def graphlet_macro(
             _tr_a4_part.remote(indptr_ref, indices_ref, a, min(a + step, csr.n))
             for a in range(0, csr.n, step)
         ]  # overlaps with the edge stream below
+        # d³-balanced vertex cuts: per-vertex cost is 2·deg³ flops, so
+        # uniform vertex ranges would straggle on hubs
+        w = np.cumsum(csr.degrees().astype(np.float64) ** 3)
+        cuts = np.searchsorted(
+            w, np.linspace(0, w[-1] if len(w) else 0.0, 65)[1:-1]
+        )
+        cuts = np.unique(np.concatenate([[0], cuts, [csr.n]]))
+        nbr_parts = [
+            _nbr_tri_part.remote(indptr_ref, indices_ref, int(a), int(b))
+            for a, b in zip(cuts[:-1], cuts[1:])
+            if b > a
+        ]
     partials = canonical_ds.map_batches(
         _stage_for(csr, "macro_nocyc" if dense_fast else "macro"),
         batch_format="pyarrow",
@@ -767,6 +810,7 @@ def graphlet_macro(
             acc[k] += int(col.sum())
     if dense_fast:
         deg = csr.degrees().astype(np.int64)
+        acc["s_cliq"] = sum(ray.get(nbr_parts)) // 4  # Σ tr(S³) = 24·K4
         tr_a4 = sum(ray.get(tr_parts))
         c4_sub = (tr_a4 - 2 * int((deg * deg).sum()) + int(deg.sum())) // 8
         acc["s_cyc"] = 4 * (c4_sub - acc["n3"] + 3 * (acc["s_cliq"] // 6))
