@@ -551,6 +551,16 @@ def _q_pagerank_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(pr, 9)})
 
 
+def _q_eigencen_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import eigenvector_centrality
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    # fixed 64 power-iteration rounds — a pure function of the graph,
+    # mirrored 1:1 by the recursive-CTE oracle
+    x = eigenvector_centrality(csr, iters=64)
+    return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
+
+
 def _q_kcore_copurchase(sf_dir):
     from pgd_ray.graph.iterative import kcore
 
@@ -1038,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_copurchase": _q_cc_copurchase,
         "pagerank_copurchase": _q_pagerank_copurchase,
         "kcore_copurchase": _q_kcore_copurchase,
+        "eigencen_copurchase": _q_eigencen_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
         "link_pred_copurchase": _q_link_pred_copurchase,
@@ -1505,6 +1516,22 @@ pr(it, v, score) AS (
   FROM pr JOIN s ON s.src = pr.v JOIN d ON d.v = pr.v
   WHERE it < 300 GROUP BY it+1, s.dst)
 SELECT v, ROUND(score, 9) AS score FROM pr WHERE it = 300""",
+        # eigencen_copurchase: eigenvector centrality as 64 fixed
+        # power-iteration rounds with per-round 2-norm normalization
+        # (the window over the grouped step result), exactly the
+        # engine's update x̂ ← A·x̂ / ‖A·x̂‖ from the uniform unit
+        # vector.
+        "eigencen_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+eig(it, v, score) AS (
+  SELECT 0, v, 1.0/sqrt((SELECT n FROM nn)) FROM d
+  UNION ALL
+  SELECT it, v, raw / sqrt(SUM(raw*raw) OVER ()) FROM (
+    SELECT eig.it+1 AS it, s.dst AS v, SUM(eig.score) AS raw
+    FROM eig JOIN s ON s.src = eig.v
+    WHERE eig.it < 64 GROUP BY eig.it+1, s.dst) t)
+SELECT v, ROUND(score, 9) AS score FROM eig WHERE it = 64""",
         "kcore_copurchase": f"""
 WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
 k(it, v, val) AS (

@@ -113,6 +113,14 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         if 0 <= s < len(out):
             out[s] += extras["seed_mass"]
         return out
+    if program == "eigcen":
+        # power iteration for the principal eigenvector: the stored
+        # state is the UN-normalized y_t; inv_norm = 1/||y_{t-1}||
+        # comes from extras (full-state norm in the broadcast engines,
+        # Σ per-shard sumsq stats in the sharded one — the scalar's
+        # summation order differs, so cross-engine equality is
+        # allclose-level, unlike the integer programs)
+        return extras["inv_norm"] * _seg_sum(vals, idx)
     if program == "cc":
         return np.minimum(own, _seg_min(vals, idx, own))
     if program == "bfs":
@@ -287,12 +295,12 @@ class _ShardWorker:
         return self.state, None
 
     def _stats(self, delta):
-        dang = (
-            float(self.state[self.deg_own == 0].sum())
-            if self.state.dtype.kind == "f"
-            else 0.0
-        )
-        return {"delta": float(delta), "dangling": dang}
+        if self.state.dtype.kind == "f":
+            dang = float(self.state[self.deg_own == 0].sum())
+            sumsq = float(self.state.astype(np.float64) @ self.state.astype(np.float64))
+        else:
+            dang = sumsq = 0.0
+        return {"delta": float(delta), "dangling": dang, "sumsq": sumsq}
 
     @ray.method(num_returns=2)
     def step(self, program, extras, *bundles):
@@ -552,7 +560,8 @@ class IterativeEngine:
 
     def _run_sharded(
         self, init, extras_fn, converged_fn, max_iter, resume,
-        extras_from_dangling=None, range_csr=None, pool=None,
+        extras_from_dangling=None, extras_from_stats=None,
+        range_csr=None, pool=None,
     ) -> tuple[np.ndarray, int]:
         """Sharded-state rounds: each worker owns one vertex range's
         adjacency + state slice; per round only slice REFS move through
@@ -608,6 +617,8 @@ class IterativeEngine:
                 delta = max((s["delta"] for s in stats), default=0.0)
                 if extras_from_dangling is not None:
                     ex = extras_from_dangling(sum(s["dangling"] for s in stats))
+                elif extras_from_stats is not None:
+                    ex = extras_from_stats(stats)
                 self.metrics.append(
                     {"iteration": it + 1, "delta": delta,
                      "sec": round(time.perf_counter() - t0, 4)}
@@ -632,13 +643,15 @@ class IterativeEngine:
         max_iter: int,
         resume: bool = False,
         extras_from_dangling=None,
+        extras_from_stats=None,
         range_csr=None,
         pool=None,
     ) -> tuple[np.ndarray, int]:
         if self.engine == "sharded":
             return self._run_sharded(
                 init, extras_fn, converged_fn, max_iter, resume,
-                extras_from_dangling=extras_from_dangling, range_csr=range_csr,
+                extras_from_dangling=extras_from_dangling,
+                extras_from_stats=extras_from_stats, range_csr=range_csr,
                 pool=pool,
             )
         state, start = init, 0
@@ -763,6 +776,52 @@ def personalized_pagerank(
         extras_from_dangling=extras_from_dangling,
     )
     return state
+
+
+def eigenvector_centrality(
+    csr: CSRGraph,
+    iters: int = 64,
+    checkpoint_dir=None,
+    resume: bool = False,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Principal-eigenvector centrality by power iteration: a FIXED
+    number of rounds x̂_{t+1} = A·x̂_t / ‖A·x̂_t‖ from the uniform unit
+    vector (fixed — not convergence-tested — so the result is a pure
+    function of (graph, iters), mirrorable by a recursive-CTE oracle;
+    on bipartite components the sequence oscillates with the sign of
+    -λ, and a deterministic iteration count pins which limit is
+    reported).  Degenerate to PageRank it is not: no teleport, no
+    degree normalization — score mass concentrates on the densest
+    subgraph.  Stored state is the un-normalized y_t = A·x̂_{t-1};
+    the global norm reaches workers through ``extras`` (full-state
+    norm in the broadcast engines, summed per-shard ``sumsq`` stats in
+    the sharded one).  Returns the unit-normalized vector."""
+    n = csr.n
+    if n == 0:
+        return np.array([])
+
+    def inv_norm_of(sumsq: float) -> dict:
+        return {"inv_norm": 1.0 / np.sqrt(sumsq) if sumsq > 0 else 0.0}
+
+    eng = IterativeEngine(
+        csr, "eigcen", n_workers=n_workers, engine=engine,
+        checkpoint_dir=checkpoint_dir, workers=workers,
+    )
+    y, _ = eng.run(
+        np.full(n, 1.0 / np.sqrt(n)),
+        lambda s: inv_norm_of(float(s.astype(np.float64) @ s.astype(np.float64))),
+        lambda d: False,
+        iters,
+        resume=resume,
+        extras_from_stats=lambda stats: inv_norm_of(
+            sum(s["sumsq"] for s in stats)
+        ),
+    )
+    nrm = float(np.linalg.norm(y))
+    return y / nrm if nrm > 0 else y
 
 
 def bfs_distances(

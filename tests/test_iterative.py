@@ -342,3 +342,49 @@ def test_sharded_pool_reuse_across_runs():
     np.testing.assert_allclose(prs[0], pagerank(csr, engine="actors", tol=1e-12),
                                atol=1e-15)
     assert np.array_equal(cc, connected_components(csr, engine="actors"))
+
+
+def _eig_ref(csr, iters=64):
+    n = csr.n
+    A = np.zeros((n, n))
+    src = np.repeat(np.arange(n), csr.degrees())
+    A[src, csr.indices] = 1.0
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(iters):
+        y = A @ x
+        nrm = np.linalg.norm(y)
+        x = y / nrm if nrm > 0 else y
+    return x
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_eigenvector_centrality_matches_dense(seed):
+    from pgd_ray.graph.iterative import eigenvector_centrality
+
+    csr = _csr(40, 0.15, seed)
+    got = eigenvector_centrality(csr, iters=64, n_workers=3)
+    assert np.allclose(got, _eig_ref(csr, 64), atol=1e-9)
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-12
+
+
+def test_eigenvector_centrality_engine_parity():
+    from pgd_ray.graph.iterative import eigenvector_centrality
+
+    csr = _csr(60, 0.1, 9)
+    a = eigenvector_centrality(csr, iters=32, n_workers=3, engine="actors")
+    d = eigenvector_centrality(csr, iters=32, n_workers=3, engine="dataset")
+    s = eigenvector_centrality(csr, iters=32, n_workers=3, engine="sharded")
+    # inv_norm summation order differs per engine: allclose, not bitwise
+    assert np.allclose(a, d, atol=1e-12)
+    assert np.allclose(a, s, atol=1e-12)
+
+
+def test_eigenvector_centrality_edgeless_and_empty():
+    from pgd_ray.graph.iterative import eigenvector_centrality
+
+    assert len(eigenvector_centrality(csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=0))) == 0
+    # edgeless n=3: y_1 = 0 -> zeros stay (inv_norm guard), output zeros
+    z = eigenvector_centrality(csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=3), iters=4)
+    assert np.array_equal(z, np.zeros(3))
