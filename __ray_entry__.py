@@ -595,6 +595,18 @@ def _q_link_pred_copurchase(sf_dir):
     return head
 
 
+def _q_random_walks_copurchase(sf_dir):
+    from pgd_ray.graph.walks import random_walks
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    df = random_walks(csr, length=8).to_pandas()
+    # hashes are computed on DENSE ids; vids is ascending so the SQL
+    # mirror reconstructs them with row_number() over ordered raw ids
+    df["walk_id"] = vids[df["walk_id"].to_numpy()]
+    df["v"] = vids[df["v"].to_numpy()]
+    return df
+
+
 def _q_bfs_copurchase(sf_dir):
     from pgd_ray.graph.iterative import bfs_distances
 
@@ -778,6 +790,29 @@ def _q_tpch_q3(sf_dir):
     from pgd_ray.pipelines.tpch import q3
 
     return q3(sf_dir, cutoff_us=_Q3_CUTOFF_US, segment="BUILDING", k=10)
+
+
+_Q5_LO_US = 820_454_400_000_000   # 1996-01-01T00:00Z
+_Q5_HI_US = 852_076_800_000_000   # 1997-01-01T00:00Z
+
+
+def _q_tpch_q5(sf_dir):
+    """TPC-H Q5 local-supplier volume — pipelines.tpch.q5 (ONE shuffle
+    join for the two big tables; all four dimension tables broadcast
+    as dense lookup arrays)."""
+    from pgd_ray.pipelines.tpch import q5
+
+    return q5(sf_dir, region="ASIA", date_lo_us=_Q5_LO_US,
+              date_hi_us=_Q5_HI_US)
+
+
+def _q_tpch_q6(sf_dir):
+    """TPC-H Q6 forecast revenue change — pipelines.tpch.q6 (filter +
+    one global sum; per-batch partials, no shuffle)."""
+    from pgd_ray.pipelines.tpch import q6
+
+    return q6(sf_dir, date_lo_us=_Q5_LO_US, date_hi_us=_Q5_HI_US,
+              disc_lo=0.04, disc_hi=0.06, qty_below=24.0)
 
 
 def _q_cooccurrence(sf_dir):
@@ -1050,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": _q_kcore_copurchase,
         "eigencen_copurchase": _q_eigencen_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
+        "random_walks_copurchase": _q_random_walks_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
@@ -1089,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": _q_cooccurrence,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
     }
 
 
@@ -1225,6 +1263,27 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l.l_orderkey
 LIMIT 10""",
+        "tpch_q5": f"""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+     JOIN nation n ON s.s_nationkey = n.n_nationkey
+     JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND epoch_us(o.o_orderdate) >= {_Q5_LO_US}
+  AND epoch_us(o.o_orderdate) < {_Q5_HI_US}
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name""",
+        "tpch_q6": f"""
+SELECT COALESCE(ROUND(SUM(l_extendedprice * l_discount), 2), 0.0) AS revenue
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_Q5_LO_US}
+  AND epoch_us(l_shipdate) < {_Q5_HI_US}
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24""",
         "cooccurrence": """
 SELECT least(a.event_type, b.event_type) AS type_a,
        greatest(a.event_type, b.event_type) AS type_b,
@@ -1588,6 +1647,33 @@ ORDER BY cn DESC, u, v LIMIT 100""",
         # hops (>> the co-purchase graph's diameter), min dist per
         # vertex; only reached vertices appear — mirroring the engine's
         # sentinel filter.  Seed = smallest raw part key.
+        # random_walks_copurchase: 8-step deterministic walks from
+        # every vertex — step t of walk w picks neighbor rank
+        # splitmix64(dense(w) XOR t*C) mod deg(v).  The engine hashes
+        # DENSE ids; dense relabel is monotone in raw id, so
+        # row_number() over ordered raw vertices reconstructs it; the
+        # per-(walk, step) hash table is precomputed once (16k rows)
+        # so the recursive join stays cheap.
+        "random_walks_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+adj AS (SELECT src, dst,
+        CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk,
+        COUNT(*) OVER (PARTITION BY src) AS dg FROM s),
+hs AS (SELECT h.dv AS wid, r.t AS t,
+       {_splitmix_sql('h.dv', f'(CAST(r.t AS HUGEINT) * {0xD1342543DE82EF95}) % {_M64}')} AS hh
+       FROM did h CROSS JOIN range(1, 9) r(t)),
+walk(wid, step, v) AS (
+  SELECT dv, CAST(0 AS BIGINT), v FROM did
+  UNION ALL
+  SELECT w.wid, w.step + 1, a.dst
+  FROM walk w
+  JOIN hs ON hs.wid = w.wid AND hs.t = w.step + 1
+  JOIN adj a ON a.src = w.v
+   AND a.rnk = CAST(hs.hh % CAST(a.dg AS UBIGINT) AS BIGINT)
+  WHERE w.step < 8)
+SELECT d2.v AS walk_id, w.step, w.v
+FROM walk w JOIN did d2 ON d2.dv = w.wid""",
         "bfs_copurchase": f"""
 WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
 seed AS (SELECT MIN(v) AS sv FROM d),

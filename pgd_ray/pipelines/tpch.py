@@ -11,6 +11,14 @@ joins) beyond the graph/text pipelines.
   small aggregate + ordered head).  At scale the customer side is
   small enough to broadcast instead — the hash join is used here
   deliberately to exercise the shuffle-join path.
+* ``q5`` — local-supplier volume by nation: ONE shuffle join
+  (orders⋈lineitem, the two big tables); region/nation/supplier/
+  customer become broadcast lookup arrays (``ray.put`` once, zero-copy
+  views per worker) — the canonical star-schema pattern: never shuffle
+  a dimension table.  Customer is the largest broadcast side (1.5 MB
+  at SF-1; at SF-1000 promote it to the q3-style hash join).
+* ``q6`` — forecast revenue change: pure filter + one global sum, no
+  shuffle at all (per-batch partials, driver adds a handful of rows).
 
 Monetary sums are rounded to 2 decimals (cents) and unit-scale
 averages to 6 — double summation order differs between any two
@@ -181,3 +189,136 @@ def q3(
         .to_pandas()
     )
     return top[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+_DIM_CACHE: dict = {}
+
+
+def _dim_arrays(ref):
+    """Zero-copy per-worker view of the broadcast dimension arrays."""
+    key = ref.hex()
+    st = _DIM_CACHE.get(key)
+    if st is None:
+        st = ray.get(ref)
+        _DIM_CACHE.clear()
+        _DIM_CACHE[key] = st
+    return st
+
+
+def q5(
+    sf_dir: str,
+    region: str,
+    date_lo_us: int,
+    date_hi_us: int,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Local-supplier volume: revenue per nation of the given region,
+    over orders in [date_lo, date_hi), where the supplying nation
+    equals the customer's nation.  Columns (n_name, revenue), revenue
+    desc."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    # dimension tables -> dense lookup arrays, broadcast ONCE
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cst = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    rkey = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    in_region = np.zeros(int(nat["n_nationkey"].max()) + 1, dtype=bool)
+    names = np.empty(len(in_region), dtype=object)
+    for _, r in nat.iterrows():
+        in_region[r["n_nationkey"]] = r["n_regionkey"] in rkey
+        names[r["n_nationkey"]] = r["n_name"]
+    sup_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    sup_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    cst_nat = np.full(int(cst["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cst_nat[cst["c_custkey"].to_numpy()] = cst["c_nationkey"].to_numpy()
+    dims = ray.put((in_region, names, sup_nat, cst_nat))
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pa.array(
+            (lambda v: (v >= date_lo_us) & (v < date_hi_us))(
+                t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = li.join(
+        orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def local_rev(t: pa.Table, dims_ref) -> pa.Table:
+        in_region, names, sup_nat, cst_nat = _dim_arrays(dims_ref)
+        sn = sup_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        cn = cst_nat[t["o_custkey"].to_numpy(zero_copy_only=False)]
+        m = (sn == cn) & (sn >= 0) & in_region[np.maximum(sn, 0)]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "n_name": pa.array(names[sn[m]], pa.string()),
+            "rev": price * (1.0 - disc),
+        })
+
+    agg = (
+        j.map_batches(local_rev, fn_kwargs={"dims_ref": dims},
+                      batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], ignore_index=True
+    )
+
+
+def q6(
+    sf_dir: str,
+    date_lo_us: int,
+    date_hi_us: int,
+    disc_lo: float,
+    disc_hi: float,
+    qty_below: float,
+) -> pd.DataFrame:
+    """Forecast revenue change: SUM(l_extendedprice·l_discount) over
+    shipdate ∈ [lo, hi), discount ∈ [disc_lo, disc_hi], quantity <
+    qty_below.  One column (revenue), one row."""
+    from pgd_ray.util import read_parquet_clean
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = ((ship >= date_lo_us) & (ship < date_hi_us)
+             & (disc >= disc_lo) & (disc <= disc_hi) & (qty < qty_below))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"rev": pa.array(
+            [float((price[m] * disc[m]).sum())], pa.float64())})
+
+    total = sum(
+        b["rev"].to_numpy(zero_copy_only=False).sum()
+        for b in li.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    )
+    return pd.DataFrame({"revenue": [round(float(total), 2)]})
