@@ -815,6 +815,17 @@ def _q_tpch_q6(sf_dir):
               disc_lo=0.04, disc_hi=0.06, qty_below=24.0)
 
 
+def _q_bigram_lm(sf_dir):
+    """Self-trained bigram-LM quality score per document —
+    text.lm.bigram_lm_score (pass 1: partial-combined bigram counts,
+    one exchange; pass 2: broadcast count table + searchsorted
+    lookups, no second shuffle)."""
+    from pgd_ray.text.lm import bigram_lm_score
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_lm_score(docs).to_pandas()
+
+
 def _q_cooccurrence(sf_dir):
     """Windowed self-join: same-user event-type pairs within 5 min —
     stages.windows.cooccurrence_pairs (sorted blocks + boundary-user
@@ -1120,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "pack_assignments": _q_pack_assignments,
         "repetition_stats": _q_repetition_stats,
+        "bigram_lm": _q_bigram_lm,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
@@ -1355,6 +1367,27 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
        ROUND(SQRT(GREATEST(ss / n - (s / n) * (s / n), 0)), 6) AS std,
        ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax
 FROM a""",
+        # bigram_lm: mean bigram log-likelihood per doc under the
+        # corpus' own bigram MLE — ln(c(w1,w2)/cfirst(w1)) averaged
+        # over a doc's bigrams; <2-token docs score 0.0 with 0
+        # bigrams.  Same [A-Za-z]+ tokenizer as repetition_stats.
+        "bigram_lm": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos FROM w0),
+bg AS (SELECT x.doc_id, x.w AS w1, y.w AS w2
+       FROM w x JOIN w y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+cf AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cfirst FROM bc GROUP BY w1),
+sc AS (SELECT bg.doc_id, COUNT(*) AS nb,
+              SUM(ln(bc.c / CAST(cf.cfirst AS DOUBLE))) AS lsum
+       FROM bg JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+               JOIN cf ON cf.w1 = bg.w1
+       GROUP BY bg.doc_id)
+SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(sc.lsum / sc.nb, 0.0), 6) AS logprob
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
         "repetition_stats": """
 WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
             FROM documents),

@@ -1,0 +1,148 @@
+"""Self-trained bigram language-model quality scoring — the
+"perplexity filter" of LLM data pipelines (CCNet's wiki-LM filter,
+Gopher's quality signals), with the corpus as its own training set:
+
+    pass 1  — corpus bigram counts  c(w1, w2)  (and their prefix
+              marginals cfirst(w1) = Σ_x c(w1, x))
+    pass 2  — per-document mean bigram log-likelihood
+              score(d) = (1/B) Σ_i ln( c(wᵢ, wᵢ₊₁) / cfirst(wᵢ) )
+
+MLE, no smoothing: every scored bigram was counted in pass 1, so the
+ratio is always in (0, 1].  Low scores mark documents whose word
+transitions are rare in the corpus — the unigram-independent analogue
+of the repetition rules in ``text/analysis.py``.
+
+Execution shape: pass 1 emits per-batch PARTIAL bigram counts (one
+groupby-hash inside the task, so the shuffle carries ≤ batch-vocab²
+rows per batch, never one row per token occurrence — the
+``_TokenCounts`` pattern one order up); ONE groupby(w1, w2) exchange
+combines them.  Pass 2 broadcasts the count table (``ray.put`` once,
+zero-copy per worker) and scores with searchsorted lookups — no
+Python loop over tokens, no second shuffle.
+
+Scale note: the count table is O(realized bigram vocab).  For
+open-vocabulary corpora prune to the top-K bigrams + an UNK floor
+before broadcasting (the ``vocab_topk`` machinery); the synthetic
+corpus' vocab is small enough to keep exact, which is what the SQL
+oracle mirrors.  Tokenization is ``[A-Za-z]+`` — byte-identical
+between Python re and DuckDB RE2 (see ``text/analysis.WORD_RE``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from pgd_ray.text.analysis import WORD_RE
+
+
+_TOK_RE = re.compile(WORD_RE)
+
+
+def _bigram_partials(b: pd.DataFrame, column: str) -> pd.DataFrame:
+        lists = b[column].fillna("").str.findall(_TOK_RE)
+        lens = lists.str.len().to_numpy(dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        toks = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+        did = np.repeat(np.arange(len(lens)), lens)
+        ok = did[:-1] == did[1:]  # no cross-document bigrams
+        df = pd.DataFrame({"w1": toks[:-1][ok], "w2": toks[1:][ok]})
+        g = df.groupby(["w1", "w2"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["w1", "w2", "c"]
+        out["c"] = out["c"].astype("int64")
+        return out
+
+
+def bigram_counts(
+    docs: ray.data.Dataset, column: str = "text", concurrency: int | None = 16
+) -> ray.data.Dataset:
+    """Corpus bigram count table (w1, w2, c)."""
+    return (
+        docs.select_columns([column])
+        .map_batches(
+            _bigram_partials, fn_kwargs={"column": column},
+            batch_format="pandas", batch_size=4096, concurrency=concurrency,
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+_LM_CACHE: dict = {}
+
+
+def _lm_state(ref):
+    key = ref.hex()
+    st = _LM_CACHE.get(key)
+    if st is None:
+        st = ray.get(ref)
+        _LM_CACHE.clear()
+        _LM_CACHE[key] = st
+    return st
+
+
+def _score_batch(b: pd.DataFrame, lm_ref, column: str) -> pd.DataFrame:
+    vocab, keys, logp = _lm_state(lm_ref)
+    lists = b[column].fillna("").str.findall(_TOK_RE)
+    lens = lists.str.len().to_numpy(dtype=np.int64)
+    nb = np.maximum(lens - 1, 0)
+    score = np.zeros(len(b), dtype=np.float64)
+    if int(nb.sum()):
+        toks = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+        tid = np.searchsorted(vocab, toks)
+        did = np.repeat(np.arange(len(lens)), lens)
+        ok = did[:-1] == did[1:]
+        key = tid[:-1][ok] * np.int64(len(vocab)) + tid[1:][ok]
+        lp = logp[np.searchsorted(keys, key)]
+        sums = np.zeros(len(b), dtype=np.float64)
+        np.add.at(sums, did[:-1][ok], lp)
+        score[nb > 0] = sums[nb > 0] / nb[nb > 0]
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(),
+        "n_bigrams": nb,
+        "logprob": np.round(score, 6),
+    })
+
+
+def bigram_lm_score(
+    docs: ray.data.Dataset, column: str = "text", concurrency: int | None = 16
+) -> ray.data.Dataset:
+    """Per-document mean bigram log-likelihood under the corpus' own
+    bigram MLE.  Columns (doc_id, n_bigrams, logprob); documents with
+    fewer than 2 tokens score 0.0.  The corpus is scanned twice
+    (counts, then scores) — both streaming."""
+    cnt = bigram_counts(docs, column=column, concurrency=concurrency).to_pandas()
+    if cnt.empty:
+        lm = ray.put((np.array([], dtype=object),
+                      np.array([], dtype=np.int64),
+                      np.array([], dtype=np.float64)))
+    else:
+        vocab = np.unique(np.concatenate([
+            cnt["w1"].to_numpy(dtype=object), cnt["w2"].to_numpy(dtype=object)
+        ]))
+        i1 = np.searchsorted(vocab, cnt["w1"].to_numpy(dtype=object))
+        i2 = np.searchsorted(vocab, cnt["w2"].to_numpy(dtype=object))
+        c = cnt["c"].to_numpy(dtype=np.int64)
+        cfirst = np.zeros(len(vocab), dtype=np.int64)
+        np.add.at(cfirst, i1, c)
+        key = i1 * np.int64(len(vocab)) + i2
+        order = np.argsort(key)
+        lm = ray.put((
+            vocab,
+            key[order],
+            np.log(c[order] / cfirst[i1[order]].astype(np.float64)),
+        ))
+    return docs.select_columns(["doc_id", column]).map_batches(
+        _score_batch,
+        fn_kwargs={"lm_ref": lm, "column": column},
+        batch_format="pandas", batch_size=4096, concurrency=concurrency,
+    )
