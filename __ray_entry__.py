@@ -826,6 +826,25 @@ def _q_bigram_lm(sf_dir):
     return bigram_lm_score(docs).to_pandas()
 
 
+def _q_decontaminate(sf_dir):
+    """Benchmark decontamination: docs sharing any token 8-gram with
+    the benchmark slice (doc_id % 50 == 0) are flagged —
+    text.decontam.decontaminate (driver state ∝ eval set; one scan,
+    no shuffle)."""
+    import pyarrow as pa
+
+    from pgd_ray.text.decontam import decontaminate
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+        )),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, bench, n=8).to_pandas()
+
+
 def _q_cooccurrence(sf_dir):
     """Windowed self-join: same-user event-type pairs within 5 min —
     stages.windows.cooccurrence_pairs (sorted blocks + boundary-user
@@ -1132,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assignments": _q_pack_assignments,
         "repetition_stats": _q_repetition_stats,
         "bigram_lm": _q_bigram_lm,
+        "decontaminate": _q_decontaminate,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
@@ -1367,6 +1387,23 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
        ROUND(SQRT(GREATEST(ss / n - (s / n) * (s / n), 0)), 6) AS std,
        ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax
 FROM a""",
+        # decontaminate: docs sharing any token 8-gram with the
+        # benchmark slice (doc_id % 50 == 0); n_shared = DISTINCT
+        # shared 8-grams.  1-based inclusive list slice ws[p:p+7] is
+        # the 8-token window.
+        "decontaminate": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[pos:pos+7], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS pos
+            FROM w0)),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+sc AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+       FROM g JOIN bg ON bg.gram = g.gram GROUP BY g.doc_id)
+SELECT d.doc_id, CAST(COALESCE(sc.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(sc.n_shared, 0) = 0 AS keep
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
         # bigram_lm: mean bigram log-likelihood per doc under the
         # corpus' own bigram MLE — ln(c(w1,w2)/cfirst(w1)) averaged
         # over a doc's bigrams; <2-token docs score 0.0 with 0

@@ -165,6 +165,7 @@ def run_bench() -> dict:
     syn = _synth_suite(timings, nw)
     sketches = _sketch_micro()
     r2ops = _round2_ops()
+    r3ops = _round3_ops(dense, csr, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -183,6 +184,7 @@ def run_bench() -> dict:
         **getattr(_transcript_scale_suite, "info", {}),
         "sketch_docs_per_sec": sketches,
         "round2_ops_sec": r2ops,
+        "round3_ops_sec": r3ops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -231,6 +233,51 @@ def _round2_ops() -> dict:
     t0 = time.perf_counter()
     vocab_topk(docs, n=100).materialize()
     out["vocab_topk"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _round3_ops(dense, csr, nw: int) -> dict:
+    """Wall time of the round-3 operators over sf0.1 (auxiliary, not
+    part of the headline total): deterministic random walks (8 steps ×
+    all vertices), eigenvector centrality (64 rounds), 5-truss
+    peeling, capped link prediction (max_pairs_per_mid bounds the
+    wedge quadratic — the documented scale knob), bigram-LM corpus
+    scoring, TPC-H Q5/Q6."""
+    from pgd_ray.graph.iterative import eigenvector_centrality
+    from pgd_ray.graph.linkpred import link_prediction
+    from pgd_ray.graph.truss import ktruss_edges
+    from pgd_ray.graph.walks import random_walks
+    from pgd_ray.pipelines.tpch import q5, q6
+    from pgd_ray.text.lm import bigram_lm_score
+    from pgd_ray.util import read_parquet_clean
+
+    out = {}
+    t0 = time.perf_counter()
+    random_walks(csr, length=8, concurrency=nw).materialize()
+    out["random_walks_8x" + str(csr.n)] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    eigenvector_centrality(csr, iters=64, n_workers=nw)
+    out["eigenvector_64it"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ktruss_edges(dense, csr, k=5, concurrency=(1, nw)).materialize()
+    out["ktruss_5"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    link_prediction(csr, top_n=100, max_pairs_per_mid=8)
+    out["link_pred_top100_cap8"] = round(time.perf_counter() - t0, 3)
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    bigram_lm_score(docs).materialize()
+    out["bigram_lm"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    q5(SF_DIR, region="ASIA", date_lo_us=820_454_400_000_000,
+       date_hi_us=852_076_800_000_000)
+    out["tpch_q5"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    q6(SF_DIR, date_lo_us=820_454_400_000_000,
+       date_hi_us=852_076_800_000_000, disc_lo=0.04, disc_hi=0.06,
+       qty_below=24.0)
+    out["tpch_q6"] = round(time.perf_counter() - t0, 3)
     return out
 
 
