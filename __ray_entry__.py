@@ -845,6 +845,16 @@ def _q_decontaminate(sf_dir):
     return decontaminate(docs, bench, n=8).to_pandas()
 
 
+def _q_tfidf_top5(sf_dir):
+    """Per-doc top-5 TF-IDF terms — text.tfidf.tfidf_top_terms (df
+    pass + broadcast table + factorized scoring scan; deterministic
+    (tfidf DESC, term) cutoff)."""
+    from pgd_ray.text.tfidf import tfidf_top_terms
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5).to_pandas()
+
+
 def _q_cooccurrence(sf_dir):
     """Windowed self-join: same-user event-type pairs within 5 min —
     stages.windows.cooccurrence_pairs (sorted blocks + boundary-user
@@ -1152,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "bigram_lm": _q_bigram_lm,
         "decontaminate": _q_decontaminate,
+        "tfidf_top5": _q_tfidf_top5,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
@@ -1387,6 +1398,26 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
        ROUND(SQRT(GREATEST(ss / n - (s / n) * (s / n), 0)), 6) AS std,
        ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax
 FROM a""",
+        # tfidf_top5: per-doc top-5 terms by tf·ln(N/df), ties broken
+        # by term — integer tf/df make within-system ties exact, so
+        # the rank-5 cutoff agrees across engines.
+        "tfidf_top5": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS t FROM w0),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w GROUP BY doc_id, t),
+dfr AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM w GROUP BY t),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.t AS term, tf.tf,
+              tf.tf * ln((SELECT n FROM nn) / dfr.df) AS x,
+              row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf * ln((SELECT n FROM nn) / dfr.df) DESC,
+                         tf.t) AS rk
+       FROM tf JOIN dfr ON dfr.t = tf.t)
+SELECT doc_id, term, tf, ROUND(x, 6) AS tfidf FROM sc WHERE rk <= 5""",
         # decontaminate: docs sharing any token 8-gram with the
         # benchmark slice (doc_id % 50 == 0); n_shared = DISTINCT
         # shared 8-grams.  1-based inclusive list slice ws[p:p+7] is
