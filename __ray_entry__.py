@@ -551,6 +551,16 @@ def _q_pagerank_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(pr, 9)})
 
 
+def _q_mis_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import maximal_independent_set
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    # deterministic Luby rounds — priorities are a pure hash of
+    # (dense id, round), so the recursive-CTE oracle replays them
+    m = maximal_independent_set(csr)
+    return pd.DataFrame({"v": vids, "in_mis": m})
+
+
 def _q_eigencen_copurchase(sf_dir):
     from pgd_ray.graph.iterative import eigenvector_centrality
 
@@ -1124,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_copurchase": _q_pagerank_copurchase,
         "kcore_copurchase": _q_kcore_copurchase,
         "eigencen_copurchase": _q_eigencen_copurchase,
+        "mis_copurchase": _q_mis_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
@@ -1676,6 +1687,37 @@ pr(it, v, score) AS (
   FROM pr JOIN s ON s.src = pr.v JOIN d ON d.v = pr.v
   WHERE it < 300 GROUP BY it+1, s.dst)
 SELECT v, ROUND(score, 9) AS score FROM pr WHERE it = 300""",
+        # mis_copurchase: deterministic Luby MIS — codes -2 IN /
+        # -1 OUT / priority (undecided); per round an undecided vertex
+        # joins iff its priority (splitmix64(dense_v XOR r*C) >> 1, a
+        # bijection of v within a round — no ties) beats every
+        # undecided neighbor, drops out next to an IN neighbor, else
+        # redraws.  64 rounds >> the O(log n) convergence; decided
+        # rows self-copy.
+        "mis_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+st(it, v, dv, code) AS (
+  SELECT 0, v, dv,
+         CAST(({_splitmix_sql('dv', '0')} >> 1) AS BIGINT) FROM did
+  UNION ALL
+  SELECT st.it + 1, st.v, st.dv,
+    CASE WHEN st.code < 0 THEN st.code
+         WHEN COALESCE(nb.has_in, FALSE) THEN -1
+         WHEN st.code > COALESCE(nb.maxp, -1) THEN -2
+         ELSE CAST(({_splitmix_sql('st.dv',
+             f'(CAST(st.it + 1 AS HUGEINT) * {0xA24BAED4963EE407}) % {_M64}')}
+             >> 1) AS BIGINT) END
+  FROM st
+  LEFT JOIN (
+    SELECT s.src AS v, st2.it AS it,
+           MAX(CASE WHEN st2.code >= 0 THEN st2.code END) AS maxp,
+           BOOL_OR(st2.code = -2) AS has_in
+    FROM s JOIN st st2 ON st2.v = s.dst
+    GROUP BY s.src, st2.it
+  ) nb ON nb.v = st.v AND nb.it = st.it
+  WHERE st.it < 64)
+SELECT v, code = -2 AS in_mis FROM st WHERE it = 64""",
         # eigencen_copurchase: eigenvector centrality as 64 fixed
         # power-iteration rounds with per-round 2-norm normalization
         # (the window over the grouped step result), exactly the

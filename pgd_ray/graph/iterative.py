@@ -83,6 +83,31 @@ def _seg_min(vals: np.ndarray, idx: np.ndarray, empty_fill: np.ndarray) -> np.nd
     return out
 
 
+def _seg_max(vals: np.ndarray, idx: np.ndarray, empty: int) -> np.ndarray:
+    out = np.full(len(idx) - 1, empty, dtype=np.int64)
+    lens = _seg_lens(idx)
+    nonempty = lens > 0
+    if vals.size and nonempty.any():
+        out[nonempty] = np.maximum.reduceat(vals, idx[:-1][nonempty])
+    return out
+
+
+# MIS (Luby) state codes: -2 = IN the independent set, -1 = OUT
+# (dominated), >= 0 = undecided, carrying THIS round's priority.
+_MIS_IN, _MIS_OUT = -2, -1
+_MIS_C = np.uint64(0xA24BAED4963EE407)
+
+
+def _mis_priority(ids: np.ndarray, rnd: int) -> np.ndarray:
+    """Round-r priority of each vertex: splitmix64(v XOR r·C) >> 1 —
+    a bijection of v within a round, so priorities are DISTINCT
+    (no ties to break) yet change every round (Luby's fresh coins)."""
+    from pgd_ray.text.hashing import splitmix64
+
+    h = splitmix64(ids.astype(np.uint64) ^ (np.uint64(rnd) * _MIS_C))
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
 # --------------------------------------------------------------------
 # per-block vertex programs (shared by both executors)
 # --------------------------------------------------------------------
@@ -128,6 +153,24 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         # the unreached sentinel is n (> any real distance), so empty
         # neighborhoods fall back to min(own, own+1) = own
         return np.minimum(own, _seg_min(vals, idx, own) + 1)
+    if program == "mis":
+        # one Luby round: an undecided vertex joins the set iff its
+        # priority beats every undecided neighbor's (distinct within a
+        # round, so two adjacent vertices can never both join); a
+        # neighbor of an IN vertex drops OUT; survivors redraw their
+        # priority for round r+1.  extras["round"] = r (0-based).
+        und = own >= 0
+        has_in = _seg_max((vals == _MIS_IN).astype(np.int64), idx, 0) > 0
+        maxp = _seg_max(np.where(vals >= 0, vals, -1), idx, -1)
+        ids = vlo + np.arange(len(own), dtype=np.int64)
+        new = own.copy()
+        new[und & has_in] = _MIS_OUT
+        win = und & ~has_in & (own > maxp)
+        new[win] = _MIS_IN
+        rest = und & ~has_in & ~win
+        if rest.any():
+            new[rest] = _mis_priority(ids[rest], extras["round"] + 1)
+        return new
     if program == "lp":
         return _lp_vals(own, vals, idx)
     if program == "kcore":
@@ -904,6 +947,43 @@ def kcore(
         resume=resume,
     )
     return state
+
+
+def maximal_independent_set(
+    csr: CSRGraph,
+    max_iter: int = 64,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Deterministic Luby MIS: boolean membership of a maximal
+    independent set.  Each round every undecided vertex draws the
+    priority splitmix64(v XOR r·C)>>1 (distinct within a round — a
+    bijection of v) and joins iff it beats all undecided neighbors;
+    neighbors of joined vertices drop out.  O(log n) rounds w.h.p.;
+    the result is a pure function of the graph, so the SQL oracle
+    replays it exactly.  Checkpoint/resume is not supported (the
+    round counter seeds the coins)."""
+    n = csr.n
+    if n == 0:
+        return np.array([], dtype=bool)
+    eng = IterativeEngine(csr, "mis", n_workers=n_workers, engine=engine)
+    rounds = iter(range(max_iter + 1))
+
+    def extras(_state):
+        return {"round": next(rounds)}
+
+    def extras_from_stats(_stats):
+        return {"round": next(rounds)}
+
+    init = _mis_priority(np.arange(n, dtype=np.int64), 0)
+    state, _ = eng.run(
+        init, extras, lambda d: d == 0.0, max_iter,
+        extras_from_stats=extras_from_stats,
+    )
+    if (state >= 0).any():
+        raise RuntimeError(f"MIS did not converge in {max_iter} rounds")
+    return state == _MIS_IN
 
 
 def max_core(csr: CSRGraph) -> int:

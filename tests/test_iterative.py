@@ -388,3 +388,31 @@ def test_eigenvector_centrality_edgeless_and_empty():
     z = eigenvector_centrality(csr_from_edge_arrays(
         np.array([], np.int64), np.array([], np.int64), n=3), iters=4)
     assert np.array_equal(z, np.zeros(3))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_mis_independent_maximal_engine_parity(seed):
+    from pgd_ray.graph.iterative import maximal_independent_set
+
+    edges = sorted(random_graph(60, 0.1, seed))
+    csr = _csr(60, 0.1, seed)
+    m = maximal_independent_set(csr, n_workers=3)
+    adj = [set() for _ in range(60)]
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert not any(m[a] and m[b] for a, b in edges)          # independent
+    assert all(m[v] or any(m[u] for u in adj[v]) for v in range(60))  # maximal
+    s = maximal_independent_set(csr, n_workers=3, engine="sharded")
+    d = maximal_independent_set(csr, n_workers=3, engine="dataset")
+    assert np.array_equal(m, s) and np.array_equal(m, d)
+
+
+def test_mis_isolated_and_empty():
+    from pgd_ray.graph.iterative import maximal_independent_set
+
+    m = maximal_independent_set(
+        csr_from_edge_arrays(np.array([0]), np.array([1]), n=3))
+    assert bool(m[2]) and m[:2].sum() == 1  # isolated joins; one endpoint
+    assert len(maximal_independent_set(
+        csr_from_edge_arrays(np.array([], np.int64), np.array([], np.int64), n=0))) == 0
