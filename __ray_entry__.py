@@ -627,6 +627,22 @@ def _q_bfs_copurchase(sf_dir):
     return pd.DataFrame({"v": vids[reached], "dist": dist[reached]})
 
 
+def _q_ego_copurchase(sf_dir):
+    """2-hop ego subgraph around the smallest part key — graph.ego
+    (BFS capped at k rounds + broadcast-mask induced-edge filter)."""
+    from pgd_ray.graph.ego import ego_subgraph
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seed = int(np.argmin(vids))
+    edges, members = ego_subgraph(dense, csr, [seed], k=2)
+    df = edges.to_pandas()
+    df["src"] = vids[df["src"].to_numpy()]
+    df["dst"] = vids[df["dst"].to_numpy()]
+    lo = np.minimum(df["src"], df["dst"])
+    hi = np.maximum(df["src"], df["dst"])
+    return pd.DataFrame({"src": lo, "dst": hi})
+
+
 def _q_ppr_copurchase(sf_dir):
     from pgd_ray.graph.iterative import personalized_pagerank
 
@@ -1137,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_copurchase": _q_mis_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
+        "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
@@ -1827,6 +1844,20 @@ walk(v, dist) AS (
   FROM walk JOIN s ON s.src = walk.v
   WHERE walk.dist < 64)
 SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY v""",
+        # ego_copurchase: edges induced on the seed's 2-hop ball
+        # (seed = smallest raw part key); canonical (lo, hi) raw ids.
+        "ego_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seed AS (SELECT MIN(v) AS sv FROM d),
+walk(v, dist) AS (
+  SELECT sv, 0 FROM seed
+  UNION
+  SELECT s.dst, walk.dist + 1
+  FROM walk JOIN s ON s.src = walk.v
+  WHERE walk.dist < 2),
+mem AS (SELECT DISTINCT v FROM walk)
+SELECT e.src, e.dst
+FROM e JOIN mem a ON a.v = e.src JOIN mem b ON b.v = e.dst""",
         # ppr_copurchase: personalized PageRank, preference vector
         # e_seed (seed = smallest raw part key) — the pagerank mirror
         # with the teleport term moved onto the seed row.  No vertex in
