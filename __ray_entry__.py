@@ -551,6 +551,17 @@ def _q_pagerank_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(pr, 9)})
 
 
+def _q_anf_copurchase(sf_dir):
+    """HyperANF neighborhood sketches after 8 rounds —
+    graph.iterative.anf_registers (packed 6-bit HLL lanes, lane-max
+    merge; integer-deterministic)."""
+    from pgd_ray.graph.iterative import anf_registers
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    regs = anf_registers(csr, rounds=8)
+    return pd.DataFrame({"v": vids, "regs": regs})
+
+
 def _q_mis_copurchase(sf_dir):
     from pgd_ray.graph.iterative import maximal_independent_set
 
@@ -1151,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": _q_kcore_copurchase,
         "eigencen_copurchase": _q_eigencen_copurchase,
         "mis_copurchase": _q_mis_copurchase,
+        "anf_copurchase": _q_anf_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
         "ego_copurchase": _q_ego_copurchase,
@@ -1213,7 +1225,21 @@ r AS (SELECT query_id, vec_id, c,
 SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10"""
 
 
+def _anf_lane_sql() -> tuple[str, str]:
+    """(nb-aggregate lane columns, merged-code expression) for the
+    HyperANF oracle: 8 packed 6-bit lanes, lane-wise MAX merge."""
+    aggs = ", ".join(
+        f"MAX((st2.code >> {6 * k}) & 63) AS l{k}" for k in range(8)
+    )
+    merged = " + ".join(
+        f"(GREATEST((st.code >> {6 * k}) & 63, COALESCE(nb.l{k}, 0)) << {6 * k})"
+        for k in range(8)
+    )
+    return aggs, merged
+
+
 def oracle_sql() -> dict[str, str]:
+    _anf_aggs, _anf_merge = _anf_lane_sql()
     return {
         "transcripts": f"WITH {_T_CTE} SELECT conv_id, turn_idx, role, text, tool, ts FROM t",
         "transcript_edges": f"WITH {_TE_CTE} SELECT src, dst FROM e",
@@ -1704,6 +1730,35 @@ pr(it, v, score) AS (
   FROM pr JOIN s ON s.src = pr.v JOIN d ON d.v = pr.v
   WHERE it < 300 GROUP BY it+1, s.dst)
 SELECT v, ROUND(score, 9) AS score FROM pr WHERE it = 300""",
+        # anf_copurchase: HyperANF ball sketches after 8 rounds — 8
+        # packed 6-bit HLL registers per vertex (splitmix64 of the
+        # DENSE id; bucket = top 3 bits, rho = 61 - bitlen(low 61
+        # bits) + 1, w=0 → 62), merged lane-wise MAX over
+        # self ∪ neighbors each round.  Integer-deterministic, so the
+        # packed BIGINT hashes exactly.
+        "anf_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+h0 AS (SELECT v, {_splitmix_sql('dv', '0')} AS h FROM did),
+ini AS (SELECT v,
+        CAST(h >> 61 AS BIGINT) AS bucket,
+        h & ((1::UBIGINT << 61) - 1) AS w FROM h0),
+st(it, v, code) AS (
+  SELECT 0, v,
+         CAST(CASE WHEN w = 0 THEN 62
+                   ELSE 61 - length(bin(w)) + 1 END AS BIGINT)
+           << (6 * bucket)
+  FROM ini
+  UNION ALL
+  SELECT st.it + 1, st.v, {_anf_merge}
+  FROM st
+  LEFT JOIN (
+    SELECT s.src AS v, st2.it AS it, {_anf_aggs}
+    FROM s JOIN st st2 ON st2.v = s.dst
+    GROUP BY s.src, st2.it
+  ) nb ON nb.v = st.v AND nb.it = st.it
+  WHERE st.it < 8)
+SELECT v, code AS regs FROM st WHERE it = 8""",
         # mis_copurchase: deterministic Luby MIS — codes -2 IN /
         # -1 OUT / priority (undecided); per round an undecided vertex
         # joins iff its priority (splitmix64(dense_v XOR r*C) >> 1, a

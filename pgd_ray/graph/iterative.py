@@ -153,6 +153,18 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         # the unreached sentinel is n (> any real distance), so empty
         # neighborhoods fall back to min(own, own+1) = own
         return np.minimum(own, _seg_min(vals, idx, own) + 1)
+    if program == "anf":
+        # HyperANF round (Boldi-Rosa-Vigna 2011): the per-vertex ball
+        # sketch is 8 HLL registers (6 bits each) PACKED in one int64;
+        # merge = lane-wise max over self ∪ neighbors.  Monotone and
+        # bounded → fixpoint in ≤ diameter rounds.
+        new = np.zeros_like(own)
+        for lane in range(8):
+            sh = np.int64(6 * lane)
+            ol = (own >> sh) & 63
+            nl = _seg_max((vals >> sh) & 63, idx, 0)
+            new |= np.maximum(ol, nl) << sh
+        return new
     if program == "mis":
         # one Luby round: an undecided vertex joins the set iff its
         # priority beats every undecided neighbor's (distinct within a
@@ -984,6 +996,67 @@ def maximal_independent_set(
     if (state >= 0).any():
         raise RuntimeError(f"MIS did not converge in {max_iter} rounds")
     return state == _MIS_IN
+
+
+def anf_registers(
+    csr: CSRGraph,
+    rounds: int = 16,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """HyperANF neighborhood sketches: per vertex, 8 packed 6-bit HLL
+    registers over the ball B_rounds(v) (Boldi, Rosa & Vigna 2011,
+    "HyperANF: approximating the neighbourhood function of very large
+    graphs").  Register init follows ``stages.cardinality``'s exact
+    integer convention (splitmix64; bucket = top 3 bits, rho =
+    61 − bitlen(low 61 bits) + 1), so the packed state is
+    integer-deterministic and bit-exactly SQL-mirrorable.  Stops early
+    at the fixpoint (≤ diameter rounds).  m = 8 registers keep the
+    whole sketch in the engines' one-int64-per-vertex state — a coarse
+    (σ ≈ 1.06/√8 ≈ 37 %) but honest estimator; at scale, widen by
+    running R independent banks (vary the hash seed) and averaging."""
+    n = csr.n
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    from pgd_ray.text.hashing import splitmix64
+
+    h = splitmix64(np.arange(n, dtype=np.int64).astype(np.uint64))
+    bucket = (h >> np.uint64(61)).astype(np.int64)
+    w = h & np.uint64((1 << 61) - 1)
+    rho = np.where(w == 0, 62, 61 - _bit_length_u64_local(w) + 1)
+    init = rho.astype(np.int64) << (6 * bucket)
+    eng = IterativeEngine(csr, "anf", n_workers=n_workers, engine=engine,
+                          workers=workers)
+    state, _ = eng.run(init, lambda s: {}, lambda d: d == 0.0, rounds)
+    return state
+
+
+def _bit_length_u64_local(x: np.ndarray) -> np.ndarray:
+    bl = np.zeros(x.shape, dtype=np.int64)
+    x = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        x[big] >>= np.uint64(s)
+    return bl + (x != 0)
+
+
+def neighborhood_sizes(packed: np.ndarray) -> np.ndarray:
+    """Per-vertex HLL ball-size estimates from packed ANF registers
+    (m = 8: alpha = 0.7213/(1+1.079/8), with the linear-counting
+    small-range correction)."""
+    if len(packed) == 0:
+        return np.array([], dtype=np.float64)
+    m = 8
+    lanes = np.stack([(packed >> (6 * k)) & 63 for k in range(m)], axis=1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -lanes.astype(np.float64)).sum(axis=1)
+    zeros = (lanes == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(m / np.maximum(zeros, 1e-300))
+    return np.where(small, lc, est)
 
 
 def max_core(csr: CSRGraph) -> int:

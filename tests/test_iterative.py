@@ -416,3 +416,42 @@ def test_mis_isolated_and_empty():
     assert bool(m[2]) and m[:2].sum() == 1  # isolated joins; one endpoint
     assert len(maximal_independent_set(
         csr_from_edge_arrays(np.array([], np.int64), np.array([], np.int64), n=0))) == 0
+
+
+def test_anf_registers_equal_brute_ball_sketches():
+    from pgd_ray.graph.iterative import (_bit_length_u64_local,
+                                         anf_registers, neighborhood_sizes)
+    from pgd_ray.text.hashing import splitmix64
+
+    csr = _csr(40, 0.08, 7)
+    regs = anf_registers(csr, rounds=40, n_workers=3)
+    # brute: per-vertex ball = its connected component (rounds >> diam)
+    comp = _cc_ref(csr)
+    h = splitmix64(np.arange(40, dtype=np.int64).astype(np.uint64))
+    bucket = (h >> np.uint64(61)).astype(np.int64)
+    w = h & np.uint64((1 << 61) - 1)
+    rho = np.where(w == 0, 62, 61 - _bit_length_u64_local(w) + 1)
+    exp = np.zeros(40, dtype=np.int64)
+    for v in range(40):
+        lanes = np.zeros(8, dtype=np.int64)
+        for u in range(40):
+            if comp[u] == comp[v]:
+                lanes[bucket[u]] = max(lanes[bucket[u]], rho[u])
+        exp[v] = int((lanes << (6 * np.arange(8))).sum())
+    assert np.array_equal(regs, exp)
+    est = neighborhood_sizes(regs)
+    # estimates are positive and constant within a component
+    assert (est > 0).all()
+    for c in np.unique(comp):
+        assert np.allclose(est[comp == c], est[comp == c][0])
+
+
+def test_anf_engine_parity_and_empty():
+    from pgd_ray.graph.iterative import anf_registers
+
+    csr = _csr(50, 0.1, 8)
+    a = anf_registers(csr, rounds=16, n_workers=3, engine="actors")
+    s = anf_registers(csr, rounds=16, n_workers=3, engine="sharded")
+    assert np.array_equal(a, s)
+    assert len(anf_registers(csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=0))) == 0
