@@ -562,6 +562,17 @@ def _q_anf_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "regs": regs})
 
 
+def _q_coloring_copurchase(sf_dir):
+    """Jones-Plassmann greedy coloring — graph.iterative
+    .greedy_coloring (static bijective priorities; winners take the
+    mex of colored neighbors; pure function of the graph)."""
+    from pgd_ray.graph.iterative import greedy_coloring
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    c = greedy_coloring(csr)
+    return pd.DataFrame({"v": vids, "color": c})
+
+
 def _q_mis_copurchase(sf_dir):
     from pgd_ray.graph.iterative import maximal_independent_set
 
@@ -1162,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": _q_kcore_copurchase,
         "eigencen_copurchase": _q_eigencen_copurchase,
         "mis_copurchase": _q_mis_copurchase,
+        "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
@@ -1759,6 +1771,43 @@ st(it, v, code) AS (
   ) nb ON nb.v = st.v AND nb.it = st.it
   WHERE st.it < 8)
 SELECT v, code AS regs FROM st WHERE it = 8""",
+        # coloring_copurchase: Jones-Plassmann greedy coloring —
+        # code < 0 = uncolored carrying -(priority+1) (static,
+        # bijective splitmix of the dense id), code ≥ 0 = final color.
+        # Per round the local priority maximum among uncolored
+        # vertices takes the mex of its colored neighbors' colors
+        # (candidates 0..deg(v) anti-joined against the neighbor color
+        # set).  256 rounds ≥ the 223 the engine needs at sf0.01;
+        # decided rows self-copy.
+        "coloring_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+cand AS (SELECT d.v, unnest(generate_series(0, d.degree)) AS x FROM d),
+st(it, v, code) AS (
+  SELECT 0, did.v,
+         -(CAST(({_splitmix_sql('did.dv', '0')} >> 1) AS BIGINT) + 1)
+  FROM did
+  UNION ALL
+  SELECT st.it + 1, st.v,
+    CASE WHEN st.code >= 0 THEN st.code
+         WHEN st.code < COALESCE(nb.minneg, 0) THEN COALESCE(mx.mex, 0)
+         ELSE st.code END
+  FROM st
+  LEFT JOIN (SELECT s.src AS v,
+                    MIN(CASE WHEN st2.code < 0 THEN st2.code ELSE 0 END)
+                      AS minneg
+             FROM s JOIN st st2 ON st2.v = s.dst GROUP BY s.src) nb
+    ON nb.v = st.v
+  LEFT JOIN (SELECT c.v, MIN(c.x) AS mex
+             FROM cand c
+             LEFT JOIN (SELECT s.src AS v, st3.code AS col
+                        FROM s JOIN st st3 ON st3.v = s.dst
+                        WHERE st3.code >= 0) nc
+               ON nc.v = c.v AND nc.col = c.x
+             WHERE nc.v IS NULL GROUP BY c.v) mx
+    ON mx.v = st.v
+  WHERE st.it < 256)
+SELECT v, code AS color FROM st WHERE it = 256""",
         # mis_copurchase: deterministic Luby MIS — codes -2 IN /
         # -1 OUT / priority (undecided); per round an undecided vertex
         # joins iff its priority (splitmix64(dense_v XOR r*C) >> 1, a

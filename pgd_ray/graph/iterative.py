@@ -92,6 +92,35 @@ def _seg_max(vals: np.ndarray, idx: np.ndarray, empty: int) -> np.ndarray:
     return out
 
 
+def _seg_mex(vals: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Per-segment mex (minimum excluded non-negative integer) of the
+    NON-NEGATIVE entries of ``vals``: sort-dedupe the (segment, value)
+    pairs, rank within segment, and take the first rank whose value
+    disagrees — fully vectorized."""
+    n_seg = len(idx) - 1
+    out = np.zeros(n_seg, dtype=np.int64)
+    mask = vals >= 0
+    if not mask.any():
+        return out
+    seg = _seg_ids(idx)[mask]
+    col = vals[mask].astype(np.int64)
+    order = np.lexsort((col, seg))
+    s2, c2 = seg[order], col[order]
+    keep = np.concatenate(([True], (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])))
+    s3, c3 = s2[keep], c2[keep]
+    starts = np.concatenate(([0], np.flatnonzero(s3[1:] != s3[:-1]) + 1))
+    lens = np.diff(np.append(starts, len(s3)))
+    rank = np.arange(len(s3)) - np.repeat(starts, lens)
+    seg_mex = lens.copy()  # no gap → mex = count of distinct colors
+    mism = c3 != rank
+    if mism.any():
+        segidx = np.repeat(np.arange(len(starts)), lens)
+        first_seg, first_at = np.unique(segidx[mism], return_index=True)
+        seg_mex[first_seg] = rank[mism][first_at]
+    out[s3[starts]] = seg_mex
+    return out
+
+
 # MIS (Luby) state codes: -2 = IN the independent set, -1 = OUT
 # (dominated), >= 0 = undecided, carrying THIS round's priority.
 _MIS_IN, _MIS_OUT = -2, -1
@@ -164,6 +193,24 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
             ol = (own >> sh) & 63
             nl = _seg_max((vals >> sh) & 63, idx, 0)
             new |= np.maximum(ol, nl) << sh
+        return new
+    if program == "color":
+        # one Jones-Plassmann round: codes ≥ 0 are final colors;
+        # code < 0 is an uncolored vertex carrying the STATIC priority
+        # -(p+1) (distinct, bijective hash of v — more negative =
+        # higher priority).  An uncolored vertex colors itself iff it
+        # out-prioritizes every uncolored neighbor; its color is the
+        # mex of the already-colored neighbors' colors, so adjacent
+        # winners are impossible and the coloring is proper with
+        # ≤ Δ+1 colors.
+        und = own < 0
+        minneg = _seg_min(np.where(vals < 0, vals, 0), idx,
+                          np.zeros(len(own), dtype=own.dtype))
+        win = und & (own < minneg)
+        if not win.any():
+            return own.copy()
+        new = own.copy()
+        new[win] = _seg_mex(vals, idx)[win]
         return new
     if program == "mis":
         # one Luby round: an undecided vertex joins the set iff its
@@ -996,6 +1043,32 @@ def maximal_independent_set(
     if (state >= 0).any():
         raise RuntimeError(f"MIS did not converge in {max_iter} rounds")
     return state == _MIS_IN
+
+
+def greedy_coloring(
+    csr: CSRGraph,
+    max_iter: int = 512,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Deterministic Jones-Plassmann greedy coloring (Jones &
+    Plassmann 1993): static priorities splitmix64(v)>>1 (distinct);
+    each round every uncolored local-priority-maximum takes the mex of
+    its colored neighbors' colors.  Proper coloring with ≤ Δ+1 colors,
+    a pure function of the graph (SQL-replayable).  Rounds = length of
+    the longest decreasing-priority path (O(log n) w.h.p. on bounded
+    degree)."""
+    n = csr.n
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    init = -(_mis_priority(np.arange(n, dtype=np.int64), 0) + 1)
+    eng = IterativeEngine(csr, "color", n_workers=n_workers, engine=engine,
+                          workers=workers)
+    state, _ = eng.run(init, lambda s: {}, lambda d: d == 0.0, max_iter)
+    if (state < 0).any():
+        raise RuntimeError(f"coloring did not converge in {max_iter} rounds")
+    return state
 
 
 def anf_registers(

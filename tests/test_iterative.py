@@ -455,3 +455,32 @@ def test_anf_engine_parity_and_empty():
     assert np.array_equal(a, s)
     assert len(anf_registers(csr_from_edge_arrays(
         np.array([], np.int64), np.array([], np.int64), n=0))) == 0
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_coloring_proper_and_engine_parity(seed):
+    from pgd_ray.graph.iterative import greedy_coloring
+
+    edges = sorted(random_graph(60, 0.12, seed))
+    csr = _csr(60, 0.12, seed)
+    c = greedy_coloring(csr, n_workers=3)
+    assert all(c[a] != c[b] for a, b in edges)               # proper
+    assert c.max() <= np.diff(csr.indptr).max()              # <= Δ+1 colors
+    assert (c >= 0).all()
+    s = greedy_coloring(csr, n_workers=3, engine="sharded")
+    d = greedy_coloring(csr, n_workers=3, engine="dataset")
+    assert np.array_equal(c, s) and np.array_equal(c, d)
+
+
+def test_coloring_star_and_empty():
+    from pgd_ray.graph.iterative import greedy_coloring
+
+    # star: hub one color, leaves share the other -> 2 colors
+    edges = [(0, i) for i in range(1, 8)]
+    src = np.array([a for a, b in edges])
+    dst = np.array([b for a, b in edges])
+    c = greedy_coloring(csr_from_edge_arrays(src, dst, n=8))
+    assert c.max() == 1
+    assert all(c[0] != c[i] for i in range(1, 8))
+    assert len(greedy_coloring(csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=0))) == 0
