@@ -649,6 +649,17 @@ def _q_bfs_copurchase(sf_dir):
     return pd.DataFrame({"v": vids[reached], "dist": dist[reached]})
 
 
+def _q_harmonic_copurchase(sf_dir):
+    """Sampled harmonic centrality from the 4 smallest part keys —
+    graph.centrality (k BFS sweeps over a shared worker pool)."""
+    from pgd_ray.graph.centrality import harmonic_centrality
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seeds = np.argsort(vids)[:4]
+    h = harmonic_centrality(csr, seeds)
+    return pd.DataFrame({"v": vids, "harmonic": np.round(h, 6)})
+
+
 def _q_ego_copurchase(sf_dir):
     """2-hop ego subgraph around the smallest part key — graph.ego
     (BFS capped at k rounds + broadcast-mask induced-edge filter)."""
@@ -1176,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
+        "harmonic_copurchase": _q_harmonic_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
         "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
@@ -1948,6 +1960,26 @@ walk(v, dist) AS (
   FROM walk JOIN s ON s.src = walk.v
   WHERE walk.dist < 64)
 SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY v""",
+        # harmonic_copurchase: sampled harmonic centrality — one
+        # seeded reachability walk per sampled source (4 smallest raw
+        # part keys), min dist per (seed, vertex), then
+        # (n-1)/k * SUM(1/dist) with the self term (dist 0) excluded
+        # and unreached pairs contributing 0.  Round 6 absorbs
+        # SUM-order float jitter (<= 4 terms per vertex).
+        "harmonic_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seeds AS (SELECT v AS sv FROM d ORDER BY v LIMIT 4),
+walk(sv, v, dist) AS (
+  SELECT sv, sv, 0 FROM seeds
+  UNION
+  SELECT walk.sv, s.dst, walk.dist + 1
+  FROM walk JOIN s ON s.src = walk.v
+  WHERE walk.dist < 64),
+md AS (SELECT sv, v, MIN(dist) AS dist FROM walk GROUP BY sv, v),
+h AS (SELECT v, SUM(1.0/dist) AS hraw FROM md WHERE dist > 0 GROUP BY v),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM d)
+SELECT d.v, ROUND(COALESCE(h.hraw, 0.0) * ((n.nn - 1) / 4.0), 6) AS harmonic
+FROM d LEFT JOIN h ON h.v = d.v CROSS JOIN n""",
         # ego_copurchase: edges induced on the seed's 2-hop ball
         # (seed = smallest raw part key); canonical (lo, hi) raw ids.
         "ego_copurchase": f"""

@@ -484,3 +484,46 @@ def test_coloring_star_and_empty():
     assert all(c[0] != c[i] for i in range(1, 8))
     assert len(greedy_coloring(csr_from_edge_arrays(
         np.array([], np.int64), np.array([], np.int64), n=0))) == 0
+
+
+def _bfs_ref(csr, s0):
+    from collections import deque
+
+    dist = np.full(csr.n, csr.n, dtype=np.int64)
+    dist[s0] = 0
+    dq = deque([s0])
+    while dq:
+        v = dq.popleft()
+        for u in csr.neighbors(v):
+            if dist[u] > dist[v] + 1:
+                dist[u] = dist[v] + 1
+                dq.append(u)
+    return dist
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_harmonic_centrality_matches_brute(seed):
+    from pgd_ray.graph.centrality import harmonic_centrality
+
+    csr = _csr(50, 0.08, seed)
+    seeds = [0, 3, 7]
+    h = harmonic_centrality(csr, seeds, n_workers=3)
+    ref = np.zeros(csr.n)
+    for s in seeds:
+        d = _bfs_ref(csr, s)
+        m = (d > 0) & (d < csr.n)
+        ref[m] += 1.0 / d[m]
+    ref *= (csr.n - 1) / len(seeds)
+    assert np.allclose(h, ref, atol=1e-12)
+
+
+def test_harmonic_centrality_dedups_seeds_and_empty():
+    from pgd_ray.graph.centrality import harmonic_centrality
+
+    csr = _csr(30, 0.1, 33)
+    a = harmonic_centrality(csr, [2, 2, 5], n_workers=2)
+    b = harmonic_centrality(csr, [5, 2], n_workers=2)
+    assert np.allclose(a, b)
+    empty = csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=0)
+    assert len(harmonic_centrality(empty, [0])) == 0
