@@ -694,6 +694,18 @@ def _q_label_prop_tool(sf_dir):
                          "label": lab.astype(np.int64)})
 
 
+def _q_modularity_tool(sf_dir):
+    """Per-community Newman modularity of the LP labeling on the tool
+    graph — graph.community (edge-side term distributed, label vector
+    broadcast once)."""
+    from pgd_ray.graph.community import modularity_by_label
+    from pgd_ray.graph.iterative import label_propagation
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    lab = label_propagation(csr, max_iter=20)
+    return modularity_by_label(eds, csr, lab)
+
+
 def _q_text_stats(sf_dir):
     import ray.data
 
@@ -1194,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred_copurchase": _q_link_pred_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
         "label_prop_tool": _q_label_prop_tool,
+        "modularity_tool": _q_modularity_tool,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -2029,6 +2042,41 @@ lp(it, v, label) AS (
     ) m ON m.mv = lp.v
   ) WHERE it < 20)
 SELECT v AS tool_id, CAST(label AS BIGINT) AS label FROM lp WHERE it = 20""",
+        # modularity_tool: per-community Newman modularity of the LP
+        # labeling above — q_c = m_in/m - (deg_sum/(2m))^2, the exact
+        # expression the engine evaluates (round 9 absorbs nothing:
+        # both sides divide the same integers in the same order).
+        "modularity_tool": f"""
+WITH RECURSIVE {_TE_CTE}, {_S_CTE},
+vtx AS (SELECT tid AS v FROM vocab),
+lp(it, v, label) AS (
+  SELECT 0, v, v FROM vtx
+  UNION ALL
+  SELECT it+1, v, new_label FROM (
+    SELECT lp.it AS it, lp.v AS v, COALESCE(m.nl, lp.label) AS new_label
+    FROM lp LEFT JOIN (
+      SELECT s.src AS mv, lp2.label AS nl
+      FROM s JOIN lp lp2 ON lp2.v = s.dst
+      GROUP BY s.src, lp2.label
+      QUALIFY row_number() OVER (PARTITION BY s.src
+                                 ORDER BY COUNT(*) DESC, lp2.label ASC) = 1
+    ) m ON m.mv = lp.v
+  ) WHERE it < 20),
+lab AS (SELECT v, CAST(label AS BIGINT) AS label FROM lp WHERE it = 20),
+dg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM s GROUP BY src),
+intra AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS m_in FROM e
+          JOIN lab la ON la.v = e.src JOIN lab lb ON lb.v = e.dst
+          WHERE la.label = lb.label GROUP BY la.label),
+degs AS (SELECT la.label,
+                CAST(SUM(COALESCE(dg.degree, 0)) AS BIGINT) AS deg_sum,
+                CAST(COUNT(*) AS BIGINT) AS n_vertices
+         FROM lab la LEFT JOIN dg ON dg.v = la.v GROUP BY la.label),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e)
+SELECT degs.label, degs.n_vertices,
+       CAST(COALESCE(intra.m_in, 0) AS BIGINT) AS m_in, degs.deg_sum,
+       ROUND(COALESCE(intra.m_in, 0) / mm.m -
+             (degs.deg_sum / (2 * mm.m)) * (degs.deg_sum / (2 * mm.m)), 9) AS q
+FROM degs LEFT JOIN intra ON intra.label = degs.label CROSS JOIN mm""",
         "lang_id": """
 WITH h AS (SELECT doc_id,
   len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),

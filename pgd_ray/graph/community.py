@@ -1,0 +1,93 @@
+"""Community quality metrics over a per-vertex label vector.
+
+Newman modularity, decomposed per community:
+    q_c = m_in(c)/m  -  (deg_sum(c) / (2m))^2
+with Q = sum_c q_c.  Labels come from any engine program that emits a
+per-vertex partition (label propagation, connected components, LP on
+the tool graph).  The reference has no community surface; this extends
+D5's iterative family (SURVEY §2.6) with the standard evaluation
+metric used alongside label propagation.
+
+Scale shape: the edge-side term is one `map_batches` pass over the
+canonical edge Dataset with the label vector broadcast once via
+`ray.put` (zero-copy numpy view inside each task), emitting per-batch
+partial (label, m_in) rows — the shuffle carries at most
+#batches x #labels-touched rows, never edges.  The vertex-side term is
+a bincount over the driver-held degree/label vectors (same O(n)
+footprint as the label vector itself).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .csr import CSRGraph
+
+
+def modularity_by_label(
+    edges,
+    csr: CSRGraph,
+    labels: np.ndarray,
+    round_to: int = 9,
+) -> pd.DataFrame:
+    """Per-community modularity table over canonical (src<dst) edges.
+
+    Returns one row per community: ``label``, ``n_vertices``,
+    ``m_in`` (intra-community edge count), ``deg_sum`` and the
+    modularity contribution ``q`` rounded to ``round_to``.
+    """
+    labels = np.asarray(labels, dtype=np.int64)
+    n = csr.n
+    if labels.shape[0] != n:
+        raise ValueError(f"labels length {labels.shape[0]} != n {n}")
+    m = int(csr.indices.size // 2)
+    if n == 0 or m == 0:
+        return pd.DataFrame({"label": np.array([], np.int64),
+                             "n_vertices": np.array([], np.int64),
+                             "m_in": np.array([], np.int64),
+                             "deg_sum": np.array([], np.int64),
+                             "q": np.array([], np.float64)})
+    lab_ref = ray.put(labels)
+
+    def intra_part(b: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ls = lab[s]
+        keep = ls == lab[d]
+        u, c = np.unique(ls[keep], return_counts=True)
+        return pa.table({"label": u.astype(np.int64),
+                         "m_in": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    part = edges.map_batches(intra_part, batch_format="pyarrow")
+    intra_df = (part.groupby("label")
+                .aggregate(Sum("m_in", alias_name="m_in"))
+                .to_pandas())
+    intra = dict(zip(intra_df["label"].to_numpy(),
+                     intra_df["m_in"].to_numpy()))
+
+    deg = csr.degrees().astype(np.int64)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    deg_sum = np.bincount(inv, weights=deg).astype(np.int64)
+    n_vert = np.bincount(inv).astype(np.int64)
+    m_in = np.zeros(uniq.size, dtype=np.int64)
+    if intra:
+        ik = np.fromiter(intra.keys(), dtype=np.int64, count=len(intra))
+        iv = np.fromiter(intra.values(), dtype=np.int64, count=len(intra))
+        m_in[np.searchsorted(uniq, ik)] = iv
+    mm = float(m)
+    q = m_in / mm - (deg_sum / (2 * mm)) * (deg_sum / (2 * mm))
+    return pd.DataFrame({
+        "label": uniq, "n_vertices": n_vert, "m_in": m_in,
+        "deg_sum": deg_sum, "q": np.round(q, round_to),
+    })
+
+
+def modularity(edges, csr: CSRGraph, labels: np.ndarray) -> float:
+    """Scalar Newman modularity Q of the labeling."""
+    tab = modularity_by_label(edges, csr, labels, round_to=15)
+    return float(tab["q"].sum())

@@ -527,3 +527,39 @@ def test_harmonic_centrality_dedups_seeds_and_empty():
     empty = csr_from_edge_arrays(
         np.array([], np.int64), np.array([], np.int64), n=0)
     assert len(harmonic_centrality(empty, [0])) == 0
+
+
+def test_modularity_by_label_matches_brute():
+    import ray.data
+
+    from pgd_ray.graph.community import modularity, modularity_by_label
+
+    edges = sorted(random_graph(40, 0.12, 41))
+    src = np.array([a for a, b in edges])
+    dst = np.array([b for a, b in edges])
+    csr = csr_from_edge_arrays(src, dst, n=40)
+    eds = ray.data.from_arrow(
+        __import__("pyarrow").table({"src": src, "dst": dst}))
+    labels = np.arange(40) % 3  # arbitrary 3-way partition
+    tab = modularity_by_label(eds, csr, labels)
+    m = len(edges)
+    deg = csr.degrees()
+    for _, row in tab.iterrows():
+        c = row["label"]
+        m_in = sum(1 for a, b in edges if labels[a] == c and labels[b] == c)
+        dsum = int(deg[labels == c].sum())
+        assert row["m_in"] == m_in and row["deg_sum"] == dsum
+        assert abs(row["q"] - (m_in / m - (dsum / (2 * m)) ** 2)) < 1e-9
+    # scalar Q: all-one-community labeling has Q = 0 exactly
+    assert abs(modularity(eds, csr, np.zeros(40, np.int64))) < 1e-12
+
+
+def test_modularity_empty_graph():
+    import ray.data
+
+    from pgd_ray.graph.community import modularity_by_label
+
+    empty = csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=0)
+    eds = ray.data.from_items([])
+    assert len(modularity_by_label(eds, empty, np.array([], np.int64))) == 0
