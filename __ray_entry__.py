@@ -822,6 +822,29 @@ def _q_embedding_neardup(sf_dir):
     return out
 
 
+def _q_kmeans_embeddings(sf_dir):
+    """Deterministic Lloyd k-means over the embedding table —
+    stages.clustering (broadcast centroids, k x d partial-sum shuffle
+    per iteration)."""
+    from pgd_ray.stages.clustering import kmeans_fit
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    assign, _ = kmeans_fit(emb, k=8, iters=4)
+    return assign
+
+
+def _q_semdedup(sf_dir):
+    """SemDeDup: k-means clusters, then within-cluster cosine
+    components; keep = smallest vec_id per component —
+    stages.clustering."""
+    from pgd_ray.stages.clustering import semdedup
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, iters=4, threshold=0.45)
+
+
 def _q_univar_clique4(sf_dir):
     from pgd_ray.graph.graphlets import graphlet_micro
     from pgd_ray.stages.univar import univar_stats
@@ -1218,6 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _q_topk_cosine,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup": _q_semdedup,
         "univar_clique4": _q_univar_clique4,
         "media_decode": _q_media_decode,
         "vertex_triangles": _q_vertex_triangles,
@@ -1248,6 +1273,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
     }
+
+
+def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    """Unrolled Lloyd k-means CTE chain mirroring
+    pgd_ray.stages.clustering.kmeans_fit bit-for-bit: init = k smallest
+    vec_ids (cid = rank), assignment = argmin L2 with ties to the
+    smallest cid, centroid update = ROUND(SUM/COUNT, 6) per dimension
+    (the round-6 stabilization is what makes engine and SQL agree
+    despite different summation orders), empty clusters keep their
+    previous centroid.  Ends with relation ``af(vec_id, v, cid)``."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    assign = """{name} AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.v), c.cid) AS rk
+  FROM e CROSS JOIN {cent} c) WHERE rk = 1)"""
+    for i in range(1, iters + 1):
+        parts.append(assign.format(name=f"a{i}", cent=f"c{i-1}"))
+        parts.append(f"""m{i} AS (SELECT cid, dim, ROUND(SUM(x)/COUNT(*), 6) AS cx FROM (
+  SELECT cid, CAST(unnest(v) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(v))) AS dim FROM a{i}) GROUP BY cid, dim)""")
+        parts.append(f"""c{i} AS (SELECT p.cid, COALESCE(l.v, p.v) AS v FROM c{i-1} p
+  LEFT JOIN (SELECT cid, list(cx ORDER BY dim) AS v FROM m{i} GROUP BY cid) l
+  ON l.cid = p.cid)""")
+    parts.append(assign.format(name="af", cent=f"c{iters}"))
+    return ",\n".join(parts)
 
 
 _TOPK_SQL = """
@@ -1657,6 +1712,26 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        # kmeans_embeddings / semdedup: unrolled deterministic Lloyd
+        # iterations (see _kmeans_sql) + within-cluster cosine
+        # components via recursive min-propagation.
+        "kmeans_embeddings": f"""
+WITH {_kmeans_sql(8, 4)}
+SELECT vec_id, cid AS cluster FROM af""",
+        "semdedup": f"""
+WITH RECURSIVE {_kmeans_sql(8, 4)},
+p AS (SELECT a.vec_id AS u, b.vec_id AS w FROM af a JOIN af b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+sp AS (SELECT u, w FROM p UNION ALL SELECT w AS u, u AS w FROM p),
+walk(v, comp) AS (
+  SELECT vec_id, vec_id FROM af
+  UNION
+  SELECT sp.w, walk.comp FROM walk JOIN sp ON sp.u = walk.v),
+comp AS (SELECT v, MIN(comp) AS rep FROM walk GROUP BY v)
+SELECT af.vec_id, af.cid AS cluster, c.rep AS rep,
+       af.vec_id = c.rep AS keep
+FROM af JOIN comp c ON c.v = af.vec_id""",
         "simhash_pairs": _simhash_pairs_sql(),
         # clean_corpus: END-TO-END mirror of the composed hygiene
         # pipeline (pipelines.clean_corpus) — lang filter + quality

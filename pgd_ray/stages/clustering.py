@@ -1,0 +1,153 @@
+"""K-means clustering over an embedding column, and SemDeDup-style
+semantic deduplication (Abbas et al., 2023: cluster first, then
+near-dup detection *within* clusters so the quadratic term is bounded
+by cluster size, never corpus size).
+
+Determinism contract (what makes the DuckDB oracle bit-exact):
+- init = the k rows with the smallest ids, centroid id = rank;
+- Lloyd assignment = argmin squared L2, ties to the smallest cid;
+- centroid update = per-dimension SUM/COUNT rounded to 6 decimals —
+  the rounding collapses summation-order float jitter (~1e-15) to the
+  same double on every executor and in SQL, so iteration t+1 starts
+  from identical centroids everywhere;
+- empty clusters keep their previous centroid.
+
+Scale shape: each Lloyd iteration is ONE `map_batches` pass with the
+k x d centroid matrix broadcast via `ray.put`; the shuffle carries
+k x d partial-sum rows per batch (k*d << batch rows).  The final
+labeling pass streams.  SemDeDup groups by cluster — the published
+design's point is exactly that clusters are small enough for local
+all-pairs — and keeps the smallest id per cosine-connected component.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _stack(col, dtype=np.float64) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+    return flat.reshape(len(arr), -1)
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Lloyd k-means; returns (assignments Dataset with columns
+    [id_col, 'cluster'], final k x d centroid matrix)."""
+    seed_rows = ds.sort(id_col).limit(k).to_pandas()
+    if len(seed_rows) == 0:
+        return ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table({id_col: b[id_col],
+                                "cluster": pa.nulls(len(b), pa.int64())}),
+            batch_format="pyarrow"), np.zeros((0, 0))
+    cents = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    kk = cents.shape[0]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            X = _stack(b[vec_col])
+            a = np.argmin(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=C.shape[0]).astype(np.int64)
+            cid = np.repeat(np.arange(C.shape[0], dtype=np.int64), C.shape[1])
+            dim = np.tile(np.arange(C.shape[1], dtype=np.int64), C.shape[0])
+            return pa.table({"cid": cid, "dim": dim, "s": sums.ravel(),
+                             "n": np.repeat(cnt, C.shape[1])})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["cid", "dim"])
+               .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+               .to_pandas())
+        new = cents.copy()
+        nz = agg[agg["n"] > 0]
+        new[nz["cid"].to_numpy(), nz["dim"].to_numpy()] = np.round(
+            nz["s"].to_numpy() / nz["n"].to_numpy(), round_to)
+        cents = new
+
+    cref = ray.put(cents)
+
+    def label(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _stack(b[vec_col])
+        a = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2),
+                      axis=1)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(label, batch_format="pyarrow"), cents
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Cluster with k-means, then within each cluster connect pairs
+    with cosine >= threshold and keep the smallest id per component.
+    Returns (id_col, cluster, rep, keep) for every input row."""
+    cents_ds, cents = kmeans_fit(ds, k=k, iters=iters,
+                                 vec_col=vec_col, id_col=id_col)
+    if cents.size == 0:
+        return pd.DataFrame({id_col: [], "cluster": [], "rep": [],
+                             "keep": []})
+    cref = ray.put(cents)
+
+    def tag(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _stack(b[vec_col])
+        a = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2),
+                      axis=1)
+        return b.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        norm = np.linalg.norm(X, axis=1)
+        norm[norm == 0] = 1.0
+        S = (X / norm[:, None]) @ (X / norm[:, None]).T
+        iu, ju = np.triu_indices(len(ids), 1)
+        hit = S[iu, ju] >= threshold
+        parent = np.arange(len(ids))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b2 in zip(iu[hit], ju[hit]):
+            ra, rb = find(a), find(b2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rep = ids[np.array([find(i) for i in range(len(ids))])]
+        return pd.DataFrame({id_col: ids,
+                             "cluster": g["cluster"].iloc[0],
+                             "rep": rep, "keep": ids == rep})
+
+    out = (tagged.groupby("cluster")
+           .map_groups(dedup_cluster, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(id_col, ignore_index=True)

@@ -1,0 +1,87 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pgd_ray.stages.clustering import kmeans_fit, semdedup
+
+
+def _emb_ds(X, ids=None):
+    ids = np.arange(len(X), dtype=np.int64) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(X.astype(np.float32))),
+    }))
+
+
+def _kmeans_ref(X, k, iters):
+    """Driver-side Lloyd with the engine's determinism contract."""
+    X = X.astype(np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        a = np.argmin(((X[:, None] - C[None]) ** 2).sum(2), axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = np.round(X[a == c].sum(0) / (a == c).sum(), 6)
+    return np.argmin(((X[:, None] - C[None]) ** 2).sum(2), axis=1), C
+
+
+def test_kmeans_matches_reference_lloyd():
+    rng = np.random.default_rng(7)
+    # 3 well-separated blobs + noise
+    blobs = [rng.normal(c, 0.3, (40, 8)) for c in (-5.0, 0.0, 5.0)]
+    # interleave so ids 0,1,2 (the k-means seeds) span the 3 blobs
+    X = np.stack(blobs, axis=1).reshape(-1, 8)
+    truth = np.tile(np.arange(3), 40)
+    assign, cents = kmeans_fit(_emb_ds(X), k=3, iters=5)
+    got = assign.to_pandas().sort_values("vec_id")
+    want_a, want_c = _kmeans_ref(X, 3, 5)
+    assert np.array_equal(got["cluster"].to_numpy(), want_a)
+    assert np.allclose(cents, want_c)
+    # blobs recovered: each true blob maps to exactly one cluster
+    for b in range(3):
+        assert len(set(want_a[truth == b])) == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    # k=3 but only 2 distinct points: one centroid never wins a point
+    X = np.array([[0.0, 0.0], [0.1, 0.0], [10.0, 10.0], [10.1, 10.0],
+                  [0.05, 0.0], [10.05, 10.0]])
+    assign, cents = kmeans_fit(_emb_ds(X), k=3, iters=3)
+    a = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    assert len(a) == 6 and set(a) <= {0, 1, 2}
+    ref_a, ref_c = _kmeans_ref(X, 3, 3)
+    assert np.array_equal(a, ref_a)
+    assert np.allclose(cents, ref_c)
+
+
+def test_semdedup_keeps_min_id_per_component():
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (20, 16))
+    # plant near-dups: rows 3,7 duplicate row 1 (tiny jitter); row 12 dups 5
+    X = base.copy()
+    X[3] = X[1] + 1e-4
+    X[7] = X[1] - 1e-4
+    X[12] = X[5] + 1e-4
+    out = semdedup(_emb_ds(X), k=2, iters=3, threshold=0.95)
+    out = out.set_index("vec_id")
+    same = out.loc[[1, 3, 7]]
+    if same["cluster"].nunique() == 1:  # dups land in one cluster
+        assert (same["rep"] == 1).all()
+        assert out.loc[1, "keep"] and not out.loc[3, "keep"]
+        assert not out.loc[7, "keep"]
+    assert out.loc[12, "rep"] == (5 if out.loc[12, "cluster"] ==
+                                  out.loc[5, "cluster"] else 12)
+    # non-dup rows keep themselves
+    kept = out[out.index.isin([0, 2, 4, 6])]
+    assert kept["keep"].all() and (kept["rep"] == kept.index).all()
+    # every row present exactly once
+    assert len(out) == 20
+
+
+def test_semdedup_no_pairs_all_kept():
+    rng = np.random.default_rng(13)
+    X = rng.normal(0, 1, (15, 12))
+    out = semdedup(_emb_ds(X), k=2, iters=2, threshold=0.9999)
+    assert out["keep"].all()
+    assert (out["rep"].to_numpy() == out["vec_id"].to_numpy()).all()
