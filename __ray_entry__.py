@@ -949,6 +949,15 @@ def _q_tfidf_top5(sf_dir):
     return tfidf_top_terms(docs, k=5).to_pandas()
 
 
+def _q_bm25_rank(sf_dir):
+    """Okapi BM25 top-20 docs for a fixed query — text.bm25 (two
+    streaming passes: df+length partials, broadcast-idf scoring)."""
+    from pgd_ray.text.bm25 import bm25_rank
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_rank(docs, ["table", "sort", "hash"], k=20)
+
+
 def _q_cooccurrence(sf_dir):
     """Windowed self-join: same-user event-type pairs within 5 min —
     stages.windows.cooccurrence_pairs (sorted blocks + boundary-user
@@ -1265,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": _q_bigram_lm,
         "decontaminate": _q_decontaminate,
         "tfidf_top5": _q_tfidf_top5,
+        "bm25_rank": _q_bm25_rank,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
@@ -1564,6 +1574,32 @@ sc AS (SELECT tf.doc_id, tf.t AS term, tf.tf,
                          tf.t) AS rk
        FROM tf JOIN dfr ON dfr.t = tf.t)
 SELECT doc_id, term, tf, ROUND(x, 6) AS tfidf FROM sc WHERE rk <= 5""",
+        # bm25_rank: Okapi BM25 (Lucene idf) for a fixed 3-term query,
+        # ranked on the ROUNDED score with doc_id tie-break — the
+        # expression tree mirrors text/bm25.py term by term.
+        "bm25_rank": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w0),
+w AS (SELECT doc_id, unnest(ws) AS t FROM w0),
+q AS (SELECT unnest(['table', 'sort', 'hash']) AS t),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(dl) AS DOUBLE) AS lsum FROM dl),
+dfr AS (SELECT q.t, CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS df
+        FROM q LEFT JOIN w ON w.t = q.t GROUP BY q.t),
+tf AS (SELECT w.doc_id, w.t, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w JOIN q ON q.t = w.t GROUP BY w.doc_id, w.t),
+sc AS (SELECT tf.doc_id,
+              SUM(ln(1 + ((SELECT n FROM st) - dfr.df + 0.5) / (dfr.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                       ((SELECT lsum FROM st) / (SELECT n FROM st))))) AS s
+       FROM tf JOIN dfr ON dfr.t = tf.t JOIN dl ON dl.doc_id = tf.doc_id
+       GROUP BY tf.doc_id),
+r AS (SELECT doc_id, ROUND(s, 6) AS score,
+             row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS rk
+      FROM sc WHERE ROUND(s, 6) > 0)
+SELECT doc_id, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20""",
         # decontaminate: docs sharing any token 8-gram with the
         # benchmark slice (doc_id % 50 == 0); n_shared = DISTINCT
         # shared 8-grams.  1-based inclusive list slice ws[p:p+7] is

@@ -35,3 +35,49 @@ def test_tfidf_top_terms_exact():
 def test_tfidf_empty_docs():
     out = tfidf_top_terms(_ds(["", "a a"]), k=3).to_pandas()
     assert set(out["doc_id"]) == {1}
+
+
+def test_bm25_matches_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pgd_ray.text.bm25 import bm25_rank
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple apple apple apple",
+            "cherry date egg",
+            "fig grape",          # no query terms -> excluded
+            "apple banana",
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    out = bm25_rank(ds, ["apple", "banana"], k=4, concurrency=None)
+    # brute force
+    toks = [t.split() for t in docs["text"]]
+    N, dl = len(docs), np.array([len(t) for t in toks])
+    avg = dl.sum() / N
+    k1, b = 1.2, 0.75
+    scores = {}
+    for q in ["apple", "banana"]:
+        df = sum(q in t for t in toks)
+        idf = np.log(1 + (N - df + 0.5) / (df + 0.5))
+        for i, t in enumerate(toks):
+            tf = t.count(q)
+            if tf:
+                scores[i] = scores.get(i, 0.0) + (
+                    idf * tf * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dl[i] / avg)))
+    want = sorted(((round(s, 6), -i) for i, s in scores.items()),
+                  reverse=True)[:4]
+    want_ids = [-i for _, i in want]
+    assert list(out["doc_id"]) == want_ids
+    assert list(out["rk"]) == [1, 2, 3, 4]
+    got_scores = dict(zip(out["doc_id"], out["score"]))
+    for (s, ni) in want:
+        assert abs(got_scores[-ni] - s) < 1e-9
+    assert 4 not in set(out["doc_id"])  # no-query-term doc excluded
