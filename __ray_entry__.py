@@ -979,6 +979,16 @@ def _q_local_cc(sf_dir):
     return df[["v", "degree", "triangles", "local_cc"]]
 
 
+def _q_funnel_events(sf_dir):
+    """view -> click -> purchase ordered funnel — stages.funnel (one
+    filtered scan per step, shrinking per-user broadcast)."""
+    from pgd_ray.stages.funnel import funnel_counts
+
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def _q_tumbling_counts(sf_dir):
     from pgd_ray.stages.windows import tumbling_counts
 
@@ -1256,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "vertex_triangles": _q_vertex_triangles,
         "tumbling_counts": _q_tumbling_counts,
+        "funnel_events": _q_funnel_events,
         "sessions": _q_sessions,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
@@ -1698,6 +1709,24 @@ n AS (SELECT COUNT(*) AS c FROM events),
 s AS (SELECT value AS x, row_number() OVER (ORDER BY value) - 1 AS r FROM events)
 SELECT CAST(qs.q AS DOUBLE) AS q, ROUND(s.x, 6) AS value
 FROM qs, n, s WHERE s.r = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)""",
+        # funnel_events: strict ordered funnel — step k's time is the
+        # user's MIN event time of that type strictly after their
+        # step-(k-1) time; counts = completing users per step.
+        "funnel_events": """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t1 ON t1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t2 ON t2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS users FROM t1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3""",
         "tumbling_counts": """
 SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start,
