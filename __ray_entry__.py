@@ -660,6 +660,18 @@ def _q_harmonic_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "harmonic": np.round(h, 6)})
 
 
+def _q_betweenness_copurchase(sf_dir):
+    """Sampled Brandes betweenness from the 4 smallest part keys —
+    graph.centrality (packed dist+sigma forward program, x-form
+    backward program, shared worker pool)."""
+    from pgd_ray.graph.centrality import betweenness_centrality
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seeds = np.argsort(vids)[:4]
+    bc = betweenness_centrality(csr, seeds)
+    return pd.DataFrame({"v": vids, "betweenness": np.round(bc, 6)})
+
+
 def _q_ego_copurchase(sf_dir):
     """2-hop ego subgraph around the smallest part key — graph.ego
     (BFS capped at k rounds + broadcast-mask induced-edge filter)."""
@@ -1242,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anf_copurchase": _q_anf_copurchase,
         "bfs_copurchase": _q_bfs_copurchase,
         "harmonic_copurchase": _q_harmonic_copurchase,
+        "betweenness_copurchase": _q_betweenness_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
         "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
@@ -1294,6 +1307,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
     }
+
+
+def _betweenness_sql(max_level: int = 16) -> str:
+    """Sampled Brandes betweenness mirror: seeded BFS distances
+    (recursive walk), shortest-path counts (recursive per-level sigma
+    sums, HUGEINT-exact), then the backward dependency sweep UNROLLED
+    over levels max_level..0 — level l's x-values need only level
+    l+1's (BFS DAG property), so the chain is static.  x-form matches
+    the engine: x = (1 + sg*succ_sum)/sg, delta = sg*x - 1.
+    ``max_level`` bounds the graph diameter at the tested scales (the
+    engine itself is uncapped).  Every chained CTE is MATERIALIZED:
+    each x_l is referenced twice (by x_{{l-1}} and by the final union),
+    so inlining would re-expand the chain exponentially."""
+    xs = [f"""x{max_level} AS MATERIALIZED (
+  SELECT m.sv, m.v, (1 + f.sg * 0) / f.sg AS xv
+  FROM md m JOIN sgf f ON f.sv = m.sv AND f.v = m.v
+  WHERE m.dist = {max_level})"""]
+    for l in range(max_level - 1, -1, -1):
+        xs.append(f"""x{l} AS MATERIALIZED (
+  SELECT m.sv, m.v, (1 + f.sg * COALESCE(c.t, 0)) / f.sg AS xv
+  FROM md m JOIN sgf f ON f.sv = m.sv AND f.v = m.v
+  LEFT JOIN (SELECT x.sv, s.dst AS v, SUM(x.xv) AS t
+             FROM x{l + 1} x JOIN s ON s.src = x.v
+             GROUP BY x.sv, s.dst) c
+    ON c.sv = m.sv AND c.v = m.v
+  WHERE m.dist = {l})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM x{l}" for l in range(max_level + 1))
+    return f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seeds AS (SELECT v AS sv FROM d ORDER BY v LIMIT 4),
+walk(sv, v, dist) AS (
+  SELECT sv, sv, 0 FROM seeds
+  UNION
+  SELECT walk.sv, s.dst, walk.dist + 1
+  FROM walk JOIN s ON s.src = walk.v
+  WHERE walk.dist < {max_level}),
+md AS MATERIALIZED (SELECT sv, v, MIN(dist) AS dist FROM walk GROUP BY sv, v),
+sig(sv, it, v, sg) AS (
+  SELECT sv, 0, sv, CAST(1 AS HUGEINT) FROM seeds
+  UNION ALL
+  SELECT sig.sv, sig.it + 1, s.dst, SUM(sig.sg)
+  FROM sig JOIN s ON s.src = sig.v
+  JOIN md ON md.sv = sig.sv AND md.v = s.dst AND md.dist = sig.it + 1
+  WHERE sig.it < {max_level}
+  GROUP BY sig.sv, sig.it + 1, s.dst),
+sgf AS MATERIALIZED (SELECT sv, v, CAST(sg AS DOUBLE) AS sg FROM sig),
+{','.join(xs)},
+xs AS ({union}),
+del AS (SELECT x.sv, x.v, f.sg * x.xv - 1 AS delta
+        FROM xs x JOIN sgf f ON f.sv = x.sv AND f.v = x.v
+        WHERE x.v <> x.sv),
+agg AS (SELECT v, SUM(delta) / 2 AS b FROM del GROUP BY v)
+SELECT d.v, ROUND(COALESCE(agg.b, 0.0), 6) AS betweenness
+FROM d LEFT JOIN agg ON agg.v = d.v"""
 
 
 def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
@@ -2133,6 +2201,7 @@ h AS (SELECT v, SUM(1.0/dist) AS hraw FROM md WHERE dist > 0 GROUP BY v),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM d)
 SELECT d.v, ROUND(COALESCE(h.hraw, 0.0) * ((n.nn - 1) / 4.0), 6) AS harmonic
 FROM d LEFT JOIN h ON h.v = d.v CROSS JOIN n""",
+        "betweenness_copurchase": _betweenness_sql(),
         # ego_copurchase: edges induced on the seed's 2-hop ball
         # (seed = smallest raw part key); canonical (lo, hi) raw ids.
         "ego_copurchase": f"""

@@ -126,6 +126,11 @@ def _seg_mex(vals: np.ndarray, idx: np.ndarray) -> np.ndarray:
 _MIS_IN, _MIS_OUT = -2, -1
 _MIS_C = np.uint64(0xA24BAED4963EE407)
 
+# Brandes forward pack: dist in bits 48..62 (sentinel 0x7FFF keeps the
+# int64 sign bit clear), sigma in bits 0..47.
+_BR_UNSET = np.int64(0x7FFF)
+_BR_SIG_MASK = np.int64((1 << 48) - 1)
+
 
 def _mis_priority(ids: np.ndarray, rnd: int) -> np.ndarray:
     """Round-r priority of each vertex: splitmix64(v XOR r·C) >> 1 —
@@ -229,6 +234,50 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         rest = und & ~has_in & ~win
         if rest.any():
             new[rest] = _mis_priority(ids[rest], extras["round"] + 1)
+        return new
+    if program == "brandes_fwd":
+        # level-synchronous BFS with shortest-path counting (Brandes
+        # 2001, forward phase).  State packs dist (15 bits, sentinel
+        # _BR_UNSET) and sigma (48 bits) in one int64; round r
+        # finalizes level r: a still-unreached vertex whose neighbors
+        # include level-(r-1) vertices gets dist=r and sigma = the sum
+        # of their sigmas (all final since round r-1).
+        r = np.int64(extras["round"])
+        own_d = own >> np.int64(48)
+        vd = vals >> np.int64(48)
+        contrib = np.where(vd == r - 1, vals & _BR_SIG_MASK, np.int64(0))
+        ssum = _seg_sum(contrib, idx)
+        newly = (own_d == _BR_UNSET) & (ssum > 0)
+        if not newly.any():
+            return own.copy()
+        s64 = ssum[newly].astype(np.int64)
+        if (s64 >= _BR_SIG_MASK).any():
+            raise OverflowError("sigma exceeds the 48-bit pack")
+        new = own.copy()
+        new[newly] = (r << np.int64(48)) | s64
+        return new
+    if program == "brandes_bwd":
+        # Brandes backward phase in x-form: x[v] = (1+delta[v])/sigma[v],
+        # so delta[v] = sigma_v * sum over successors of x[w] follows
+        # from gathering PLAIN neighbor state — x is nonzero only for
+        # deeper levels (processed in earlier rounds), which makes the
+        # successor filter implicit.  extras carry dist/sigma as
+        # ObjectRefs (put once per seed, resolved zero-copy here).
+        dist = extras["dist"]
+        sigma = extras["sigma"]
+        if isinstance(dist, ray.ObjectRef):
+            dist = ray.get(dist)
+        if isinstance(sigma, ray.ObjectRef):
+            sigma = ray.get(sigma)
+        lvl = extras["level"]
+        own_d = dist[vlo:vlo + len(own)]
+        at = own_d == lvl
+        if not at.any():
+            return own.copy()
+        own_sig = sigma[vlo:vlo + len(own)]
+        ssum = _seg_sum(vals, idx)
+        new = own.copy()
+        new[at] = (1.0 + own_sig[at] * ssum[at]) / own_sig[at]
         return new
     if program == "lp":
         return _lp_vals(own, vals, idx)

@@ -529,6 +529,66 @@ def test_harmonic_centrality_dedups_seeds_and_empty():
     assert len(harmonic_centrality(empty, [0])) == 0
 
 
+def _brandes_ref(csr, seeds):
+    """Textbook Brandes (2001) with Python dicts/stacks — the slow
+    reference the packed dist+sigma engine programs must match."""
+    n = csr.n
+    bc = np.zeros(n)
+    adj = [csr.indices[csr.indptr[v]:csr.indptr[v + 1]] for v in range(n)]
+    for s in seeds:
+        sigma = np.zeros(n)
+        sigma[s] = 1
+        dist = np.full(n, -1)
+        dist[s] = 0
+        order = [s]
+        head = 0
+        while head < len(order):
+            v = order[head]
+            head += 1
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist[v] == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[v] * (1 + delta[v])
+            if w != s:
+                bc[w] += delta[w]
+    return bc / 2.0
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_betweenness_matches_brandes(seed):
+    from pgd_ray.graph.centrality import betweenness_centrality
+
+    csr = _csr(40, 0.09, seed)
+    seeds = [0, 5, 9, 9]
+    bc = betweenness_centrality(csr, seeds, n_workers=3)
+    ref = _brandes_ref(csr, sorted(set(seeds)))
+    assert np.allclose(bc, ref, atol=1e-9)
+
+
+def test_betweenness_disconnected_and_validation():
+    from pgd_ray.graph.centrality import betweenness_centrality
+
+    # two components: a path 0-1-2 and an isolated edge 3-4
+    src = np.array([0, 1, 3], np.int64)
+    dst = np.array([1, 2, 4], np.int64)
+    csr = csr_from_edge_arrays(src, dst, n=5)
+    bc = betweenness_centrality(csr, [0], n_workers=2)
+    ref = _brandes_ref(csr, [0])
+    assert np.allclose(bc, ref)
+    assert bc[3] == 0 and bc[4] == 0  # unreached
+    with pytest.raises(ValueError):
+        betweenness_centrality(csr, [])
+    with pytest.raises(ValueError):
+        betweenness_centrality(csr, [7])
+
+
 def test_modularity_by_label_matches_brute():
     import ray.data
 
