@@ -1015,6 +1015,19 @@ def _q_sessions(sf_dir):
     return sessionize(sf_dir)
 
 
+def _q_window_functions(sf_dir):
+    """Per-user SQL window trio (row_number / cumulative sum / lag)
+    over the event stream — stages.windows.window_functions (one sort,
+    O(#blocks) driver carry, vectorized second pass)."""
+    from pgd_ray.stages.windows import window_functions
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+    return window_functions(ev, key="user_id", order="event_id",
+                            value="value")
+
+
 def _q_macro_approx_tool_graph(sf_dir):
     """Sampled graphlet estimator on the tool graph — the content-hash
     sampler makes even this APPROXIMATE operator bit-reproducible in
@@ -1281,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": _q_tumbling_counts,
         "funnel_events": _q_funnel_events,
         "sessions": _q_sessions,
+        "window_functions": _q_window_functions,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
         "macro_approx_tool_graph": _q_macro_approx_tool_graph,
@@ -1813,6 +1827,16 @@ SELECT user_id,
        CAST(MAX(ts) AS BIGINT) AS end_ts,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM g GROUP BY user_id, sidx""",
+        # stages.windows.window_functions: the PARTITION BY / ORDER BY
+        # trio; lag COALESCEd to 0.0 exactly like the engine's per-key
+        # first-row default.
+        "window_functions": """
+SELECT user_id, event_id, value,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_number,
+       ROUND(SUM(value) OVER w, 6) AS cum_sum,
+       COALESCE(LAG(value) OVER w, 0.0) AS lag_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
         # -- stages.joins.asof_join: latest order per (user, event time);
         # -- ties on o_orderdate -> min o_orderkey (the engine's tiebreak)
         "asof_orders": """

@@ -365,3 +365,111 @@ def sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> ray.data.Dataset:
         })
         out = out.union(ray.data.from_arrow(chain_tbl))
     return out
+
+
+def window_functions(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    value: str,
+) -> ray.data.Dataset:
+    """Per-key SQL window functions over ``order``:  ``row_number``
+    (1-based), ``cum_sum`` (running sum of ``value`` including the
+    current row) and ``lag_value`` (previous ``value`` in the key, 0.0
+    for each key's first row) — the `PARTITION BY key ORDER BY order`
+    trio Ray Data has no native operator for.
+
+    Scale shape (the packing-style sorted-block prefix pattern,
+    text/packing.py): ONE global sort on (key, order), then a
+    summary pass that collapses each block to one row — (block
+    identity, head-key prefix count/sum, tail-key suffix count/sum,
+    last value).  The driver walks the O(#blocks) summaries carrying
+    the one key that can straddle a boundary (keys are contiguous
+    under the sort) and hands each block its carry-in (row offset, sum
+    offset, previous value).  A second pass over the SAME materialized
+    blocks assigns all three columns fully vectorized.  Driver state:
+    O(#blocks) — never the event table.
+
+    Contract: (key, order) pairs are globally unique (the sort is then
+    total, so cum_sum order matches the SQL mirror bit-for-bit);
+    violations that straddle a block boundary raise."""
+    srt = ds.select_columns([key, order, value]).sort([key, order]).materialize()
+    cols = (key, order, value, "row_number", "cum_sum", "lag_value")
+
+    def _arrays(t: pa.Table):
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = t[order].to_numpy(zero_copy_only=False)
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        return k, o, v
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in (
+                "bk", "bo", "hk", "hcnt", "tk", "tcnt")} |
+                {c: pa.array([], pa.float64()) for c in ("hsum", "tsum", "tval")})
+        k, o, v = _arrays(t)
+        hn = int((k == k[0]).sum()) if k[0] == k[-1] else int(
+            np.argmax(k != k[0]))
+        tn = int((k == k[-1]).sum()) if k[0] == k[-1] else int(
+            np.argmax(k[::-1] != k[-1]))
+        return pa.table({
+            "bk": [int(k[0])], "bo": [int(o[0])],
+            "hk": [int(k[0])], "hcnt": [hn], "hsum": [float(v[:hn].sum())],
+            "tk": [int(k[-1])], "tcnt": [tn], "tsum": [float(v[-tn:].sum())],
+            "tval": [float(v[-1])],
+        })
+
+    sm = srt.map_batches(summary, batch_format="pyarrow", batch_size=None
+                         ).to_pandas()
+    if sm.empty:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.float64() if c in ("cum_sum", "lag_value")
+                         else pa.int64()) for c in cols}))
+    sm = sm.sort_values(["bk", "bo"], ignore_index=True)
+    if sm.duplicated(["bk", "bo"]).any():
+        raise ValueError(
+            "window_functions requires globally unique (key, order) pairs "
+            "(duplicates straddle a sorted-block boundary)")
+    offsets: dict = {}
+    carry = None  # (key, cnt, sum, last_val) of the open boundary key
+    for b in sm.itertuples(index=False):
+        if carry is not None and carry[0] == b.hk:
+            offsets[(b.bk, b.bo)] = (carry[1], carry[2], carry[3])
+            if b.hk == b.tk:  # single-key block: extend the chain
+                carry = (b.tk, carry[1] + b.tcnt, carry[2] + b.tsum, b.tval)
+                continue
+        else:
+            offsets[(b.bk, b.bo)] = (0, 0.0, None)
+            if b.hk == b.tk:
+                carry = (b.tk, b.tcnt, b.tsum, b.tval)
+                continue
+        carry = (b.tk, b.tcnt, b.tsum, b.tval)
+
+    def assign(t: pa.Table, offsets=offsets) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.float64() if c in ("cum_sum", "lag_value")
+                             else pa.int64()) for c in cols})
+        k, o, v = _arrays(t)
+        cnt_off, sum_off, prev_val = offsets[(int(k[0]), int(o[0]))]
+        seg = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        seg_of = np.repeat(np.arange(len(seg)), np.diff(np.append(seg, len(k))))
+        pos = np.arange(len(k), dtype=np.int64)
+        rn = pos - seg[seg_of] + 1
+        cs = np.cumsum(v)
+        cs = cs - np.where(seg[seg_of] > 0, cs[seg[seg_of] - 1], 0.0)
+        lag = np.concatenate(([0.0], v[:-1]))
+        lag[seg] = 0.0
+        first = seg_of == 0
+        rn = rn + np.where(first, cnt_off, 0)
+        cs = cs + np.where(first, sum_off, 0.0)
+        if prev_val is not None:
+            lag[0] = prev_val
+        return pa.table({
+            key: k, order: o, value: v,
+            "row_number": rn.astype(np.int64),
+            "cum_sum": np.round(cs, 6),
+            "lag_value": lag,
+        })
+
+    return srt.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -192,3 +192,71 @@ def test_cli_end_to_end(tmp_path):
     prdf = pd.read_parquet(pr)
     assert abs(prdf["pagerank"].sum() - 1.0) < 1e-9
     assert sorted(prdf["v"]) == [1, 2, 3, 4]
+
+
+def _wf_reference(k, o, v):
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "o": o, "v": v}).sort_values(
+        ["k", "o"], ignore_index=True)
+    g = df.groupby("k")["v"]
+    return pd.DataFrame({
+        "k": df["k"], "o": df["o"], "v": df["v"],
+        "row_number": g.cumcount() + 1,
+        "cum_sum": np.round(g.cumsum(), 6),
+        "lag_value": g.shift(1).fillna(0.0),
+    })
+
+
+def test_window_functions_straddling_keys_many_blocks():
+    from pgd_ray.stages.windows import window_functions
+
+    rng = np.random.default_rng(5)
+    n = 400
+    # few keys over many tiny blocks -> every key straddles boundaries
+    k = np.sort(rng.integers(0, 5, n)).astype(np.int64)
+    o = np.arange(n, dtype=np.int64)
+    v = np.round(rng.random(n) * 100, 2)
+    ds = rd.from_arrow(pa.table({"k": k, "o": o, "v": v})).repartition(37)
+    out = window_functions(ds, "k", "o", "v").to_pandas()
+    out = out.sort_values(["k", "o"], ignore_index=True)
+    ref = _wf_reference(k, o, v)
+    for c in ("row_number", "cum_sum", "lag_value"):
+        assert np.allclose(out[c], ref[c], atol=1e-9), c
+    assert (out["k"].to_numpy() == ref["k"].to_numpy()).all()
+
+
+def test_window_functions_single_key_spanning_all_blocks():
+    from pgd_ray.stages.windows import window_functions
+
+    n = 100
+    ds = rd.from_arrow(pa.table({
+        "k": np.zeros(n, np.int64), "o": np.arange(n, dtype=np.int64),
+        "v": np.ones(n),
+    })).repartition(11)
+    out = window_functions(ds, "k", "o", "v").to_pandas().sort_values(
+        "o", ignore_index=True)
+    assert (out["row_number"].to_numpy() == np.arange(1, n + 1)).all()
+    assert np.allclose(out["cum_sum"], np.arange(1.0, n + 1))
+    assert out["lag_value"].iloc[0] == 0.0
+    assert np.allclose(out["lag_value"].iloc[1:], 1.0)
+
+
+def test_window_functions_duplicates_and_empty():
+    from pgd_ray.stages.windows import window_functions
+
+    # all-identical (key, order) pairs: Ray's sort collapses them into
+    # one output block, so the boundary-straddle guard stays silent and
+    # the in-block sequential semantics apply
+    dup = rd.from_arrow(pa.table({
+        "k": np.zeros(64, np.int64), "o": np.zeros(64, np.int64),
+        "v": np.ones(64),
+    })).repartition(8)
+    out = window_functions(dup, "k", "o", "v").to_pandas().sort_values(
+        "row_number", ignore_index=True)
+    assert (out["row_number"].to_numpy() == np.arange(1, 65)).all()
+    assert np.allclose(out["cum_sum"], np.arange(1.0, 65.0))
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "o": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64())}))
+    assert window_functions(empty, "k", "o", "v").count() == 0
