@@ -486,19 +486,11 @@ def test_coloring_star_and_empty():
         np.array([], np.int64), np.array([], np.int64), n=0))) == 0
 
 
-def _bfs_ref(csr, s0):
-    from collections import deque
-
-    dist = np.full(csr.n, csr.n, dtype=np.int64)
-    dist[s0] = 0
-    dq = deque([s0])
-    while dq:
-        v = dq.popleft()
-        for u in csr.neighbors(v):
-            if dist[u] > dist[v] + 1:
-                dist[u] = dist[v] + 1
-                dq.append(u)
-    return dist
+# (single-source BFS reference: use the module-level multi-source
+# _bfs_ref defined above — a duplicate definition here once shadowed
+# it and broke the multi-source test.)
+def _bfs_ref1(csr, s0):
+    return _bfs_ref(csr, [s0])
 
 
 @pytest.mark.parametrize("seed", [31, 32])
@@ -510,7 +502,7 @@ def test_harmonic_centrality_matches_brute(seed):
     h = harmonic_centrality(csr, seeds, n_workers=3)
     ref = np.zeros(csr.n)
     for s in seeds:
-        d = _bfs_ref(csr, s)
+        d = _bfs_ref1(csr, s)
         m = (d > 0) & (d < csr.n)
         ref[m] += 1.0 / d[m]
     ref *= (csr.n - 1) / len(seeds)
