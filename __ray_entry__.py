@@ -1028,6 +1028,17 @@ def _q_window_functions(sf_dir):
                             value="value")
 
 
+def _q_retention(sf_dir):
+    """Weekly cohort retention matrix — stages.retention
+    (per-batch distinct combiner, two hash aggs, one hash join)."""
+    from pgd_ray.stages.retention import cohort_retention
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 def _q_macro_approx_tool_graph(sf_dir):
     """Sampled graphlet estimator on the tool graph — the content-hash
     sampler makes even this APPROXIMATE operator bit-reproducible in
@@ -1295,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "sessions": _q_sessions,
         "window_functions": _q_window_functions,
+        "retention": _q_retention,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
         "macro_approx_tool_graph": _q_macro_approx_tool_graph,
@@ -1837,6 +1849,17 @@ SELECT user_id, event_id, value,
        COALESCE(LAG(value) OVER w, 0.0) AS lag_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+        # stages.retention.cohort_retention: distinct (user, week)
+        # pairs -> per-user first week -> (cohort, offset) counts
+        "retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk FROM events),
+c AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id)
+SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+       CAST(uw.wk - c.cw AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM uw JOIN c ON c.user_id = uw.user_id
+GROUP BY 1, 2""",
         # -- stages.joins.asof_join: latest order per (user, event time);
         # -- ties on o_orderdate -> min o_orderkey (the engine's tiebreak)
         "asof_orders": """
