@@ -1028,6 +1028,41 @@ def _q_window_functions(sf_dir):
                             value="value")
 
 
+def _q_tpch_q4(sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join (orders having a returned
+    lineitem) via the distributed distinct-key hash join path —
+    pipelines.tpch.q4 / stages.joins.semi_join."""
+    from pgd_ray.pipelines.tpch import q4
+
+    # [1996-01-01, 1998-01-01) in epoch-us
+    return q4(sf_dir, date_lo_us=820_454_400_000_000,
+              date_hi_us=883_612_800_000_000)
+
+
+def _q_cust_no_orders(sf_dir):
+    """NOT EXISTS anti-join: customers with no URGENT order, counted
+    per market segment — stages.joins.anti_join (broadcast
+    distinct-key strategy: customer is big, the distinct urgent
+    o_custkey set is small)."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.stages.joins import anti_join
+    from pgd_ray.util import read_parquet_clean
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    left = anti_join(cust, orders, left_key="c_custkey",
+                     right_key="o_custkey", strategy="broadcast")
+    df = left.groupby("c_mktsegment").aggregate(
+        Count(alias_name="customers")).to_pandas()
+    df["customers"] = df["customers"].astype("int64")
+    return df.sort_values("c_mktsegment", ignore_index=True)
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1307,6 +1342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "window_functions": _q_window_functions,
         "retention": _q_retention,
+        "tpch_q4": _q_tpch_q4,
+        "cust_no_orders": _q_cust_no_orders,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
         "macro_approx_tool_graph": _q_macro_approx_tool_graph,
@@ -1596,6 +1633,22 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
 GROUP BY 1, 2""",
+        # pipelines.tpch.q4: EXISTS semi-join, distributed strategy
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+        # stages.joins.anti_join: NOT EXISTS, broadcast strategy
+        "cust_no_orders": """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment""",
         "local_cc": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
@@ -1860,6 +1913,22 @@ SELECT CAST(c.cw AS BIGINT) AS cohort_week,
        CAST(COUNT(*) AS BIGINT) AS users
 FROM uw JOIN c ON c.user_id = uw.user_id
 GROUP BY 1, 2""",
+        # pipelines.tpch.q4: EXISTS semi-join, distributed strategy
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+        # stages.joins.anti_join: NOT EXISTS, broadcast strategy
+        "cust_no_orders": """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment""",
         # -- stages.joins.asof_join: latest order per (user, event time);
         # -- ties on o_orderdate -> min o_orderkey (the engine's tiebreak)
         "asof_orders": """

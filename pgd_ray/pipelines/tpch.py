@@ -322,3 +322,44 @@ def q6(
             batch_size=None, batch_format="pyarrow")
     )
     return pd.DataFrame({"revenue": [round(float(total), 2)]})
+
+
+def q4(
+    sf_dir: str,
+    date_lo_us: int,
+    date_hi_us: int,
+    returnflag: str = "R",
+    strategy: str = "partitioned",
+) -> pd.DataFrame:
+    """Order-priority check (TPC-H Q4 shape on this schema's columns):
+    orders in [lo, hi) having AT LEAST ONE lineitem with the given
+    return flag — an EXISTS semi-join — counted per priority.
+
+    The semi-join is the distributed path by default (distinct
+    l_orderkey hash agg → hash join): the lineitem side is the BIG
+    table, exactly the case the broadcast strategy must not assume."""
+    from pgd_ray.stages.joins import semi_join
+    from pgd_ray.util import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return t.filter(pa.array((d >= date_lo_us) & (d < date_hi_us)))
+
+    orders = orders.map_batches(in_window, batch_format="pyarrow")
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+    ).filter(expr=f"l_returnflag == '{returnflag}'")
+    hit = semi_join(orders, li, left_key="o_orderkey",
+                    right_key="l_orderkey", strategy=strategy)
+    agg = hit.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count"))
+    df = agg.to_pandas().sort_values("o_orderpriority", ignore_index=True)
+    df["order_count"] = df["order_count"].astype(np.int64)
+    return df[["o_orderpriority", "order_count"]]

@@ -454,3 +454,163 @@ def _partitioned_join(
         return out
 
     return union.groupby("part").map_groups(per_part, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# semi / anti joins (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------
+
+def _distinct_keys_array(right: ray.data.Dataset, right_key: str) -> np.ndarray:
+    """Sorted distinct right-side keys, collected as ONE int64 array:
+    per-batch np.unique partials stream to the driver, which holds
+    only the distinct-key set (the small side by contract)."""
+    parts = [
+        np.unique(b[right_key].to_numpy(zero_copy_only=False).astype(np.int64))
+        for b in right.select_columns([right_key]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+class _KeyFilter:
+    """Actor-pool stage: fetch the broadcast sorted key set once per
+    worker, filter each left batch with a vectorized searchsorted
+    membership test (np.isin on a sorted array)."""
+
+    def __init__(self, keys_ref, key: str, keep_matching: bool):
+        self.keys = ray.get(keys_ref) if isinstance(
+            keys_ref, ray.ObjectRef) else keys_ref
+        self.key = key
+        self.keep = keep_matching
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t[self.key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(self.keys):
+            pos = np.searchsorted(self.keys, k)
+            pos[pos == len(self.keys)] = 0
+            hit = self.keys[pos] == k
+        else:
+            hit = np.zeros(len(k), dtype=bool)
+        return t.filter(pa.array(hit if self.keep else ~hit))
+
+
+def _semi_anti(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    keep_matching: bool,
+    strategy: str,
+    num_partitions: int,
+    concurrency,
+) -> ray.data.Dataset:
+    if strategy == "broadcast":
+        keys = _distinct_keys_array(right, right_key)
+        ref = ray.put(keys)
+        return left.map_batches(
+            _KeyFilter, batch_format="pyarrow", batch_size=65536,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"keys_ref": ref, "key": left_key,
+                                   "keep_matching": keep_matching},
+        )
+    if strategy != "partitioned":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    # same tagged-union shape as _partitioned_join: both sides hashed
+    # on the key into ONE canonical-schema union (right contributes
+    # only per-batch-deduped keys), one shuffle, then a vectorized
+    # membership probe per PARTITION — O(num_partitions) Python calls,
+    # no driver hop, and the right side never needs to fit anywhere
+    # whole.
+    lnames = list(left.schema().names)
+    lbase = left.schema().base_schema
+    ltypes = {c: lbase.field(c).type for c in lnames}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        lk = t[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict[str, pa.Array] = {
+            "part": pa.array(_hash_part(lk, num_partitions)),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+            "k": pa.array(lk),
+        }
+        for c in lnames:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[f"l_{c}"] = col
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        rk = np.unique(
+            t[right_key].to_numpy(zero_copy_only=False).astype(np.int64))
+        cols: dict[str, pa.Array] = {
+            "part": pa.array(_hash_part(rk, num_partitions)),
+            "side": pa.array(np.zeros(len(rk), np.int8)),
+            "k": pa.array(rk),
+        }
+        for c in lnames:
+            cols[f"l_{c}"] = pa.nulls(len(rk), ltypes[c])
+        return pa.table(cols)
+
+    union = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns([right_key]).map_batches(
+            tag_right, batch_format="pyarrow")
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        keys = np.unique(k[side == 0])
+        lrows = np.flatnonzero(side == 1)
+        lk = k[lrows]
+        if len(keys):
+            pos = np.searchsorted(keys, lk)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == lk
+        else:
+            hit = np.zeros(len(lk), dtype=bool)
+        keep = pa.array(lrows[hit if keep_matching else ~hit], pa.int64())
+        return pa.table({c: t[f"l_{c}"].take(keep) for c in lnames})
+
+    return union.groupby("part").map_groups(per_part, batch_format="pyarrow")
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    strategy: str = "broadcast",
+    num_partitions: int = 8,
+    concurrency=(1, 16),
+) -> ray.data.Dataset:
+    """SQL ``EXISTS``: left rows whose ``left_key`` appears in the
+    right side's ``right_key`` — left columns only, no fan-out.
+
+    ``broadcast`` ships ONE sorted distinct-key array (``ray.put``
+    once, fetched once per worker) and never shuffles the left side;
+    ``partitioned`` keeps the right side distributed (distinct-key
+    hash agg → hash join), for right sides too big to broadcast."""
+    return _semi_anti(left, right, left_key, right_key, True,
+                      strategy, num_partitions, concurrency)
+
+
+def anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    strategy: str = "broadcast",
+    num_partitions: int = 8,
+    concurrency=(1, 16),
+) -> ray.data.Dataset:
+    """SQL ``NOT EXISTS``: left rows whose ``left_key`` does NOT appear
+    in the right side — same two strategies as ``semi_join``."""
+    return _semi_anti(left, right, left_key, right_key, False,
+                      strategy, num_partitions, concurrency)

@@ -195,3 +195,66 @@ def test_asof_left_join_empty_right_keeps_types():
     assert sch["name"] == pa.string() and sch["price"] == pa.float64()
     df = out.to_pandas()
     assert len(df) == 2 and df["name"].isna().all()
+
+
+# ------------------------------------------------------------------
+# semi / anti joins
+# ------------------------------------------------------------------
+
+def _sa_fixture():
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 2], pa.int64()),
+        "x": pa.array([10, 20, 30, 40, 50, 21], pa.int64()),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4, 9], pa.int64()),
+        "junk": pa.array(["a", "b", "c", "d"], pa.string()),
+    })).repartition(2)
+    return left, right
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
+def test_semi_join_both_strategies(strategy):
+    from pgd_ray.stages.joins import semi_join
+
+    left, right = _sa_fixture()
+    out = semi_join(left, right, left_key="k", right_key="rk",
+                    strategy=strategy).to_pandas().sort_values(
+        ["k", "x"], ignore_index=True)
+    # keys 2 (twice) and 4 match; no fan-out from right dup of 2
+    assert list(out["k"]) == [2, 2, 4]
+    assert list(out["x"]) == [20, 21, 40]
+    assert list(out.columns) == ["k", "x"]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
+def test_anti_join_both_strategies(strategy):
+    from pgd_ray.stages.joins import anti_join
+
+    left, right = _sa_fixture()
+    out = anti_join(left, right, left_key="k", right_key="rk",
+                    strategy=strategy).to_pandas().sort_values(
+        "k", ignore_index=True)
+    assert list(out["k"]) == [1, 3, 5]
+    assert list(out.columns) == ["k", "x"]
+
+
+def test_semi_anti_empty_right_and_same_name():
+    import ray.data as rd
+
+    from pgd_ray.stages.joins import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "x": pa.array([7, 8], pa.int64())}))
+    empty = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert semi_join(left, empty, left_key="k", right_key="rk").count() == 0
+    anti = anti_join(left, empty, left_key="k", right_key="rk").to_pandas()
+    assert sorted(anti["k"]) == [1, 2]
+    # same column name on both sides (partitioned renames internally)
+    right = rd.from_arrow(pa.table({"k": pa.array([2], pa.int64())}))
+    got = semi_join(left, right, left_key="k", right_key="k",
+                    strategy="partitioned").to_pandas()
+    assert list(got.columns) == ["k", "x"] and list(got["k"]) == [2]
