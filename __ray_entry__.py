@@ -1063,6 +1063,34 @@ def _q_cust_no_orders(sf_dir):
     return df.sort_values("c_mktsegment", ignore_index=True)
 
 
+def _q_pii_scan(sf_dir):
+    """PII scan + redaction on documents with deterministically
+    INJECTED synthetic PII (the corpus has none): doc_id%3 gains an
+    email, %5 a phone, %7 an IPv4 — injection is mirrored in the SQL
+    so counts AND the redacted text hash-match (text/pii.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pgd_ray.text.pii import pii_scan
+    from pgd_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        ds = pd.Series(d.astype(str), index=b.index)
+        txt = b["text"].fillna("")
+        txt = txt + np.where(d % 3 == 0, " reach user" + ds + "@example.com now", "")
+        txt = txt + np.where(d % 5 == 0,
+                             " call 415-555-" + pd.Series(d % 10000, index=b.index).astype(str).str.zfill(4), "")
+        txt = txt + np.where(d % 7 == 0,
+                             " from 10." + pd.Series(d % 256, index=b.index).astype(str) + ".0.1", "")
+        return pd.DataFrame({"doc_id": b["doc_id"], "text": txt})
+
+    return pii_scan(docs.map_batches(inject, batch_format="pandas"))
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1342,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "window_functions": _q_window_functions,
         "retention": _q_retention,
+        "pii_scan": _q_pii_scan,
         "tpch_q4": _q_tpch_q4,
         "cust_no_orders": _q_cust_no_orders,
         "asof_orders": _q_asof_orders,
@@ -1483,6 +1512,8 @@ def _anf_lane_sql() -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pgd_ray.text.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
     _anf_aggs, _anf_merge = _anf_lane_sql()
     return {
         "transcripts": f"WITH {_T_CTE} SELECT conv_id, turn_idx, role, text, tool, ts FROM t",
@@ -1649,6 +1680,30 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment""",
+        # text.pii.pii_scan over the same injected-PII stream as the
+        # Ray query; identical regexes under RE2 and Python re
+        "pii_scan": f"""
+WITH p AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || doc_id || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+            ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{EMAIL_RE}', '[EMAIL]', 'g'),
+      '{PHONE_RE}', '[PHONE]', 'g'),
+      '{IPV4_RE}', '[IP]', 'g') AS clean_text
+FROM p""",
         "local_cc": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
@@ -1929,6 +1984,30 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment""",
+        # text.pii.pii_scan over the same injected-PII stream as the
+        # Ray query; identical regexes under RE2 and Python re
+        "pii_scan": f"""
+WITH p AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || doc_id || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+            ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{EMAIL_RE}', '[EMAIL]', 'g'),
+      '{PHONE_RE}', '[PHONE]', 'g'),
+      '{IPV4_RE}', '[IP]', 'g') AS clean_text
+FROM p""",
         # -- stages.joins.asof_join: latest order per (user, event time);
         # -- ties on o_orderdate -> min o_orderkey (the engine's tiebreak)
         "asof_orders": """

@@ -321,3 +321,30 @@ def test_minhash_dedup_driver_sees_only_pairs(ray_session, monkeypatch):
     df = out.to_pandas().set_index("doc_id")["dup_group"]
     assert df[7] == df[3] == 3
     assert (df.drop([3, 7]) == df.drop([3, 7]).index).all()
+
+
+def test_pii_scan_counts_and_redaction():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.text.pii import pii_scan
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@x-y.org and b@c.io now",
+            "call 415-555-0199 or 415-555-0200 from 10.0.0.1",
+            "no pii here",
+            None,
+        ], pa.string()),
+    }))
+    out = pii_scan(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(out["n_emails"]) == [2, 0, 0, 0]
+    assert list(out["n_phones"]) == [0, 2, 0, 0]
+    assert list(out["n_ips"]) == [0, 1, 0, 0]
+    assert out["clean_text"][0] == "mail [EMAIL] and [EMAIL] now"
+    assert out["clean_text"][1] == "call [PHONE] or [PHONE] from [IP]"
+    assert out["clean_text"][3] == ""
+    # counts-only mode drops the redacted column
+    lean = pii_scan(docs, redact=False).to_pandas()
+    assert "clean_text" not in lean.columns
