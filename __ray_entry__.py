@@ -1091,6 +1091,18 @@ def _q_pii_scan(sf_dir):
     return pii_scan(docs.map_batches(inject, batch_format="pandas"))
 
 
+def _q_chunk_docs(sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16
+    overlap) — text/chunking.py; chunk text is the token slice
+    space-joined, mirrored by list_slice/array_to_string in SQL."""
+    from pgd_ray.text.chunking import chunk_documents
+    from pgd_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1371,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_functions": _q_window_functions,
         "retention": _q_retention,
         "pii_scan": _q_pii_scan,
+        "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
         "cust_no_orders": _q_cust_no_orders,
         "asof_orders": _q_asof_orders,
@@ -1704,6 +1717,23 @@ SELECT doc_id,
       '{PHONE_RE}', '[PHONE]', 'g'),
       '{IPV4_RE}', '[IP]', 'g') AS clean_text
 FROM p""",
+        # text.chunking.chunk_documents: stride = 48, ceil(n/stride)
+        # chunks, list_slice is 1-based inclusive
+        "chunk_docs": """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(COALESCE(text, ''), '\\w+|[^\\w\\s]') AS tk
+  FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS nt FROM toks WHERE len(tk) > 0),
+g AS (SELECT doc_id, tk, nt, UNNEST(generate_series(0, (nt + 47) // 48 - 1)) AS i
+      FROM n)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(LEAST(i * 48 + 64, nt) - i * 48 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, i * 48 + 1, LEAST(i * 48 + 64, nt)), ' ')
+         AS chunk_text
+FROM g""",
         "local_cc": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
@@ -2008,6 +2038,23 @@ SELECT doc_id,
       '{PHONE_RE}', '[PHONE]', 'g'),
       '{IPV4_RE}', '[IP]', 'g') AS clean_text
 FROM p""",
+        # text.chunking.chunk_documents: stride = 48, ceil(n/stride)
+        # chunks, list_slice is 1-based inclusive
+        "chunk_docs": """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(COALESCE(text, ''), '\\w+|[^\\w\\s]') AS tk
+  FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS nt FROM toks WHERE len(tk) > 0),
+g AS (SELECT doc_id, tk, nt, UNNEST(generate_series(0, (nt + 47) // 48 - 1)) AS i
+      FROM n)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(LEAST(i * 48 + 64, nt) - i * 48 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, i * 48 + 1, LEAST(i * 48 + 64, nt)), ' ')
+         AS chunk_text
+FROM g""",
         # -- stages.joins.asof_join: latest order per (user, event time);
         # -- ties on o_orderdate -> min o_orderkey (the engine's tiebreak)
         "asof_orders": """

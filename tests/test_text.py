@@ -348,3 +348,28 @@ def test_pii_scan_counts_and_redaction():
     # counts-only mode drops the redacted column
     lean = pii_scan(docs, redact=False).to_pandas()
     assert "clean_text" not in lean.columns
+
+
+def test_chunk_documents_windows_and_validation():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pgd_ray.text.chunking import chunk_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x y", ""], pa.string()),
+    }))
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    # doc 1: 7 tokens, stride 2 -> ceil(7/2)=4 chunks
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_text"]) == ["a b c d", "c d e f", "e f g", "g"]
+    assert list(d1["start_tok"]) == [0, 2, 4, 6]
+    assert list(d1["n_tokens"]) == [4, 4, 3, 1]
+    # doc 2 fits one chunk; doc 3 empty -> no rows
+    assert list(out[out["doc_id"] == 2]["chunk_text"]) == ["x y"]
+    assert (out["doc_id"] != 3).all()
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
