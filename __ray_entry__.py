@@ -660,6 +660,18 @@ def _q_harmonic_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "harmonic": np.round(h, 6)})
 
 
+def _q_closeness_copurchase(sf_dir):
+    """Sampled Wasserman-Faust closeness from the 4 smallest part
+    keys — graph.centrality.closeness_centrality (k BFS sweeps on the
+    shared worker pool)."""
+    from pgd_ray.graph.centrality import closeness_centrality
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seeds = np.argsort(vids)[:4]
+    c = closeness_centrality(csr, seeds)
+    return pd.DataFrame({"v": vids, "closeness": np.round(c, 6)})
+
+
 def _q_betweenness_copurchase(sf_dir):
     """Sampled Brandes betweenness from the 4 smallest part keys —
     graph.centrality (packed dist+sigma forward program, x-form
@@ -1354,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": _q_bfs_copurchase,
         "harmonic_copurchase": _q_harmonic_copurchase,
         "betweenness_copurchase": _q_betweenness_copurchase,
+        "closeness_copurchase": _q_closeness_copurchase,
         "random_walks_copurchase": _q_random_walks_copurchase,
         "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
@@ -2444,6 +2457,23 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM d)
 SELECT d.v, ROUND(COALESCE(h.hraw, 0.0) * ((n.nn - 1) / 4.0), 6) AS harmonic
 FROM d LEFT JOIN h ON h.v = d.v CROSS JOIN n""",
         "betweenness_copurchase": _betweenness_sql(),
+        # closeness: same seeded walk as harmonic; r = reached seeds,
+        # S = distance sum, c = (r/S)*(r/4)
+        "closeness_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seeds AS (SELECT v AS sv FROM d ORDER BY v LIMIT 4),
+walk(sv, v, dist) AS (
+  SELECT sv, sv, 0 FROM seeds
+  UNION
+  SELECT walk.sv, s.dst, walk.dist + 1
+  FROM walk JOIN s ON s.src = walk.v
+  WHERE walk.dist < 64),
+md AS (SELECT sv, v, MIN(dist) AS dist FROM walk GROUP BY sv, v),
+agg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS r, SUM(CAST(dist AS DOUBLE)) AS sd
+        FROM md WHERE dist > 0 GROUP BY v)
+SELECT d.v,
+       ROUND(COALESCE((agg.r / agg.sd) * (agg.r / 4.0), 0.0), 6) AS closeness
+FROM d LEFT JOIN agg ON agg.v = d.v""",
         # ego_copurchase: edges induced on the seed's 2-hop ball
         # (seed = smallest raw part key); canonical (lo, hi) raw ids.
         "ego_copurchase": f"""

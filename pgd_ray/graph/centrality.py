@@ -63,6 +63,47 @@ def harmonic_centrality(
     return acc * (float(n - 1) / float(sds.size))
 
 
+def closeness_centrality(
+    csr: CSRGraph,
+    seeds,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Sampled Wasserman-Faust closeness from ``seeds``: with r(v) =
+    #seeds at finite positive distance and S(v) their distance sum,
+    c(v) = (r/S) · (r/k) — the reachable-fraction-corrected inverse
+    mean distance (0 when no seed reaches v).  Deterministic and
+    order-invariant; same k-BFS-sweep shape and driver footprint as
+    ``harmonic_centrality``."""
+    n = csr.n
+    if n == 0:
+        return np.array([], dtype=np.float64)
+    sds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if sds.size == 0:
+        raise ValueError("closeness_centrality needs at least one seed")
+    if sds.min() < 0 or sds.max() >= n:
+        raise ValueError(f"seeds outside [0, {n})")
+    own = workers is None and engine == "actors" and n > 1
+    pool = worker_pool(csr, n_workers) if own else workers
+    ssum = np.zeros(n, dtype=np.float64)
+    r = np.zeros(n, dtype=np.int64)
+    try:
+        for s in sds:
+            dist = bfs_distances(csr, [int(s)], n_workers=n_workers,
+                                 engine=engine, workers=pool)
+            m = (dist > 0) & (dist < n)
+            ssum[m] += dist[m]
+            r[m] += 1
+    finally:
+        if own:
+            kill_pool(pool)
+    out = np.zeros(n, dtype=np.float64)
+    hit = r > 0
+    out[hit] = (r[hit] / ssum[hit]) * (r[hit] / float(sds.size))
+    return out
+
+
 def betweenness_centrality(
     csr: CSRGraph,
     seeds,

@@ -615,3 +615,25 @@ def test_modularity_empty_graph():
         np.array([], np.int64), np.array([], np.int64), n=0)
     eds = ray.data.from_items([])
     assert len(modularity_by_label(eds, empty, np.array([], np.int64))) == 0
+
+
+def test_closeness_centrality_matches_brute():
+    from pgd_ray.graph.centrality import closeness_centrality
+
+    csr = _csr(50, 0.08, seed=4)
+    seeds = [0, 3, 7]
+    c = closeness_centrality(csr, seeds, n_workers=3)
+    ssum = np.zeros(csr.n)
+    r = np.zeros(csr.n)
+    for s in seeds:
+        d = _bfs_ref1(csr, s)
+        m = (d > 0) & (d < csr.n)
+        ssum[m] += d[m]
+        r[m] += 1
+    ref = np.where(r > 0, np.divide(r, ssum, out=np.zeros(csr.n),
+                                    where=r > 0) * (r / 3.0), 0.0)
+    assert np.allclose(c, ref, atol=1e-12)
+    # disconnected vertex stays 0
+    path = csr_from_edge_arrays(np.array([0, 2]), np.array([1, 3]), n=5)
+    cc = closeness_centrality(path, [0], n_workers=1)
+    assert cc[2] == 0 and cc[3] == 0 and cc[4] == 0 and cc[1] > 0
