@@ -1115,6 +1115,24 @@ def _q_chunk_docs(sf_dir):
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
+def _q_tpch_q12(sf_dir):
+    """TPC-H Q12 shape: conditional aggregation over one distributed
+    hash join of the two big tables — pipelines.tpch.q12."""
+    from pgd_ray.pipelines.tpch import q12
+
+    return q12(sf_dir, date_lo_us=820_454_400_000_000,
+               date_hi_us=883_612_800_000_000)
+
+
+def _q_tpch_q14(sf_dir):
+    """TPC-H Q14 shape: promo revenue share via a broadcast dimension
+    lookup (part never shuffles lineitem) — pipelines.tpch.q14."""
+    from pgd_ray.pipelines.tpch import q14
+
+    return q14(sf_dir, date_lo_us=820_454_400_000_000,
+               date_hi_us=883_612_800_000_000)
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1398,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
         "cust_no_orders": _q_cust_no_orders,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
@@ -1699,6 +1719,26 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority""",
+        # pipelines.tpch.q12: conditional agg over a big-big hash join
+        "tpch_q12": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag""",
+        # pipelines.tpch.q14: promo revenue share, broadcast dim lookup
+        "tpch_q14": """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
@@ -2020,6 +2060,26 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority""",
+        # pipelines.tpch.q12: conditional agg over a big-big hash join
+        "tpch_q12": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag""",
+        # pipelines.tpch.q14: promo revenue share, broadcast dim lookup
+        "tpch_q14": """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers

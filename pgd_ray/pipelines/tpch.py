@@ -363,3 +363,110 @@ def q4(
     df = agg.to_pandas().sort_values("o_orderpriority", ignore_index=True)
     df["order_count"] = df["order_count"].astype(np.int64)
     return df[["o_orderpriority", "order_count"]]
+
+
+def q12(
+    sf_dir: str,
+    date_lo_us: int,
+    date_hi_us: int,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape on this schema): per
+    return flag, how many shipped-in-window lineitems belong to
+    high- vs low-priority orders — conditional aggregation over ONE
+    distributed hash join of the two big tables (orders pre-projected
+    to (key, is_high int8) before the shuffle)."""
+    from pgd_ray.util import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        hi = np.isin(pr, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "is_high": pa.array(hi, pa.int64())})
+
+    orders = orders.map_batches(proj, batch_format="pyarrow").materialize()
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        t = t.filter(pa.array((d >= date_lo_us) & (d < date_hi_us)))
+        return t.drop_columns(["l_shipdate"])
+
+    li = li.map_batches(in_window, batch_format="pyarrow").materialize()
+    j = li.join(
+        orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).materialize()
+    agg = j.groupby("l_returnflag").aggregate(
+        Sum("is_high", alias_name="high_line_count"),
+        Count(alias_name="_n"),
+    )
+    df = agg.to_pandas().sort_values("l_returnflag", ignore_index=True)
+    df["high_line_count"] = df["high_line_count"].astype(np.int64)
+    df["low_line_count"] = (df["_n"] - df["high_line_count"]).astype(np.int64)
+    return df[["l_returnflag", "high_line_count", "low_line_count"]]
+
+
+def q14(
+    sf_dir: str,
+    date_lo_us: int,
+    date_hi_us: int,
+) -> pd.DataFrame:
+    """Promotion-revenue share (TPC-H Q14 shape): part is the TRUE
+    dimension table, broadcast once as a sorted (p_partkey ->
+    is_promo) lookup probed inside every lineitem batch — the big
+    side never shuffles; the result is two partial sums."""
+    import ray
+
+    import pyarrow.parquet as pq_mod
+
+    from pgd_ray.util import read_parquet_clean
+
+    pt = pq_mod.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    keys = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = np.char.startswith(
+        pt["p_type"].to_numpy(zero_copy_only=False).astype(str), "PROMO")
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], promo[order]))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    class Part:
+        def __init__(self, lookup_ref):
+            self.keys, self.promo = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            m = (d >= date_lo_us) & (d < date_hi_us)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)[m]
+            rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+                   * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)[m]))
+            pos = np.searchsorted(self.keys, pk)
+            pos[pos == len(self.keys)] = 0
+            isp = (self.keys[pos] == pk) & self.promo[pos]
+            return pa.table({
+                "promo": pa.array([float(rev[isp].sum())], pa.float64()),
+                "total": pa.array([float(rev.sum())], pa.float64()),
+            })
+
+    promo_sum = total_sum = 0.0
+    for b in li.map_batches(
+        Part, batch_format="pyarrow", batch_size=65536, concurrency=(1, 8),
+        fn_constructor_kwargs={"lookup_ref": ref},
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        promo_sum += float(b["promo"].to_numpy(zero_copy_only=False).sum())
+        total_sum += float(b["total"].to_numpy(zero_copy_only=False).sum())
+    share = 100.0 * promo_sum / total_sum if total_sum else 0.0
+    return pd.DataFrame({"promo_revenue": [round(share, 4)]})

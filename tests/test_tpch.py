@@ -37,3 +37,38 @@ def test_q6_empty_window_is_zero():
     out = q6(SF, date_lo_us=0, date_hi_us=1, disc_lo=0.0, disc_hi=0.1,
              qty_below=100.0)
     assert float(out["revenue"][0]) == 0.0
+
+
+def test_q12_q14_match_duckdb():
+    import duckdb
+
+    from pgd_ray.pipelines.tpch import q12, q14
+
+    sf = "/root/testdata/sf0.001"
+    lo, hi = 820_454_400_000_000, 883_612_800_000_000
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+    got12 = q12(sf, lo, hi)
+    ref12 = con.sql("""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag""").df()
+    assert (got12["l_returnflag"].to_numpy() == ref12["l_returnflag"].to_numpy()).all()
+    assert (got12["high_line_count"].to_numpy() == ref12["high_line_count"].to_numpy()).all()
+    assert (got12["low_line_count"].to_numpy() == ref12["low_line_count"].to_numpy()).all()
+    got14 = q14(sf, lo, hi)
+    ref14 = con.sql("""
+        SELECT 100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+               / SUM(l_extendedprice*(1-l_discount)) AS pr
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'""").df()
+    assert abs(got14["promo_revenue"][0] - ref14["pr"][0]) < 1e-3
