@@ -1133,6 +1133,31 @@ def _q_tpch_q14(sf_dir):
                date_hi_us=883_612_800_000_000)
 
 
+def _q_event_type_stats(sf_dir):
+    """Per-group numeric profile via Ray Data NATIVE aggregates
+    (Count/Sum/Min/Max/Mean/Std in one hash-agg pass)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    df = ev.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Mean("value", alias_name="mean_value"),
+        Std("value", alias_name="std_value"),
+    ).to_pandas().sort_values("event_type", ignore_index=True)
+    df["n"] = df["n"].astype("int64")
+    for c in ("sum_value", "mean_value", "std_value"):
+        df[c] = df[c].round(6)
+    return df
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1413,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "window_functions": _q_window_functions,
         "retention": _q_retention,
+        "event_type_stats": _q_event_type_stats,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
@@ -1739,6 +1765,16 @@ SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'""",
+        # Ray native hash aggregates; Std is sample stddev (ddof=1)
+        "event_type_stats": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(AVG(value), 6) AS mean_value,
+       ROUND(STDDEV_SAMP(value), 6) AS std_value
+FROM events GROUP BY event_type""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
@@ -2080,6 +2116,16 @@ SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'""",
+        # Ray native hash aggregates; Std is sample stddev (ddof=1)
+        "event_type_stats": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(AVG(value), 6) AS mean_value,
+       ROUND(STDDEV_SAMP(value), 6) AS std_value
+FROM events GROUP BY event_type""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
