@@ -624,6 +624,18 @@ def _q_link_pred_copurchase(sf_dir):
     # vids is ascending, so the (cn desc, u, v) order survives the map
     head["u"] = vids[head["u"].to_numpy()]
     head["v"] = vids[head["v"].to_numpy()]
+    return head[["u", "v", "cn", "aa"]]
+
+
+def _q_link_pred_scores_copurchase(sf_dir):
+    """Full similarity-index head: cn/aa plus resource-allocation,
+    Jaccard and preferential-attachment columns (graph/linkpred.py)."""
+    from pgd_ray.graph.linkpred import link_prediction
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    head = link_prediction(csr, top_n=50)
+    head["u"] = vids[head["u"].to_numpy()]
+    head["v"] = vids[head["v"].to_numpy()]
     return head
 
 
@@ -1414,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
         "link_pred_copurchase": _q_link_pred_copurchase,
+        "link_pred_scores_copurchase": _q_link_pred_scores_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
         "label_prop_tool": _q_label_prop_tool,
         "modularity_tool": _q_modularity_tool,
@@ -2501,6 +2514,26 @@ np AS (SELECT p.u, p.v, p.cn, p.aa FROM p
        WHERE e.src IS NULL)
 SELECT u, v, cn, ROUND(aa, 6) AS aa FROM np
 ORDER BY cn DESC, u, v LIMIT 100""",
+        # graph.linkpred full scores: ra distributed like aa; jac/pa
+        # from endpoint degrees (jac = cn/(du+dv-cn), pa = du*dv)
+        "link_pred_scores_copurchase": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+p AS (
+  SELECT s1.dst AS u, s2.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(1.0/ln(d.degree)) AS aa,
+         SUM(1.0/d.degree) AS ra
+  FROM s s1 JOIN s s2 ON s1.src = s2.src AND s1.dst < s2.dst
+  JOIN d ON d.v = s1.src
+  GROUP BY s1.dst, s2.dst),
+np AS (SELECT p.* FROM p
+       LEFT JOIN e ON e.src = p.u AND e.dst = p.v
+       WHERE e.src IS NULL)
+SELECT np.u, np.v, np.cn, ROUND(np.aa, 6) AS aa, ROUND(np.ra, 6) AS ra,
+       ROUND(CAST(np.cn AS DOUBLE) / (du.degree + dv.degree - np.cn), 6) AS jac,
+       CAST(du.degree * dv.degree AS BIGINT) AS pa
+FROM np JOIN d du ON du.v = np.u JOIN d dv ON dv.v = np.v
+ORDER BY np.cn DESC, np.u, np.v LIMIT 50""",
         # bfs_copurchase: multi-level reachability walk capped at 64
         # hops (>> the co-purchase graph's diameter), min dist per
         # vertex; only reached vertices appear — mirroring the engine's

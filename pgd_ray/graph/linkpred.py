@@ -6,8 +6,16 @@ The reference counts wedges only in aggregate (graphlet_core.cpp's
 classic similarity indices (Liben-Nowell & Kleinberg 2003; Adamic &
 Adar 2003):
 
-    cn(u,v) = |N(u) ∩ N(v)|
-    aa(u,v) = Σ_{m ∈ N(u)∩N(v)} 1 / ln(deg m)
+    cn(u,v)  = |N(u) ∩ N(v)|
+    aa(u,v)  = Σ_{m ∈ N(u)∩N(v)} 1 / ln(deg m)
+    ra(u,v)  = Σ_{m ∈ N(u)∩N(v)} 1 / deg m      (resource allocation)
+    jac(u,v) = cn / (deg u + deg v - cn)          (Jaccard)
+    pa(u,v)  = deg u · deg v                      (preferential attachment)
+
+ra accumulates alongside cn/aa in the distributed partials; jac and pa
+are pure functions of (cn, deg u, deg v) and are derived on the
+driver's ≤ P·top_n head rows from the CSR degree vector — no extra
+distributed work.
 
 Execution shape: one ``map_batches`` pass over vertex RANGES — each
 mid-vertex m emits its neighbor pairs (the segmented-pair expansion
@@ -62,7 +70,8 @@ def _wedge_state(indptr_ref, indices_ref, n: int):
         edge_keys = rows[upper] * n + indices[upper]
         with np.errstate(divide="ignore"):
             inv_log_deg = np.where(deg > 1, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
-        st = (indptr, indices, edge_keys, inv_log_deg)
+        inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+        st = (indptr, indices, edge_keys, inv_log_deg, inv_deg)
         _STATE_CACHE.clear()  # one graph's state per worker at a time
         _STATE_CACHE[key] = st
     return st
@@ -71,14 +80,15 @@ def _wedge_state(indptr_ref, indices_ref, n: int):
 def _wedge_partials(
     batch: pa.Table, indptr_ref, indices_ref, n: int, cap, span: int
 ) -> pa.Table:
-    indptr, indices, edge_keys, inv_log_deg = _wedge_state(
+    indptr, indices, edge_keys, inv_log_deg, inv_deg = _wedge_state(
         indptr_ref, indices_ref, n
     )
     empty = pa.table({"part": pa.array([], pa.int64()),
                       "key": pa.array([], pa.int64()),
                       "cn": pa.array([], pa.int64()),
-                      "aa": pa.array([], pa.float64())})
-    out_keys, out_cn, out_aa = [], [], []
+                      "aa": pa.array([], pa.float64()),
+                      "ra": pa.array([], pa.float64())})
+    out_keys, out_cn, out_aa, out_ra = [], [], [], []
     for vlo, vhi in zip(batch["vlo"].to_numpy(zero_copy_only=False),
                         batch["vhi"].to_numpy(zero_copy_only=False)):
         idx = indptr[vlo : vhi + 1] - indptr[vlo]
@@ -120,16 +130,20 @@ def _wedge_partials(
         np.add.at(cn, inv, 1)
         aa = np.zeros(len(uk), dtype=np.float64)
         np.add.at(aa, inv, inv_log_deg[mid])
+        ra = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(ra, inv, inv_deg[mid])
         out_keys.append(uk)
         out_cn.append(cn)
         out_aa.append(aa)
+        out_ra.append(ra)
     if not out_keys:
         return empty
     keys = np.concatenate(out_keys)
     return pa.table({"part": keys // span,
                      "key": keys,
                      "cn": np.concatenate(out_cn),
-                     "aa": np.concatenate(out_aa)})
+                     "aa": np.concatenate(out_aa),
+                     "ra": np.concatenate(out_ra)})
 
 
 def link_prediction(
@@ -143,18 +157,23 @@ def link_prediction(
     """Top ``top_n`` non-adjacent distance-2 pairs by common-neighbor
     count (ties broken by (u, v) — fully deterministic), with the
     Adamic-Adar score alongside.  Returns a pandas DataFrame
-    (u, v, cn, aa) of exactly the head; the driver merges only the
-    P per-part heads (≤ P·top_n rows)."""
+    (u, v, cn, aa, ra, jac, pa) of exactly the head; the driver merges
+    only the P per-part heads (≤ P·top_n rows) and derives jac/pa there
+    from the degree vector."""
     import pandas as pd
 
     from pgd_ray.graph.iterative import _volume_blocks
 
     n = csr.n
+    empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64),
+                          "cn": pd.Series([], dtype=np.int64),
+                          "aa": pd.Series([], dtype=np.float64),
+                          "ra": pd.Series([], dtype=np.float64),
+                          "jac": pd.Series([], dtype=np.float64),
+                          "pa": pd.Series([], dtype=np.int64)})
     if n == 0 or csr.m == 0:
-        return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
-                             "v": pd.Series([], dtype=np.int64),
-                             "cn": pd.Series([], dtype=np.int64),
-                             "aa": pd.Series([], dtype=np.float64)})
+        return empty
     ranges = _volume_blocks(csr, blocks)
     rds = ray.data.from_items([{"vlo": a, "vhi": b} for a, b in ranges])
     indptr_ref, indices_ref = csr.put()
@@ -180,15 +199,18 @@ def link_prediction(
         np.add.at(cn, inv, t["cn"].to_numpy(zero_copy_only=False))
         aa = np.zeros(len(uk), dtype=np.float64)
         np.add.at(aa, inv, t["aa"].to_numpy(zero_copy_only=False))
+        ra = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(ra, inv, t["ra"].to_numpy(zero_copy_only=False))
         # local head: uk ascending == (u, v) lexicographic, so a stable
         # sort by -cn yields exactly the (cn DESC, u, v) order
         order = np.argsort(-cn, kind="stable")[:top_n]
-        uk, cn, aa = uk[order], cn[order], aa[order]
+        uk, cn, aa, ra = uk[order], cn[order], aa[order], ra[order]
         return pa.table({
             "u": uk // n,
             "v": uk % n,
             "cn": cn,
             "aa": np.round(aa, 6),
+            "ra": np.round(ra, 6),
         })
 
     heads = (
@@ -197,11 +219,14 @@ def link_prediction(
         .to_pandas()
     )
     if heads.empty:
-        return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
-                             "v": pd.Series([], dtype=np.int64),
-                             "cn": pd.Series([], dtype=np.int64),
-                             "aa": pd.Series([], dtype=np.float64)})
+        return empty
     heads = heads.sort_values(
         ["cn", "u", "v"], ascending=[False, True, True], kind="stable"
     ).head(top_n).reset_index(drop=True)
-    return heads[["u", "v", "cn", "aa"]]
+    deg = csr.degrees().astype(np.int64)
+    du = deg[heads["u"].to_numpy()]
+    dv = deg[heads["v"].to_numpy()]
+    cn = heads["cn"].to_numpy()
+    heads["jac"] = np.round(cn / (du + dv - cn), 6)
+    heads["pa"] = (du * dv).astype(np.int64)
+    return heads[["u", "v", "cn", "aa", "ra", "jac", "pa"]]

@@ -72,3 +72,31 @@ def test_link_prediction_cap_bounds_counts():
 def test_link_prediction_empty():
     csr = _csr([], 0)
     assert len(link_prediction(csr)) == 0
+
+
+def test_link_prediction_extended_scores_match_brute():
+    import numpy as np
+
+    from pgd_ray.graph.linkpred import link_prediction
+    from tests.brute import random_graph
+
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+
+    edges = sorted(random_graph(30, 0.15, seed=6))
+    src = np.array([a for a, b in edges])
+    dst = np.array([b for a, b in edges])
+    csr = csr_from_edge_arrays(src, dst, n=30)
+    head = link_prediction(csr, top_n=20)
+    es = set(edges)
+    adj = [set() for _ in range(30)]
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = np.array([len(a) for a in adj])
+    for r in head.itertuples(index=False):
+        common = adj[r.u] & adj[r.v]
+        assert r.cn == len(common)
+        assert abs(r.ra - round(sum(1.0 / deg[m] for m in common), 6)) < 1e-9
+        assert abs(r.jac - round(r.cn / (deg[r.u] + deg[r.v] - r.cn), 6)) < 1e-9
+        assert r.pa == deg[r.u] * deg[r.v]
+        assert (min(r.u, r.v), max(r.u, r.v)) not in es
