@@ -1170,6 +1170,22 @@ def _q_event_type_stats(sf_dir):
     return df
 
 
+def _q_cms_user_counts(sf_dir):
+    """Count-Min sketch (4x128) of per-user event counts, point-queried
+    for every distinct user — stages/cms.py; estimates are exact-min
+    over splitmix-keyed rows, bit-mirrored in SQL."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.stages.cms import cms_estimate, cms_sketch
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    sk = cms_sketch(ev, "user_id", width=128, depth=4)
+    users = ev.groupby("user_id").aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"]).materialize()
+    return cms_estimate(users, "user_id", sk)
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1452,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_functions": _q_window_functions,
         "retention": _q_retention,
         "event_type_stats": _q_event_type_stats,
+        "cms_user_counts": _q_cms_user_counts,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
@@ -1788,6 +1805,22 @@ SELECT event_type,
        ROUND(AVG(value), 6) AS mean_value,
        ROUND(STDDEV_SAMP(value), 6) AS std_value
 FROM events GROUP BY event_type""",
+
+        # stages.cms: CMS cells = splitmix64(user_id ^ d*golden) % 128,
+        # estimate = MIN over rows of the cell count
+        "cms_user_counts": f"""
+WITH dk(d, k) AS (VALUES (0, 0),
+  (1, 11400714819323198485),
+  (2, 4354685564936845354),
+  (3, 15755400384260043839)),
+h AS (SELECT e.user_id, dk.d,
+             CAST({_splitmix_sql('xor(CAST(e.user_id AS UBIGINT), CAST(dk.k AS UBIGINT))', '0')} % 128 AS BIGINT) AS cell
+      FROM events e CROSS JOIN dk),
+cells AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY d, cell),
+uh AS (SELECT DISTINCT user_id, d, cell FROM h)
+SELECT uh.user_id, CAST(MIN(cells.c) AS BIGINT) AS est_count
+FROM uh JOIN cells ON cells.d = uh.d AND cells.cell = uh.cell
+GROUP BY uh.user_id""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
@@ -2139,6 +2172,22 @@ SELECT event_type,
        ROUND(AVG(value), 6) AS mean_value,
        ROUND(STDDEV_SAMP(value), 6) AS std_value
 FROM events GROUP BY event_type""",
+
+        # stages.cms: CMS cells = splitmix64(user_id ^ d*golden) % 128,
+        # estimate = MIN over rows of the cell count
+        "cms_user_counts": f"""
+WITH dk(d, k) AS (VALUES (0, 0),
+  (1, 11400714819323198485),
+  (2, 4354685564936845354),
+  (3, 15755400384260043839)),
+h AS (SELECT e.user_id, dk.d,
+             CAST({_splitmix_sql('xor(CAST(e.user_id AS UBIGINT), CAST(dk.k AS UBIGINT))', '0')} % 128 AS BIGINT) AS cell
+      FROM events e CROSS JOIN dk),
+cells AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY d, cell),
+uh AS (SELECT DISTINCT user_id, d, cell FROM h)
+SELECT uh.user_id, CAST(MIN(cells.c) AS BIGINT) AS est_count
+FROM uh JOIN cells ON cells.d = uh.d AND cells.cell = uh.cell
+GROUP BY uh.user_id""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers

@@ -118,3 +118,29 @@ def test_order_vertex_neighbors_semantics_and_invariance():
     t2 = k_ord._edge_counts(src.astype(np.int64), dst.astype(np.int64))
     for a, b in zip(t1[:4], t2[:4]):
         assert np.array_equal(a, b)
+
+
+def test_cms_overestimates_and_is_tight_when_wide():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.stages.cms import cms_estimate, cms_sketch
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 40, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(6)
+    true = {int(k): int(c) for k, c in
+            zip(*np.unique(keys, return_counts=True))}
+    # narrow sketch: estimates are always >= truth
+    sk = cms_sketch(ds, "k", width=16, depth=4)
+    assert sk.shape == (4, 16) and sk.sum() == 4 * len(keys)
+    q = rd.from_arrow(pa.table({"k": np.array(sorted(true), np.int64)}))
+    est = cms_estimate(q, "k", sk).to_pandas()
+    for r in est.itertuples(index=False):
+        assert r.est_count >= true[int(r.k)]
+    # wide sketch: 40 keys in 4x4096 cells -> exact with overwhelming
+    # probability under the fixed splitmix seeds (deterministic here)
+    sk2 = cms_sketch(ds, "k", width=4096, depth=4)
+    est2 = cms_estimate(q, "k", sk2).to_pandas()
+    assert all(r.est_count == true[int(r.k)] for r in est2.itertuples(index=False))
