@@ -1186,6 +1186,19 @@ def _q_cms_user_counts(sf_dir):
     return cms_estimate(users, "user_id", sk)
 
 
+def _q_rolling_windows(sf_dir):
+    """Per-user 5-row rolling sum/count/mean over the event stream —
+    stages.windows.rolling_aggregate (sorted blocks, trailing-value
+    carry across boundaries)."""
+    from pgd_ray.stages.windows import rolling_aggregate
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+    return rolling_aggregate(ev, key="user_id", order="event_id",
+                             value="value", window=5)
+
+
 def _q_retention(sf_dir):
     """Weekly cohort retention matrix — stages.retention
     (per-batch distinct combiner, two hash aggs, one hash join)."""
@@ -1466,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "sessions": _q_sessions,
         "window_functions": _q_window_functions,
+        "rolling_windows": _q_rolling_windows,
         "retention": _q_retention,
         "event_type_stats": _q_event_type_stats,
         "cms_user_counts": _q_cms_user_counts,
@@ -2122,6 +2136,15 @@ SELECT user_id, event_id, value,
        COALESCE(LAG(value) OVER w, 0.0) AS lag_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+        # stages.windows.rolling_aggregate: ROWS frame of 5
+        "rolling_windows": """
+SELECT user_id, event_id, value,
+       ROUND(SUM(value) OVER w, 6) AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt,
+       ROUND(AVG(value) OVER w, 6) AS roll_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         # stages.retention.cohort_retention: distinct (user, week)
         # pairs -> per-user first week -> (cohort, offset) counts
         "retention": """

@@ -473,3 +473,115 @@ def window_functions(
         })
 
     return srt.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def rolling_aggregate(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    value: str,
+    window: int = 5,
+) -> ray.data.Dataset:
+    """Per-key ROWS-window aggregates over ``order``: ``roll_sum`` /
+    ``roll_cnt`` / ``roll_mean`` of the last ``window`` rows (current
+    row included) — SQL's ``ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW``.
+
+    Same sorted-block shape as ``window_functions``, with a richer
+    carry: a block whose head key continues from the previous block
+    needs that key's last ``window-1`` VALUES as prefix context (plus
+    the running row count for short-window sizing), so each block
+    summary carries its tail key's trailing values (≤ window-1
+    floats) and the driver walk threads them — O(#blocks · window)
+    driver state.  Same unique-(key, order) contract."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    w1 = window - 1
+    srt = ds.select_columns([key, order, value]).sort([key, order]).materialize()
+    cols = (key, order, value, "roll_sum", "roll_cnt", "roll_mean")
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.array(
+            [], pa.float64() if c in (value, "roll_sum", "roll_mean")
+            else pa.int64()) for c in cols})
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "bk": pa.array([], pa.int64()), "bo": pa.array([], pa.int64()),
+                "hk": pa.array([], pa.int64()), "hcnt": pa.array([], pa.int64()),
+                "tk": pa.array([], pa.int64()), "tcnt": pa.array([], pa.int64()),
+                "tvals": pa.array([], pa.list_(pa.float64()))})
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = t[order].to_numpy(zero_copy_only=False)
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        hn = int((k == k[0]).sum()) if k[0] == k[-1] else int(np.argmax(k != k[0]))
+        tn = int((k == k[-1]).sum()) if k[0] == k[-1] else int(
+            np.argmax(k[::-1] != k[-1]))
+        tv = v[-min(tn, w1):].tolist() if w1 else []
+        return pa.table({
+            "bk": [int(k[0])], "bo": [int(o[0])],
+            "hk": [int(k[0])], "hcnt": [hn],
+            "tk": [int(k[-1])], "tcnt": [tn],
+            "tvals": pa.array([tv], pa.list_(pa.float64())),
+        })
+
+    sm = srt.map_batches(summary, batch_format="pyarrow", batch_size=None
+                         ).to_pandas()
+    if sm.empty:
+        return ray.data.from_arrow(_empty())
+    sm = sm.sort_values(["bk", "bo"], ignore_index=True)
+    if sm.duplicated(["bk", "bo"]).any():
+        raise ValueError(
+            "rolling_aggregate requires globally unique (key, order) pairs")
+    ctx: dict = {}
+    carry = None  # (key, running_cnt, trailing values list)
+    for b in sm.itertuples(index=False):
+        tvals = list(b.tvals)
+        if carry is not None and carry[0] == b.hk:
+            ctx[(b.bk, b.bo)] = (carry[1], list(carry[2]))
+            if b.hk == b.tk:
+                vals = (list(carry[2]) + tvals)[-w1:] if w1 else []
+                carry = (b.tk, carry[1] + b.tcnt, vals)
+                continue
+        else:
+            ctx[(b.bk, b.bo)] = (0, [])
+            if b.hk == b.tk:
+                carry = (b.tk, b.tcnt, tvals)
+                continue
+        carry = (b.tk, b.tcnt, tvals)
+
+    def assign(t: pa.Table, ctx=ctx) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = t[order].to_numpy(zero_copy_only=False)
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt_off, pre = ctx[(int(k[0]), int(o[0]))]
+        pre = np.asarray(pre, dtype=np.float64)
+        seg = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        seg_of = np.repeat(np.arange(len(seg)), np.diff(np.append(seg, len(k))))
+        pos = np.arange(len(k), dtype=np.int64)
+        rn = pos - seg[seg_of] + 1 + np.where(seg_of == 0, cnt_off, 0)
+        # rolling sum via cumsum over [prefix-context | values], reset
+        # at key changes: zero the context for non-head segments by
+        # masking window starts to the segment start
+        ext = np.concatenate((pre, v))
+        cs = np.concatenate(([0.0], np.cumsum(ext)))
+        ipos = pos + len(pre)  # row i sits at ext[ipos]
+        # window start in ext coords: max(segment start (head segment
+        # may dip into the context), ipos - window + 1)
+        seg_start_ext = np.where(seg_of == 0,
+                                 len(pre) - np.minimum(len(pre), np.int64(w1)),
+                                 seg[seg_of] + len(pre))
+        lo = np.maximum(ipos - np.int64(w1), seg_start_ext)
+        roll = cs[ipos + 1] - cs[lo]
+        cnt = np.minimum(rn, np.int64(window))
+        return pa.table({
+            key: k, order: o, value: v,
+            "roll_sum": np.round(roll, 6),
+            "roll_cnt": cnt.astype(np.int64),
+            "roll_mean": np.round(roll / cnt, 6),
+        })
+
+    return srt.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -260,3 +260,54 @@ def test_window_functions_duplicates_and_empty():
         "k": pa.array([], pa.int64()), "o": pa.array([], pa.int64()),
         "v": pa.array([], pa.float64())}))
     assert window_functions(empty, "k", "o", "v").count() == 0
+
+
+def _roll_reference(k, o, v, w):
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "o": o, "v": v}).sort_values(
+        ["k", "o"], ignore_index=True)
+    g = df.groupby("k")["v"].rolling(w, min_periods=1)
+    return pd.DataFrame({
+        "k": df["k"], "o": df["o"],
+        "roll_sum": np.round(g.sum().to_numpy(), 6),
+        "roll_cnt": g.count().to_numpy().astype(np.int64),
+        "roll_mean": np.round(g.mean().to_numpy(), 6),
+    })
+
+
+def test_rolling_aggregate_straddles_blocks():
+    from pgd_ray.stages.windows import rolling_aggregate
+
+    rng = np.random.default_rng(9)
+    n = 300
+    k = np.sort(rng.integers(0, 4, n)).astype(np.int64)
+    o = np.arange(n, dtype=np.int64)
+    v = np.round(rng.random(n) * 50, 2)
+    ds = rd.from_arrow(pa.table({"k": k, "o": o, "v": v})).repartition(29)
+    out = rolling_aggregate(ds, "k", "o", "v", window=7).to_pandas()
+    out = out.sort_values(["k", "o"], ignore_index=True)
+    ref = _roll_reference(k, o, v, 7)
+    for c in ("roll_sum", "roll_cnt", "roll_mean"):
+        assert np.allclose(out[c], ref[c], atol=1e-6), c
+
+
+def test_rolling_aggregate_window_one_and_long_key():
+    from pgd_ray.stages.windows import rolling_aggregate
+
+    n = 64
+    ds = rd.from_arrow(pa.table({
+        "k": np.zeros(n, np.int64), "o": np.arange(n, dtype=np.int64),
+        "v": np.arange(n, dtype=np.float64)})).repartition(9)
+    one = rolling_aggregate(ds, "k", "o", "v", window=1).to_pandas(
+        ).sort_values("o", ignore_index=True)
+    assert np.allclose(one["roll_sum"], np.arange(n))
+    assert (one["roll_cnt"] == 1).all()
+    # window longer than any block: carry must thread values across
+    # several consecutive single-key blocks
+    big = rolling_aggregate(ds, "k", "o", "v", window=30).to_pandas(
+        ).sort_values("o", ignore_index=True)
+    ref = _roll_reference(np.zeros(n, np.int64), np.arange(n),
+                          np.arange(n, dtype=np.float64), 30)
+    assert np.allclose(big["roll_sum"], ref["roll_sum"])
+    assert (big["roll_cnt"].to_numpy() == ref["roll_cnt"].to_numpy()).all()
