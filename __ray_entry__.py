@@ -562,6 +562,21 @@ def _q_anf_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "regs": regs})
 
 
+def _q_neighborhood_function(sf_dir):
+    """HyperANF neighborhood function N(h) for h=0..8 with the integer
+    effective diameter flagged — graph.iterative.neighborhood_function
+    (per-round states via the extras hook, zero extra passes)."""
+    from pgd_ray.graph.iterative import neighborhood_function
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    hs, nf, eff = neighborhood_function(csr, rounds=8)
+    return pd.DataFrame({
+        "h": hs,
+        "nf": np.round(nf, 4),
+        "is_eff": (hs == eff).astype(np.int64),
+    })
+
+
 def _q_coloring_copurchase(sf_dir):
     """Jones-Plassmann greedy coloring — graph.iterative
     .greedy_coloring (static bijective priorities; winners take the
@@ -1447,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_copurchase": _q_mis_copurchase,
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
+        "neighborhood_function": _q_neighborhood_function,
         "bfs_copurchase": _q_bfs_copurchase,
         "harmonic_copurchase": _q_harmonic_copurchase,
         "betweenness_copurchase": _q_betweenness_copurchase,
@@ -2450,6 +2466,48 @@ st(it, v, code) AS (
   ) nb ON nb.v = st.v AND nb.it = st.it
   WHERE st.it < 8)
 SELECT v, code AS regs FROM st WHERE it = 8""",
+
+        # graph.iterative.neighborhood_function: same recursive st as
+        # anf_copurchase, HLL estimate per (it, v) summed per round;
+        # is_eff marks the smallest h with N(h) >= 0.9 N(8)
+        "neighborhood_function": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+h0 AS (SELECT v, {_splitmix_sql('dv', '0')} AS h FROM did),
+ini AS (SELECT v,
+        CAST(h >> 61 AS BIGINT) AS bucket,
+        h & ((1::UBIGINT << 61) - 1) AS w FROM h0),
+st(it, v, code) AS (
+  SELECT 0, v,
+         CAST(CASE WHEN w = 0 THEN 62
+                   ELSE 61 - length(bin(w)) + 1 END AS BIGINT)
+           << (6 * bucket)
+  FROM ini
+  UNION ALL
+  SELECT st.it + 1, st.v, {_anf_merge}
+  FROM st
+  LEFT JOIN (
+    SELECT s.src AS v, st2.it AS it, {_anf_aggs}
+    FROM s JOIN st st2 ON st2.v = s.dst
+    GROUP BY s.src, st2.it
+  ) nb ON nb.v = st.v AND nb.it = st.it
+  WHERE st.it < 8),
+lanes AS (SELECT it, v, k, (code >> (6 * k)) & 63 AS lane
+          FROM st CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS k)),
+perv AS (SELECT it, v,
+                SUM(POWER(2.0, -CAST(lane AS DOUBLE))) AS denom,
+                SUM(CASE WHEN lane = 0 THEN 1 ELSE 0 END) AS zeros
+         FROM lanes GROUP BY it, v),
+est AS (SELECT it, v,
+               CASE WHEN (0.6355766053530124 * 64 / denom) <= 20.0 AND zeros > 0
+                    THEN 8.0 * ln(8.0 / zeros)
+                    ELSE 0.6355766053530124 * 64 / denom END AS e
+        FROM perv),
+nf AS (SELECT CAST(it AS BIGINT) AS h, ROUND(SUM(e), 4) AS nf FROM est GROUP BY it),
+eff AS (SELECT MIN(h) AS eh FROM nf
+        WHERE nf >= 0.9 * (SELECT nf FROM nf WHERE h = 8))
+SELECT h, nf, CAST(CASE WHEN h = eff.eh THEN 1 ELSE 0 END AS BIGINT) AS is_eff
+FROM nf CROSS JOIN eff""",
         # coloring_copurchase: Jones-Plassmann greedy coloring —
         # code < 0 = uncolored carrying -(priority+1) (static,
         # bijective splitmix of the dense id), code ≥ 0 = final color.

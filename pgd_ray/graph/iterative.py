@@ -1181,6 +1181,47 @@ def neighborhood_sizes(packed: np.ndarray) -> np.ndarray:
     return np.where(small, lc, est)
 
 
+def neighborhood_function(
+    csr: CSRGraph,
+    rounds: int = 8,
+    n_workers: int = 8,
+    workers: list | None = None,
+    q: float = 0.9,
+):
+    """HyperANF neighborhood function N(h) = Σ_v |B_h(v)| estimated
+    from the per-round packed registers (states captured via the
+    extras hook — the engine calls extras_fn(state) at the start of
+    every round, so no extra passes), padded to ``rounds`` past the
+    fixpoint exactly like the SQL mirror's fixed-depth recursion.
+    Returns (h_array, nf_array, eff_h) where eff_h is the smallest h
+    with N(h) >= q·N(rounds) — the integer effective diameter."""
+    n = csr.n
+    if n == 0:
+        return (np.array([], np.int64), np.array([], np.float64), 0)
+    from pgd_ray.text.hashing import splitmix64
+
+    h = splitmix64(np.arange(n, dtype=np.int64).astype(np.uint64))
+    bucket = (h >> np.uint64(61)).astype(np.int64)
+    w = h & np.uint64((1 << 61) - 1)
+    rho = np.where(w == 0, 62, 61 - _bit_length_u64_local(w) + 1)
+    init = rho.astype(np.int64) << (6 * bucket)
+    captured: list[np.ndarray] = []
+
+    def extras(state):
+        captured.append(state.copy())
+        return {}
+
+    eng = IterativeEngine(csr, "anf", n_workers=n_workers, workers=workers)
+    final, _ = eng.run(init, extras, lambda d: d == 0.0, rounds)
+    states = captured + [final]
+    while len(states) < rounds + 1:
+        states.append(final)
+    nf = np.array([float(neighborhood_sizes(s).sum()) for s in states])
+    hs = np.arange(rounds + 1, dtype=np.int64)
+    eff = int(hs[np.argmax(nf >= q * nf[-1])])
+    return hs, nf, eff
+
+
 def max_core(csr: CSRGraph) -> int:
     k = kcore(csr)
     return int(k.max()) if len(k) else 0

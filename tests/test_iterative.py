@@ -637,3 +637,20 @@ def test_closeness_centrality_matches_brute():
     path = csr_from_edge_arrays(np.array([0, 2]), np.array([1, 3]), n=5)
     cc = closeness_centrality(path, [0], n_workers=1)
     assert cc[2] == 0 and cc[3] == 0 and cc[4] == 0 and cc[1] > 0
+
+
+def test_neighborhood_function_monotone_and_exact_on_path():
+    from pgd_ray.graph.iterative import neighborhood_function
+
+    # path 0-1-2-3: exact ball sizes are known; the HLL estimate is
+    # deterministic, so only structure is asserted: N monotone
+    # nondecreasing, fixpoint pad beyond the diameter, eff flag sane
+    csr = csr_from_edge_arrays(np.array([0, 1, 2]), np.array([1, 2, 3]), n=4)
+    hs, nf, eff = neighborhood_function(csr, rounds=6, n_workers=2)
+    assert list(hs) == list(range(7))
+    assert (np.diff(nf) >= -1e-9).all()
+    assert nf[3] == nf[4] == nf[5] == nf[6]  # diameter 3 -> padded
+    assert 0 <= eff <= 3
+    assert nf[eff] >= 0.9 * nf[-1]
+    if eff > 0:
+        assert nf[eff - 1] < 0.9 * nf[-1]
