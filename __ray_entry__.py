@@ -1102,6 +1102,102 @@ def _q_cust_no_orders(sf_dir):
     return df.sort_values("c_mktsegment", ignore_index=True)
 
 
+def _q_normalize_text(sf_dir):
+    """Canonical text normalization (lowercase, whitespace collapse,
+    trim) — the first stage of every cleaning pipeline; vectorized
+    pandas C kernels, mirrored by lower/regexp_replace/trim."""
+    import re
+
+    import pandas as pd
+
+    from pgd_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = (b["text"].fillna("").str.lower()
+             .str.replace(ws, " ", regex=True).str.strip())
+        return pd.DataFrame({"doc_id": b["doc_id"], "norm_text": t,
+                             "n_chars": t.str.len().astype("int64")})
+
+    return docs.map_batches(norm, batch_format="pandas", batch_size=4096)
+
+
+def _q_value_histogram(sf_dir):
+    """Fixed-width histogram of events.value (20 bins over [0, 200);
+    out-of-range clamped into the edge bins) — per-batch bincount
+    partials, one tiny groupby."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    nb, lo, hi = 20, 0.0, 200.0
+    w = (hi - lo) / nb
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) // w).astype(np.int64), 0, nb - 1)
+        bc = np.bincount(b, minlength=nb)
+        return pa.table({"bin": np.arange(nb, dtype=np.int64),
+                         "n": bc.astype(np.int64)})
+
+    agg = (ev.map_batches(part, batch_format="pyarrow", batch_size=65536)
+           .groupby("bin").aggregate(Sum("n", alias_name="n_events"))
+           .to_pandas().sort_values("bin", ignore_index=True))
+    agg = agg[agg["n_events"] > 0].reset_index(drop=True)
+    agg["lo"] = np.round(agg["bin"] * w + lo, 6)
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg[["bin", "lo", "n_events"]]
+
+
+def _q_returnflag_corr(sf_dir):
+    """Per-group Pearson correlation of (l_quantity, l_extendedprice)
+    from one pass of distributed moment partials (n, Σx, Σy, Σxy,
+    Σx², Σy² per group) — never the rows."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "g": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "n": 1.0, "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x, "syy": y * y,
+        })
+        return pa.Table.from_pandas(df.groupby("g", as_index=False).sum(),
+                                    preserve_index=False)
+
+    agg = (li.map_batches(part, batch_format="pyarrow", batch_size=65536)
+           .groupby("g").aggregate(*[Sum(c, alias_name=c + "_")
+                                     for c in ("n", "sx", "sy", "sxy",
+                                               "sxx", "syy")])
+           .to_pandas().sort_values("g", ignore_index=True))
+    n = agg["n_"]
+    cov = agg["sxy_"] - agg["sx_"] * agg["sy_"] / n
+    vx = agg["sxx_"] - agg["sx_"] ** 2 / n
+    vy = agg["syy_"] - agg["sy_"] ** 2 / n
+    return pd.DataFrame({
+        "l_returnflag": agg["g"],
+        "n": n.astype("int64"),
+        "corr": np.round(cov / np.sqrt(vx * vy), 6),
+    })
+
+
 def _q_pii_scan(sf_dir):
     """PII scan + redaction on documents with deterministically
     INJECTED synthetic PII (the corpus has none): doc_id%3 gains an
@@ -1500,6 +1596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": _q_event_type_stats,
         "cms_user_counts": _q_cms_user_counts,
         "pii_scan": _q_pii_scan,
+        "normalize_text": _q_normalize_text,
+        "value_histogram": _q_value_histogram,
+        "returnflag_corr": _q_returnflag_corr,
         "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
@@ -1851,6 +1950,29 @@ uh AS (SELECT DISTINCT user_id, d, cell FROM h)
 SELECT uh.user_id, CAST(MIN(cells.c) AS BIGINT) AS est_count
 FROM uh JOIN cells ON cells.d = uh.d AND cells.cell = uh.cell
 GROUP BY uh.user_id""",
+        "normalize_text": """
+SELECT doc_id,
+       trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
+         AS norm_text,
+       CAST(len(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ',
+                                    'g'))) AS BIGINT) AS n_chars
+FROM documents""",
+        "value_histogram": """
+SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) AS BIGINT) AS bin,
+       ROUND(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) * 10.0, 6) AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2""",
+        "returnflag_corr": """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((SUM(l_quantity * l_extendedprice)
+              - SUM(l_quantity) * SUM(l_extendedprice) / COUNT(*))
+             / SQRT((SUM(l_quantity * l_quantity)
+                     - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+                    * (SUM(l_extendedprice * l_extendedprice)
+                       - SUM(l_extendedprice) * SUM(l_extendedprice)
+                         / COUNT(*))), 6) AS corr
+FROM lineitem GROUP BY l_returnflag""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
@@ -2227,6 +2349,29 @@ uh AS (SELECT DISTINCT user_id, d, cell FROM h)
 SELECT uh.user_id, CAST(MIN(cells.c) AS BIGINT) AS est_count
 FROM uh JOIN cells ON cells.d = uh.d AND cells.cell = uh.cell
 GROUP BY uh.user_id""",
+        "normalize_text": """
+SELECT doc_id,
+       trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
+         AS norm_text,
+       CAST(len(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ',
+                                    'g'))) AS BIGINT) AS n_chars
+FROM documents""",
+        "value_histogram": """
+SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) AS BIGINT) AS bin,
+       ROUND(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) * 10.0, 6) AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2""",
+        "returnflag_corr": """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((SUM(l_quantity * l_extendedprice)
+              - SUM(l_quantity) * SUM(l_extendedprice) / COUNT(*))
+             / SQRT((SUM(l_quantity * l_quantity)
+                     - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+                    * (SUM(l_extendedprice * l_extendedprice)
+                       - SUM(l_extendedprice) * SUM(l_extendedprice)
+                         / COUNT(*))), 6) AS corr
+FROM lineitem GROUP BY l_returnflag""",
         # stages.joins.anti_join: NOT EXISTS, broadcast strategy
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
