@@ -631,6 +631,24 @@ def _q_ktruss_copurchase(sf_dir):
     return pd.DataFrame({"src": lo, "dst": hi})
 
 
+def _q_densest_copurchase(sf_dir):
+    """Densest-subgraph threshold peel (Bahmani et al. 2012, eps=0.5)
+    — graph.densest.densest_subgraph; the removal rule is exact int64
+    arithmetic (deg*|S| > 3*m), so the recursive-CTE oracle replays
+    every round bit-identically."""
+    from pgd_ray.graph.densest import densest_subgraph
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    r = densest_subgraph(eds)
+    return pd.DataFrame([{
+        "best_round": np.int64(r["best_round"]),
+        "n_sub": np.int64(r["n_sub"]),
+        "m_sub": np.int64(r["m_sub"]),
+        "density": np.round(r["density"], 9),
+        "rounds": np.int64(r["rounds"]),
+    }])
+
+
 def _q_link_pred_copurchase(sf_dir):
     from pgd_ray.graph.linkpred import link_prediction
 
@@ -1566,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_copurchase": _q_random_walks_copurchase,
         "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
+        "densest_copurchase": _q_densest_copurchase,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "link_pred_scores_copurchase": _q_link_pred_scores_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
@@ -2771,6 +2790,39 @@ tr(it, src, dst) AS (
   ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
   WHERE t.it < 8)
 SELECT src, dst FROM tr WHERE it = 8""",
+        # densest_copurchase: Bahmani eps=0.5 peel — each round keeps
+        # vertices with deg_S * |S| > 3 * m_S (written 2*dg*n_s >
+        # 3*dsum with dsum = sum of within-S degrees = 2m, all exact
+        # int64); best round by density DESC, earliest-round
+        # tie-break — the engine compares the identical IEEE doubles.
+        "densest_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+peel(it, v) AS (
+  SELECT 0, v FROM d
+  UNION ALL
+  SELECT it + 1, v FROM (
+    SELECT p.it AS it, p.v AS v,
+           COUNT(nb.v2) AS dg,
+           SUM(COUNT(nb.v2)) OVER (PARTITION BY p.it) AS dsum,
+           COUNT(*) OVER (PARTITION BY p.it) AS n_s
+    FROM peel p
+    LEFT JOIN (SELECT s.src AS v1, p2.v AS v2, p2.it AS it
+               FROM s JOIN peel p2 ON p2.v = s.dst) nb
+      ON nb.v1 = p.v AND nb.it = p.it
+    GROUP BY p.it, p.v
+  ) WHERE 2 * dg * n_s > 3 * dsum AND it < 64
+),
+ns AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM peel GROUP BY it),
+ms AS (SELECT p1.it AS it, CAST(COUNT(*) AS BIGINT) AS m
+       FROM e JOIN peel p1 ON p1.v = e.src
+              JOIN peel p2 ON p2.v = e.dst AND p2.it = p1.it
+       GROUP BY p1.it)
+SELECT ns.it AS best_round, ns.n AS n_sub, COALESCE(ms.m, 0) AS m_sub,
+       ROUND(CAST(COALESCE(ms.m, 0) AS DOUBLE) / ns.n, 9) AS density,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ns) AS rounds
+FROM ns LEFT JOIN ms ON ms.it = ns.it
+ORDER BY CAST(COALESCE(ms.m, 0) AS DOUBLE) / ns.n DESC, ns.it ASC
+LIMIT 1""",
         # link_pred_copurchase: top-100 non-adjacent distance-2 pairs
         # by common-neighbor count (deterministic (cn DESC, u, v)
         # ranking — the integer key makes the rank-100 cutoff exact),
