@@ -802,6 +802,17 @@ def _q_exact_dedup(sf_dir):
     return exact_dedup(docs)
 
 
+def _q_segment_dedup(sf_dir):
+    """Exact span dedup: aligned 8-word segments, global
+    first-occurrence keep in (doc_id, seg_idx) order, docs rebuilt
+    from survivors — text.segdedup (explode -> Min(pos) groupby ->
+    sorted-block rebuild)."""
+    from pgd_ray.text.segdedup import segment_dedup_docs
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return segment_dedup_docs(docs, seg_words=8)
+
+
 def _q_lang_id(sf_dir):
     import ray.data
 
@@ -1593,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
+        "segment_dedup": _q_segment_dedup,
         "lang_id": _q_lang_id,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1848,6 +1860,22 @@ FROM documents""",
         "exact_dedup": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY md5(text)""",
+        # segment_dedup: aligned 8-word windows (1-based list slice),
+        # first occurrence by the packed-position MIN (doc_id*2^20 +
+        # seg_idx — exact int64, same pack as the engine), docs
+        # rebuilt with ordered string_agg.
+        "segment_dedup": """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+           FROM documents),
+seg AS (SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+               array_to_string(words[t.i*8+1 : t.i*8+8], ' ') AS seg
+        FROM w, UNNEST(range(CAST(ceil(len(words)/8.0) AS BIGINT))) AS t(i)),
+k AS (SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS pos
+      FROM seg WHERE seg <> '' GROUP BY seg),
+s AS (SELECT pos // 1048576 AS doc_id, pos % 1048576 AS seg_idx, seg FROM k)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM s GROUP BY doc_id""",
         "topk_cosine": _TOPK_SQL,
         # ivf_topk with nprobe == n_centroids is exact → same oracle
         "ivf_topk": _TOPK_SQL,
