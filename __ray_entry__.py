@@ -1267,6 +1267,25 @@ def _q_chunk_docs(sf_dir):
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
+def _q_tpch_q10(sf_dir):
+    """TPC-H Q10 shape: returned-item revenue top-20 — one big⋈big
+    hash join, per-custkey pre-aggregation, customer/nation broadcast
+    decorate — pipelines.tpch.q10."""
+    from pgd_ray.pipelines.tpch import q10
+
+    return q10(sf_dir, date_lo_us=820_454_400_000_000,
+               date_hi_us=852_076_800_000_000)
+
+
+def _q_tpch_q18(sf_dir):
+    """TPC-H Q18 shape: large-volume orders (HAVING sum(qty) > 250) —
+    per-orderkey hash aggregate, distributed join to orders, broadcast
+    customer decorate — pipelines.tpch.q18."""
+    from pgd_ray.pipelines.tpch import q18
+
+    return q18(sf_dir, qty_over=250.0, k=100)
+
+
 def _q_tpch_q12(sf_dir):
     """TPC-H Q12 shape: conditional aggregation over one distributed
     hash join of the two big tables — pipelines.tpch.q12."""
@@ -1632,8 +1651,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_corr": _q_returnflag_corr,
         "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
+        "tpch_q10": _q_tpch_q10,
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
         "cust_no_orders": _q_cust_no_orders,
         "asof_orders": _q_asof_orders,
         "range_join_ship": _q_range_join_ship,
@@ -1943,131 +1964,6 @@ FROM events a JOIN events b
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
 GROUP BY 1, 2""",
         # pipelines.tpch.q4: EXISTS semi-join, distributed strategy
-        "tpch_q4": """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-GROUP BY o_orderpriority""",
-        # pipelines.tpch.q12: conditional agg over a big-big hash join
-        "tpch_q12": """
-SELECT l_returnflag,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1998-01-01'
-GROUP BY l_returnflag""",
-        # pipelines.tpch.q14: promo revenue share, broadcast dim lookup
-        "tpch_q14": """
-SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                               THEN l_extendedprice * (1 - l_discount)
-                               ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1998-01-01'""",
-        # Ray native hash aggregates; Std is sample stddev (ddof=1)
-        "event_type_stats": """
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6) AS sum_value,
-       MIN(value) AS min_value,
-       MAX(value) AS max_value,
-       ROUND(AVG(value), 6) AS mean_value,
-       ROUND(STDDEV_SAMP(value), 6) AS std_value
-FROM events GROUP BY event_type""",
-
-        # stages.cms: CMS cells = splitmix64(user_id ^ d*golden) % 128,
-        # estimate = MIN over rows of the cell count
-        "cms_user_counts": f"""
-WITH dk(d, k) AS (VALUES (0, 0),
-  (1, 11400714819323198485),
-  (2, 4354685564936845354),
-  (3, 15755400384260043839)),
-h AS (SELECT e.user_id, dk.d,
-             CAST({_splitmix_sql('xor(CAST(e.user_id AS UBIGINT), CAST(dk.k AS UBIGINT))', '0')} % 128 AS BIGINT) AS cell
-      FROM events e CROSS JOIN dk),
-cells AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY d, cell),
-uh AS (SELECT DISTINCT user_id, d, cell FROM h)
-SELECT uh.user_id, CAST(MIN(cells.c) AS BIGINT) AS est_count
-FROM uh JOIN cells ON cells.d = uh.d AND cells.cell = uh.cell
-GROUP BY uh.user_id""",
-        "normalize_text": """
-SELECT doc_id,
-       trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
-         AS norm_text,
-       CAST(len(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ',
-                                    'g'))) AS BIGINT) AS n_chars
-FROM documents""",
-        "value_histogram": """
-SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) AS BIGINT) AS bin,
-       ROUND(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) * 10.0, 6) AS lo,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY 1, 2""",
-        "returnflag_corr": """
-SELECT l_returnflag,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND((SUM(l_quantity * l_extendedprice)
-              - SUM(l_quantity) * SUM(l_extendedprice) / COUNT(*))
-             / SQRT((SUM(l_quantity * l_quantity)
-                     - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
-                    * (SUM(l_extendedprice * l_extendedprice)
-                       - SUM(l_extendedprice) * SUM(l_extendedprice)
-                         / COUNT(*))), 6) AS corr
-FROM lineitem GROUP BY l_returnflag""",
-        # stages.joins.anti_join: NOT EXISTS, broadcast strategy
-        "cust_no_orders": """
-SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS customers
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                  AND o_orderpriority = '1-URGENT')
-GROUP BY c_mktsegment""",
-        # text.pii.pii_scan over the same injected-PII stream as the
-        # Ray query; identical regexes under RE2 and Python re
-        "pii_scan": f"""
-WITH p AS (
-  SELECT doc_id,
-    COALESCE(text, '')
-    || CASE WHEN doc_id % 3 = 0
-            THEN ' reach user' || doc_id || '@example.com now' ELSE '' END
-    || CASE WHEN doc_id % 5 = 0
-            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-            ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
-            ELSE '' END AS t
-  FROM documents)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-  regexp_replace(regexp_replace(regexp_replace(t,
-      '{EMAIL_RE}', '[EMAIL]', 'g'),
-      '{PHONE_RE}', '[PHONE]', 'g'),
-      '{IPV4_RE}', '[IP]', 'g') AS clean_text
-FROM p""",
-        # text.chunking.chunk_documents: stride = 48, ceil(n/stride)
-        # chunks, list_slice is 1-based inclusive
-        "chunk_docs": """
-WITH toks AS (
-  SELECT doc_id,
-         regexp_extract_all(COALESCE(text, ''), '\\w+|[^\\w\\s]') AS tk
-  FROM documents),
-n AS (SELECT doc_id, tk, len(tk) AS nt FROM toks WHERE len(tk) > 0),
-g AS (SELECT doc_id, tk, nt, UNNEST(generate_series(0, (nt + 47) // 48 - 1)) AS i
-      FROM n)
-SELECT doc_id,
-       CAST(i AS BIGINT) AS chunk_idx,
-       CAST(i * 48 AS BIGINT) AS start_tok,
-       CAST(LEAST(i * 48 + 64, nt) - i * 48 AS BIGINT) AS n_tokens,
-       array_to_string(list_slice(tk, i * 48 + 1, LEAST(i * 48 + 64, nt)), ' ')
-         AS chunk_text
-FROM g""",
         "local_cc": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
@@ -2350,6 +2246,34 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority""",
+        # pipelines.tpch.q10: returned-item revenue top-20; ORDER BY
+        # the rounded alias — same contract as the engine's sort
+        "tpch_q10": """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE epoch_us(o_orderdate) >= 820454400000000
+  AND epoch_us(o_orderdate) < 852076800000000
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+        # pipelines.tpch.q18: large-volume orders, HAVING > 250
+        "tpch_q18": """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate,
+       o_totalprice, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 250
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100""",
         # pipelines.tpch.q12: conditional agg over a big-big hash join
         "tpch_q12": """
 SELECT l_returnflag,

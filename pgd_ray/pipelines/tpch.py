@@ -365,6 +365,181 @@ def q4(
     return df[["o_orderpriority", "order_count"]]
 
 
+def q10(
+    sf_dir: str,
+    date_lo_us: int,
+    date_hi_us: int,
+    returnflag: str = "R",
+    k: int = 20,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Returned-item revenue ranking (TPC-H Q10 shape on this schema):
+    top-k customers by revenue of returned lineitems on orders placed
+    in [lo, hi).  ONE big⋈big hash join (flag-filtered lineitem ⋈
+    window-filtered orders), revenue pre-aggregated per custkey BEFORE
+    the customer/nation dimensions are touched; the dimensions
+    decorate the small per-customer aggregate via a broadcast lookup
+    (never shuffled).  Columns (c_custkey, c_name, revenue, c_acctbal,
+    n_name), ordered (revenue desc, c_custkey) — revenue rounded to
+    cents first, the engine/oracle ordering contract."""
+    import pyarrow.parquet as pq_mod
+
+    from pgd_ray.util import read_parquet_clean
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"].combine_chunks(), returnflag))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": price * (1.0 - disc)})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return t.filter(pa.array((d >= date_lo_us) & (d < date_hi_us))
+                        ).select(["o_orderkey", "o_custkey"])
+
+    owin = orders.map_batches(in_window, batch_format="pyarrow").materialize()
+    if owin.count() == 0:
+        # Ray's hash join cannot finalize against an empty build side
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=object),
+            "revenue": pd.Series([], dtype=np.float64),
+            "c_acctbal": pd.Series([], dtype=np.float64),
+            "n_name": pd.Series([], dtype=object)})
+    j = li.map_batches(rev, batch_format="pyarrow").join(
+        owin, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    per_cust = j.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue"))
+
+    cst = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    nnames = np.empty(int(nat["n_nationkey"].to_numpy().max()) + 1, object)
+    nnames[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy(
+        zero_copy_only=False)
+    ck = cst["c_custkey"].to_numpy().astype(np.int64)
+    size = int(ck.max()) + 1
+    cname = np.empty(size, object)
+    cbal = np.zeros(size, np.float64)
+    cnat = np.zeros(size, np.int64)
+    cname[ck] = cst["c_name"].to_numpy(zero_copy_only=False)
+    cbal[ck] = cst["c_acctbal"].to_numpy()
+    cnat[ck] = cst["c_nationkey"].to_numpy().astype(np.int64)
+    dims = ray.put((cname, cbal, cnat, nnames))
+
+    def decorate(t: pa.Table, dims_ref) -> pa.Table:
+        cname, cbal, cnat, nnames = _dim_arrays(dims_ref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(c, pa.int64()),
+            "c_name": pa.array(cname[c], pa.string()),
+            "revenue": np.round(t["revenue"].to_numpy(zero_copy_only=False), 2),
+            "c_acctbal": pa.array(cbal[c], pa.float64()),
+            "n_name": pa.array(nnames[cnat[c]], pa.string()),
+        })
+
+    top = (
+        per_cust.map_batches(decorate, fn_kwargs={"dims_ref": dims},
+                             batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+def q18(
+    sf_dir: str,
+    qty_over: float = 250.0,
+    k: int = 100,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds ``qty_over``, decorated with the order
+    and customer, top-k by (o_totalprice desc, o_orderdate,
+    o_orderkey).  The HAVING side is ONE per-orderkey hash aggregate
+    of lineitem (never the raw rows); the qualifying key set is tiny
+    and joins orders distributed, customer decorates via broadcast."""
+    import pyarrow.parquet as pq_mod
+
+    from pgd_ray.util import read_parquet_clean
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    per_order = li.groupby("l_orderkey").aggregate(
+        Sum("l_quantity", alias_name="total_qty"))
+
+    def over(t: pa.Table) -> pa.Table:
+        q = t["total_qty"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > qty_over))
+
+    big = per_order.map_batches(over, batch_format="pyarrow").materialize()
+    cols = ["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty"]
+    if big.count() == 0:
+        # Ray's hash join cannot finalize against an empty build side
+        return pd.DataFrame({
+            c: pd.Series([], dtype=object if c == "c_name" else
+                         (np.float64 if c in ("o_totalprice", "total_qty")
+                          else np.int64)) for c in cols})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = orders.join(
+        big, "inner", num_partitions,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    cst = pq_mod.read_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"])
+    ck = cst["c_custkey"].to_numpy().astype(np.int64)
+    cname = np.empty(int(ck.max()) + 1, object)
+    cname[ck] = cst["c_name"].to_numpy(zero_copy_only=False)
+    dims = ray.put(cname)
+
+    def decorate(t: pa.Table, dims_ref) -> pa.Table:
+        cname = _dim_arrays(dims_ref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(c, pa.int64()),
+            "c_name": pa.array(cname[c], pa.string()),
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64),
+            "o_totalprice": t["o_totalprice"],
+            "total_qty": np.round(
+                t["total_qty"].to_numpy(zero_copy_only=False), 2),
+        })
+
+    top = (
+        j.map_batches(decorate, fn_kwargs={"dims_ref": dims},
+                      batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top[cols]
+
+
 def q12(
     sf_dir: str,
     date_lo_us: int,

@@ -72,3 +72,27 @@ def test_q12_q14_match_duckdb():
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'""").df()
     assert abs(got14["promo_revenue"][0] - ref14["pr"][0]) < 1e-3
+
+
+def test_q10_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = E.queries()["tpch_q10"](SF).reset_index(drop=True)
+    exp = _con().execute(E.oracle_sql()["tpch_q10"]).df()
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert np.allclose(got["revenue"], exp["revenue"], atol=0.011)
+
+
+def test_q18_matches_duckdb_and_threshold():
+    import __ray_entry__ as E
+    from pgd_ray.pipelines.tpch import q18
+
+    got = E.queries()["tpch_q18"](SF).reset_index(drop=True)
+    exp = _con().execute(E.oracle_sql()["tpch_q18"]).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert np.allclose(got["total_qty"], exp["total_qty"], atol=0.011)
+    assert (got["total_qty"] > 250).all()
+    # impossible threshold -> empty result, schema intact
+    empty = q18(SF, qty_over=1e9)
+    assert len(empty) == 0 and "c_name" in empty.columns
