@@ -891,6 +891,23 @@ def _q_ivf_topk(sf_dir):
     return top
 
 
+def _q_mmr_rerank(sf_dir):
+    """MMR diversified top-5 (lambda=0.7) against the vec_id-0 query —
+    stages.similarity.mmr_rerank (k distributed argmax passes, selected
+    set broadcast per round); the oracle unrolls the greedy recurrence
+    as 5 chained CTE stages."""
+    from pgd_ray.stages.similarity import mmr_rerank
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(
+        emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0],
+        np.float64)
+    out = mmr_rerank(emb.filter(expr="vec_id != 0"), q, k=5, lam=0.7,
+                     dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def _q_embedding_neardup(sf_dir):
     import ray.data
 
@@ -1630,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "clean_corpus": _q_clean_corpus,
         "topk_cosine": _q_topk_cosine,
+        "mmr_rerank": _q_mmr_rerank,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -1781,6 +1799,41 @@ r AS (SELECT query_id, vec_id, c,
 SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine FROM r WHERE rank < 10"""
 
 
+def _mmr_sql(k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle: stage r picks argmax of
+    0.7*cos(q,d) - 0.3*max_{s<r} cos(d, s) over the not-yet-selected
+    candidates (ties -> min vec_id) — the engine's exact recurrence,
+    with the lambda literals CAST to DOUBLE so both sides compute the
+    identical IEEE expression."""
+    L = "CAST(0.7 AS DOUBLE)"
+    P = "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    ctes = ["""c AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS simq,
+         CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0)"""]
+    ctes.append(f"s1 AS (SELECT vec_id, {L}*simq AS score, emb FROM c "
+                f"ORDER BY {L}*simq DESC, vec_id LIMIT 1)")
+    for r in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, r)]
+        pens = ", ".join(f"list_cosine_similarity(c.emb, {p}.emb)"
+                         for p in prev)
+        pen = pens if r == 2 else f"GREATEST({pens})"
+        notin = ", ".join(f"{p}.vec_id" for p in prev)
+        ctes.append(
+            f"s{r} AS (SELECT c.vec_id, {L}*c.simq - {P}*{pen} AS score, "
+            f"c.emb FROM c, {', '.join(prev)} "
+            f"WHERE c.vec_id NOT IN ({notin}) "
+            f"ORDER BY score DESC, c.vec_id LIMIT 1)")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r - 1} AS BIGINT) AS rank, vec_id, "
+        f"ROUND(score, 6) AS score FROM s{r}" for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
 def _anf_lane_sql() -> tuple[str, str]:
     """(nb-aggregate lane columns, merged-code expression) for the
     HyperANF oracle: 8 packed 6-bit lanes, lane-wise MAX merge."""
@@ -1900,6 +1953,7 @@ FROM s GROUP BY doc_id""",
         "topk_cosine": _TOPK_SQL,
         # ivf_topk with nprobe == n_centroids is exact → same oracle
         "ivf_topk": _TOPK_SQL,
+        "mmr_rerank": _mmr_sql(5),
         "vertex_triangles": f"""
 WITH {_E_CTE}, {_S_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle

@@ -334,3 +334,74 @@ def ivf_topk_cosine(
     index = IVFIndex.build(emb, n_centroids=n_centroids, dtype=dtype)
     return index.search(queries, k=k, nprobe=nprobe, concurrency=concurrency,
                         dtype=dtype)
+
+
+def mmr_rerank(
+    emb: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 5,
+    lam: float = 0.7,
+    batch_size: int = 4096,
+    dtype=np.float64,
+) -> pd.DataFrame:
+    """Greedy maximal-marginal-relevance selection of ``k`` vectors:
+    round r picks argmax of ``lam*cos(q, d) - (1-lam)*max_{s in
+    selected} cos(d, s)`` (ties -> min vec_id; round 0 has no
+    diversity term).  Returns (rank, vec_id, score).
+
+    Distribution shape: each round is ONE streamed pass — every batch
+    emits its single best candidate against the broadcast
+    (query, selected) state, the driver reduces #batches rows and
+    grows the selected set by one (k·d floats).  k passes over the
+    corpus; at scale run it over an ANN candidate pool
+    (``ivf_topk_cosine`` N >> k) instead of the raw table — the
+    greedy recurrence itself is inherently sequential in k.
+    """
+    qv = _normalize(np.asarray(query, dtype=dtype)[None, :])[0]
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    ranks: list[dict] = []
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    for r in range(k):
+        state = ray.put((
+            qv,
+            np.stack(sel_vecs) if sel_vecs else np.empty((0, len(qv)), dtype),
+            np.asarray(sel_ids, np.int64),
+        ))
+
+        def best(b: pa.Table, state_ref=state) -> pa.Table:
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64()),
+                              "emb": pa.array([], pa.list_(pa.float64()))})
+            q, S, sids = ray.get(state_ref)
+            vid = b["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize(_stack_embeddings(b["embedding"], dtype))
+            if len(m) == 0:
+                return empty
+            score = lam * (m @ q)
+            if len(S):
+                score = score - (1.0 - lam) * np.max(m @ S.T, axis=1)
+            mask = ~np.isin(vid, sids)
+            if not mask.any():
+                return empty
+            sm, vm, mm = score[mask], vid[mask], m[mask]
+            i = np.lexsort((vm, -sm))[0]
+            return pa.table({"vec_id": pa.array([int(vm[i])], pa.int64()),
+                             "score": pa.array([float(sm[i])], pa.float64()),
+                             "emb": pa.array([mm[i].tolist()],
+                                             pa.list_(pa.float64()))})
+
+        cands = src.map_batches(
+            best, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        if cands.empty:
+            break
+        cands = cands.sort_values(["score", "vec_id"],
+                                  ascending=[False, True], ignore_index=True)
+        top = cands.iloc[0]
+        sel_ids.append(int(top["vec_id"]))
+        sel_vecs.append(np.asarray(top["emb"], dtype))
+        ranks.append({"rank": r, "vec_id": int(top["vec_id"]),
+                      "score": float(top["score"])})
+    return pd.DataFrame(ranks, columns=["rank", "vec_id", "score"]).astype(
+        {"rank": np.int64, "vec_id": np.int64, "score": np.float64})

@@ -228,3 +228,50 @@ def test_png_codec_roundtrip_and_filters():
     pl = (sig + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 6, 0, 0, 0))
           + _png_chunk(b"IDAT", zlib.compress(body)) + _png_chunk(b"IEND", b""))
     np.testing.assert_array_equal(decode_png(pl), rgba[:, :, :3])
+
+
+def _mmr_ref(m, q, k, lam):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    simq = mn @ qn
+    sel = []
+    out = []
+    for _ in range(k):
+        best = None
+        for i in range(len(m)):
+            if i in sel:
+                continue
+            pen = max((float(mn[i] @ mn[j]) for j in sel), default=0.0)
+            s = lam * float(simq[i]) - ((1 - lam) * pen if sel else 0.0)
+            key = (-s, i)
+            if best is None or key < best[0]:
+                best = (key, i, s)
+        sel.append(best[1])
+        out.append((best[1], best[2]))
+    return out
+
+
+def test_mmr_matches_greedy_reference():
+    from pgd_ray.stages.similarity import mmr_rerank
+
+    ds, m = _emb(n=80, d=8, seed=11)
+    q = m[0].astype(np.float64)
+    got = mmr_rerank(ds, q, k=6, lam=0.7, dtype=np.float64)
+    ref = _mmr_ref(m.astype(np.float64), q, k=6, lam=0.7)
+    assert got["vec_id"].tolist() == [i for i, _ in ref]
+    assert np.allclose(got["score"], [s for _, s in ref], atol=1e-9)
+
+
+def test_mmr_prefers_diversity_over_duplicates():
+    from pgd_ray.stages.similarity import mmr_rerank
+
+    # three exact copies of the best match + one distinct direction:
+    # plain top-2 would take two copies; MMR must take the distinct one
+    base = np.eye(4, dtype=np.float64)
+    m = np.stack([base[0], base[0], base[0], 0.8 * base[0] + 0.6 * base[1]])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([list(v) for v in m], pa.list_(pa.float32())),
+    }))
+    got = mmr_rerank(ds, base[0], k=2, lam=0.3, dtype=np.float64)
+    assert got["vec_id"].tolist() == [0, 3]
