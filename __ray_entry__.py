@@ -1064,6 +1064,15 @@ def _q_cooccurrence(sf_dir):
     return cooccurrence_pairs(sf_dir, window_us=300_000_000)
 
 
+def _q_transitions(sf_dir):
+    """Markov transition bigrams: consecutive same-user event-type
+    pairs in (ts, event_id) order — stages.windows.transition_counts
+    (sorted blocks, adjacent-shift compare, boundary-user stitch)."""
+    from pgd_ray.stages.windows import transition_counts
+
+    return transition_counts(sf_dir)
+
+
 def _q_local_cc(sf_dir):
     """Per-vertex local clustering coefficient on the copurchase graph
     — graph.graphlets.local_clustering (vertex_triangles + broadcast
@@ -1695,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
+        "transitions": _q_transitions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2017,6 +2027,16 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
 GROUP BY 1, 2""",
+        # stages.windows.transition_counts: adjacent same-user pairs
+        "transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS type_from, nxt AS type_to,
+       CAST(COUNT(*) AS BIGINT) AS n_trans
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         # pipelines.tpch.q4: EXISTS semi-join, distributed strategy
         "local_cc": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},

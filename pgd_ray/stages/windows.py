@@ -585,3 +585,75 @@ def rolling_aggregate(
         })
 
     return srt.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def transition_counts(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition bigrams: per user, event types of consecutive
+    events in (ts, event_id) order, counted corpus-wide — columns
+    (type_from, type_to, n_trans).
+
+    Same sorted-block shape as ``cooccurrence_pairs`` but with only
+    the ADJACENT pair per row: interior users pair fully inside their
+    block (one vectorized shift-compare); the ≤ 2 users touching each
+    block edge ship their raw rows to the driver (O(#blocks ·
+    user_rows)), so no transition is ever double-counted or lost at a
+    boundary."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _trans(uid: np.ndarray, et: np.ndarray) -> pd.DataFrame | None:
+        if len(uid) < 2:
+            return None
+        m = uid[1:] == uid[:-1]
+        if not m.any():
+            return None
+        return (
+            pd.DataFrame({"type_from": et[:-1][m], "type_to": et[1:][m]})
+            .groupby(["type_from", "type_to"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def _table(d: pd.DataFrame | None) -> pa.Table:
+        if d is None or d.empty:
+            return pa.table({"type_from": pa.array([], pa.string()),
+                             "type_to": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"type_from": d["type_from"].to_numpy(dtype=object),
+                         "type_to": d["type_to"].to_numpy(dtype=object),
+                         "n": d["n"].to_numpy(dtype=np.int64)})
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _table(None)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        return _table(_trans(uid[interior], et[interior]))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.select(cols).filter(
+            pa.array((uid == uid[0]) | (uid == uid[-1])))
+
+    interior_counts = srt.map_batches(
+        block, batch_format="pyarrow", batch_size=None)
+    bdf = srt.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        d = _trans(bdf["user_id"].to_numpy(), bdf["event_type"].to_numpy())
+        if d is not None and len(d):
+            interior_counts = interior_counts.union(
+                ray.data.from_arrow(_table(d)))
+    return interior_counts.groupby(["type_from", "type_to"]).aggregate(
+        Sum("n", alias_name="n_trans"))

@@ -311,3 +311,62 @@ def test_rolling_aggregate_window_one_and_long_key():
                           np.arange(n, dtype=np.float64), 30)
     assert np.allclose(big["roll_sum"], ref["roll_sum"])
     assert (big["roll_cnt"].to_numpy() == ref["roll_cnt"].to_numpy()).all()
+
+
+def _write_typed_events(tmp_path, uid, ts_us, etype, shards=8):
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "trans_in"
+    d.mkdir(exist_ok=True)
+    eid = np.arange(len(uid), dtype=np.int64)
+    bounds = np.linspace(0, len(uid), shards + 1).astype(int)
+    for i in range(shards):
+        sl = slice(bounds[i], bounds[i + 1])
+        t = pa.table({
+            "event_id": eid[sl],
+            "user_id": uid[sl].astype(np.int64),
+            "ts": pd.to_datetime(ts_us[sl], unit="us"),
+            "event_type": pa.array(list(etype[sl]), pa.string()),
+        })
+        pq.write_table(t, d / f"events_{i}.parquet")
+    os.rename(d, tmp_path / "events.parquet_dir")
+    os.makedirs(tmp_path / "sfdir", exist_ok=True)
+    os.symlink(tmp_path / "events.parquet_dir",
+               tmp_path / "sfdir" / "events.parquet")
+    return str(tmp_path / "sfdir")
+
+
+def test_transition_counts_matches_pandas(tmp_path):
+    import pandas as pd
+
+    from pgd_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(9)
+    n = 400
+    uid = rng.integers(0, 12, n)
+    ts_us = rng.integers(0, 10**9, n)
+    etype = rng.choice(np.array(["a", "b", "c", "d", "e"]), n)
+    sf = _write_typed_events(tmp_path, uid, ts_us, etype, shards=8)
+
+    got = transition_counts(sf).to_pandas().sort_values(
+        ["type_from", "type_to"], ignore_index=True)
+
+    df = pd.DataFrame({"user_id": uid, "ts": ts_us, "event_id": range(n),
+                       "event_type": etype}).sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+    m = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+    ref = (
+        pd.DataFrame({
+            "type_from": df["event_type"].to_numpy()[:-1][m],
+            "type_to": df["event_type"].to_numpy()[1:][m],
+        })
+        .groupby(["type_from", "type_to"]).size()
+        .reset_index(name="n_trans")
+        .sort_values(["type_from", "type_to"], ignore_index=True)
+    )
+    assert got["type_from"].tolist() == ref["type_from"].tolist()
+    assert got["type_to"].tolist() == ref["type_to"].tolist()
+    assert got["n_trans"].astype(int).tolist() == ref["n_trans"].tolist()
