@@ -1064,6 +1064,17 @@ def _q_cooccurrence(sf_dir):
     return cooccurrence_pairs(sf_dir, window_us=300_000_000)
 
 
+def _q_grouped_quantiles(sf_dir):
+    """Per-event-type exact p50/p90 of value — stages.quantiles
+    .grouped_quantiles (group-aware histogram refinement: one shared
+    streamed pass per round serves every group's live intervals; no
+    sort anywhere)."""
+    from pgd_ray.stages.quantiles import grouped_quantiles
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value", [0.5, 0.9])
+
+
 def _q_transitions(sf_dir):
     """Markov transition bigrams: consecutive same-user event-type
     pairs in (ts, event_id) order — stages.windows.transition_counts
@@ -1705,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
         "transitions": _q_transitions,
+        "grouped_quantiles": _q_grouped_quantiles,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2027,6 +2039,18 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
 GROUP BY 1, 2""",
+        # stages.quantiles.grouped_quantiles: exact per-group rank rule
+        # floor(q*(n-1)) — value identity, no interpolation, so the
+        # histogram-refined engine value matches the sorted rank value
+        "grouped_quantiles": """
+WITH v AS (SELECT event_type, value,
+                  row_number() OVER (
+                    PARTITION BY event_type ORDER BY value) - 1 AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+qq AS (SELECT * FROM (VALUES (0.5), (0.9)) t(q))
+SELECT event_type, q, value FROM v, qq
+WHERE rk = CAST(floor(q * (n - 1)) AS BIGINT)""",
         # stages.windows.transition_counts: adjacent same-user pairs
         "transitions": """
 WITH s AS (

@@ -226,3 +226,141 @@ def exact_ranks(
                                     "cnt": int(row["cnt"])}
 
     return resolved, n
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    bins: int = 1024,
+    fetch_cap: int = 1 << 20,
+) -> pd.DataFrame:
+    """Per-group EXACT quantiles — value at 0-based sorted rank
+    ``floor(q * (n_g - 1))`` within each group — without any global or
+    per-group sort.  Returns (key, q, value), one row per (group, q).
+
+    Same histogram-refinement scheme as ``exact_ranks`` but the
+    interval state is keyed by (group, rank) and ONE streamed pass per
+    round serves every group's live intervals (each batch bins its
+    rows per live interval).  The per-round reduce is ≤ #intervals ×
+    bins rows; per-batch work is a python loop over live intervals
+    with vectorized selection inside — fine for dimension-like key
+    cardinalities (event types, languages, sources); for millions of
+    groups, factorize keys into the bin key instead (one segmented
+    bincount), the documented upgrade path.
+
+    Float columns only (NaN/NULL excluded, SQL aggregate semantics).
+    """
+    import pyarrow.compute as pc
+
+    def _valid(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        mask = pc.and_(c.is_valid(), pc.invert(pc.is_nan(c)))
+        return t.select([key, col]).filter(mask)
+
+    ds = ds.map_batches(_valid, batch_format="pyarrow").materialize()
+    base = (
+        ds.groupby(key)
+        .aggregate(Min(col, alias_name="mn"), Max(col, alias_name="mx"),
+                   Count(alias_name="n"))
+        .to_pandas()
+    )
+    # state per (group, rank): value interval + mass strictly below
+    state: dict = {}
+    for _, row in base.iterrows():
+        g, n = row[key], int(row["n"])
+        for q in qs:
+            r = int(np.floor(q * (n - 1)))
+            state[(g, q)] = {"rank": r, "lo": float(row["mn"]),
+                             "hi": float(row["mx"]), "below": 0, "cnt": n}
+    resolved: dict = {}
+
+    while len(resolved) < len(state):
+        live: dict = {}
+        for sk, s in state.items():
+            if sk in resolved:
+                continue
+            ik = (sk[0], s["lo"], s["hi"])
+            live.setdefault(ik, {"ranks": [], **s})["ranks"].append(sk)
+        fetch = [(k, v) for k, v in live.items() if v["cnt"] <= fetch_cap]
+        narrow = [(k, v) for k, v in live.items() if v["cnt"] > fetch_cap]
+
+        if fetch:
+            f_iv = [k for k, _ in fetch]
+
+            def grab(t: pa.Table, f_iv=f_iv) -> pa.Table:
+                grp = t[key].to_numpy(zero_copy_only=False)
+                v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                iid, val = [], []
+                for i, (g, lo, hi) in enumerate(f_iv):
+                    sel = v[(grp == g) & (v >= lo) & (v <= hi)]
+                    iid.append(np.full(len(sel), i, np.int64))
+                    val.append(sel)
+                return pa.table({"iid": np.concatenate(iid),
+                                 "val": np.concatenate(val)})
+
+            got = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+            for i, (ik, iv) in enumerate(fetch):
+                vals = np.sort(got.loc[got["iid"] == i, "val"].to_numpy())
+                for sk in iv["ranks"]:
+                    resolved[sk] = float(vals[state[sk]["rank"] - iv["below"]])
+
+        if narrow:
+            n_iv = [(g, lo, hi, np.linspace(lo, hi, bins + 1))
+                    for (g, lo, hi), _ in narrow]
+
+            def hist(t: pa.Table, n_iv=n_iv) -> pa.Table:
+                grp = t[key].to_numpy(zero_copy_only=False)
+                v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                out = {"iid": [], "bin": [], "cnt": [], "vmin": [], "vmax": []}
+                for i, (g, lo, hi, edges) in enumerate(n_iv):
+                    sel = v[(grp == g) & (v >= lo) & (v <= hi)]
+                    if not len(sel):
+                        continue
+                    b = np.clip(np.searchsorted(edges, sel, side="right") - 1,
+                                0, len(edges) - 2)
+                    order = np.argsort(b, kind="stable")
+                    bs, ss = b[order], sel[order]
+                    ub, start = np.unique(bs, return_index=True)
+                    end = np.append(start[1:], len(bs))
+                    out["iid"].append(np.full(len(ub), i, np.int64))
+                    out["bin"].append(ub.astype(np.int64))
+                    out["cnt"].append((end - start).astype(np.int64))
+                    out["vmin"].append(np.minimum.reduceat(ss, start))
+                    out["vmax"].append(np.maximum.reduceat(ss, start))
+                if not out["iid"]:
+                    return pa.table({k: pa.array([], pa.int64() if k in
+                                     ("iid", "bin", "cnt") else pa.float64())
+                                     for k in out})
+                return pa.table({k: np.concatenate(a) for k, a in out.items()})
+
+            hdf = (
+                ds.map_batches(hist, batch_format="pyarrow")
+                .groupby(["iid", "bin"])
+                .aggregate(Sum("cnt", alias_name="cnt"),
+                           Min("vmin", alias_name="vmin"),
+                           Max("vmax", alias_name="vmax"))
+                .to_pandas()
+                .sort_values(["iid", "bin"], ignore_index=True)
+            )
+            for i, (ik, iv) in enumerate(narrow):
+                g_rows = hdf[hdf["iid"] == i]
+                cum = np.concatenate(([0], np.cumsum(g_rows["cnt"].to_numpy())))
+                for sk in iv["ranks"]:
+                    ri = state[sk]["rank"] - iv["below"]
+                    j = int(np.searchsorted(cum, ri, side="right") - 1)
+                    row = g_rows.iloc[j]
+                    if row["vmin"] == row["vmax"]:
+                        resolved[sk] = float(row["vmin"])
+                    else:
+                        state[sk] = {"rank": state[sk]["rank"],
+                                     "lo": float(row["vmin"]),
+                                     "hi": float(row["vmax"]),
+                                     "below": iv["below"] + int(cum[j]),
+                                     "cnt": int(row["cnt"])}
+
+    rows = [{"key": g, "q": q, "value": resolved[(g, q)]}
+            for (g, q) in sorted(resolved, key=lambda sk: (sk[0], sk[1]))]
+    out = pd.DataFrame(rows, columns=["key", "q", "value"])
+    return out.rename(columns={"key": key})

@@ -154,6 +154,39 @@ def test_exact_quantiles_all_equal_and_empty():
     assert np.isnan(oe["value"]).all()
 
 
+
+def test_grouped_quantiles_matches_numpy_with_forced_refinement():
+    from pgd_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    grp = rng.choice(np.array(["a", "b", "c"]), n, p=[0.6, 0.3, 0.1])
+    vals = rng.normal(0, 1, n) + (grp == "b") * 10 + (grp == "c") * 100
+    vals[grp == "a"] = np.where(rng.random((grp == "a").sum()) < 0.4,
+                                0.5, vals[grp == "a"])  # tie mass in one group
+    ds = rd.from_arrow(pa.table({"g": grp, "x": vals})).repartition(16)
+    qs = [0.0, 0.5, 0.9, 1.0]
+    out = grouped_quantiles(ds, "g", "x", qs, bins=4, fetch_cap=50)
+    for g in ("a", "b", "c"):
+        srt = np.sort(vals[grp == g])
+        expect = [srt[int(np.floor(q * (len(srt) - 1)))] for q in qs]
+        got = out[out["g"] == g].sort_values("q")
+        assert got["q"].tolist() == qs
+        assert np.array_equal(got["value"].to_numpy(), np.array(expect)), g
+
+
+def test_grouped_quantiles_single_row_group_and_nan():
+    from pgd_ray.stages.quantiles import grouped_quantiles
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["solo", "dup", "dup", "dup"], pa.string()),
+        "x": pa.array([3.5, float("nan"), 1.0, 2.0], pa.float64()),
+    }))
+    out = grouped_quantiles(ds, "g", "x", [0.5])
+    got = dict(zip(out["g"], out["value"]))
+    assert got == {"solo": 3.5, "dup": 1.0}  # NaN excluded -> n=2, rank 0
+
+
 # --- property tests (small example counts: each example runs Ray ops) ---
 from hypothesis import given, settings, strategies as st
 
