@@ -631,6 +631,19 @@ def _q_ktruss_copurchase(sf_dir):
     return pd.DataFrame({"src": lo, "dst": hi})
 
 
+def _q_onion_copurchase(sf_dir):
+    """Onion decomposition (peel layer + core per vertex) —
+    graph.onion.onion_layers task kernel; the recursive-CTE oracle
+    replays the exact threshold schedule k <- max(k, min live
+    degree)."""
+    from pgd_ray.graph.onion import onion_layers
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    out = onion_layers(dense, csr).to_pandas()
+    out["v"] = vids[out["v"].to_numpy()]
+    return out.astype({"v": np.int64, "layer": np.int64, "core": np.int64})
+
+
 def _q_densest_copurchase(sf_dir):
     """Densest-subgraph threshold peel (Bahmani et al. 2012, eps=0.5)
     — graph.densest.densest_subgraph; the removal rule is exact int64
@@ -1652,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ego_copurchase": _q_ego_copurchase,
         "ktruss_copurchase": _q_ktruss_copurchase,
         "densest_copurchase": _q_densest_copurchase,
+        "onion_copurchase": _q_onion_copurchase,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "link_pred_scores_copurchase": _q_link_pred_scores_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
@@ -2840,6 +2854,37 @@ tr(it, src, dst) AS (
   ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
   WHERE t.it < 8)
 SELECT src, dst FROM tr WHERE it = 8""",
+        # onion_copurchase: layer-by-layer peel — round removes every
+        # live vertex with within-S degree <= k (k starts at the min
+        # degree and only rises to the survivors' min), layer = last
+        # live round + 1, core = the k that removed the vertex.  The
+        # window MIN over the filtered survivors carries the new k.
+        "onion_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+peel(it, v, k) AS (
+  SELECT 0, v, 0 FROM d
+  UNION ALL
+  SELECT it + 1, v, knew FROM (
+    SELECT it, v, dg, GREATEST(k, MIN(dg) OVER ()) AS knew FROM (
+      SELECT p.it AS it, p.v AS v, p.k AS k, COUNT(nb.v2) AS dg
+      FROM peel p
+      LEFT JOIN (SELECT s.src AS v1, p2.v AS v2, p2.it AS it
+                 FROM s JOIN peel p2 ON p2.v = s.dst) nb
+        ON nb.v1 = p.v AND nb.it = p.it
+      GROUP BY p.it, p.v, p.k))
+  WHERE dg > knew AND it < 512),
+degs AS (
+  SELECT p.it, p.v, p.k, COUNT(nb.v2) AS dg
+  FROM peel p
+  LEFT JOIN (SELECT s.src AS v1, p2.v AS v2, p2.it AS it
+             FROM s JOIN peel p2 ON p2.v = s.dst) nb
+    ON nb.v1 = p.v AND nb.it = p.it
+  GROUP BY p.it, p.v, p.k),
+kk AS (SELECT it, GREATEST(MAX(k), MIN(dg)) AS knext FROM degs GROUP BY it),
+last AS (SELECT v, MAX(it) AS li FROM peel GROUP BY v)
+SELECT last.v, CAST(last.li + 1 AS BIGINT) AS layer,
+       CAST(kk.knext AS BIGINT) AS core
+FROM last JOIN kk ON kk.it = last.li""",
         # densest_copurchase: Bahmani eps=0.5 peel — each round keeps
         # vertices with deg_S * |S| > 3 * m_S (written 2*dg*n_s >
         # 3*dsum with dsum = sum of within-S degrees = 2m, all exact
