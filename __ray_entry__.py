@@ -1077,6 +1077,18 @@ def _q_cooccurrence(sf_dir):
     return cooccurrence_pairs(sf_dir, window_us=300_000_000)
 
 
+def _q_weighted_sample(sf_dir):
+    """Deterministic A-ES weighted sample (k=50, weight = n_chars) —
+    text.sampling.weighted_sample_topk; keys are a pure splitmix64
+    function of doc_id so the SQL mirror replays the exact draw."""
+    from pgd_ray.text.sampling import weighted_sample_topk
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = weighted_sample_topk(docs, k=50, weight_col="n_chars")
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def _q_grouped_quantiles(sf_dir):
     """Per-event-type exact p50/p90 of value — stages.quantiles
     .grouped_quantiles (group-aware histogram refinement: one shared
@@ -1731,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": _q_cooccurrence,
         "transitions": _q_transitions,
         "grouped_quantiles": _q_grouped_quantiles,
+        "weighted_sample": _q_weighted_sample,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2053,6 +2066,17 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
 GROUP BY 1, 2""",
+        # text.sampling.weighted_sample_topk: A-ES keys u^(1/w) ranked
+        # by the monotone ln(u)/w; u = (splitmix64(doc_id)>>11 + 1)/2^53
+        # — bit-identical to the engine (division by 2^53 is exact)
+        "weighted_sample": f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+         ln((CAST(({_splitmix_sql('doc_id', '0')} >> 11) AS DOUBLE) + 1.0)
+            / 9007199254740992.0) / n_chars AS score
+  FROM documents)
+SELECT doc_id, n_chars, ROUND(s.score, 6) AS score
+FROM s ORDER BY s.score DESC, doc_id LIMIT 50""",
         # stages.quantiles.grouped_quantiles: exact per-group rank rule
         # floor(q*(n-1)) — value identity, no interpolation, so the
         # histogram-refined engine value matches the sorted rank value

@@ -144,3 +144,54 @@ def cap_per_group(
     return grouped_topk(
         hashed, group_col, ["md5", id_col], [False, False], k=n
     )
+
+
+def weighted_sample_topk(
+    docs: ray.data.Dataset,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): row i gets key u_i^(1/w_i) with
+    u_i = (splitmix64(id) >> 11 + 1) · 2^-53 ∈ (0, 1]; the k largest
+    keys are the sample — inclusion probability ∝ weight, and the
+    draw is a pure function of the ids (rerun/retry/partition
+    invariant, SQL-mirrorable).  Ranked by the monotone equivalent
+    ``score = ln(u)/w`` (descending, ties -> min id); returns
+    (id, weight, score), score the ranking value.
+
+    One streamed pass: each batch emits its local top-k (#batches × k
+    driver merge — the topk_cosine shape); no sort, no shuffle."""
+    import pyarrow as pa
+
+    from pgd_ray.text.hashing import splitmix64
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             weight_col: pa.array([], pa.float64()),
+                             "score": pa.array([], pa.float64())})
+        u = ((splitmix64(ids) >> np.uint64(11)).astype(np.float64) + 1.0) \
+            * 2.0 ** -53
+        score = np.log(u) / w
+        kk = min(k, len(ids))
+        order = np.lexsort((ids, -score))[:kk]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         weight_col: pa.array(w[order], pa.float64()),
+                         "score": pa.array(score[order], pa.float64())})
+
+    cands = docs.select_columns([id_col, weight_col]).map_batches(
+        local_top, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    if cands.empty:
+        # empty Datasets drop their schema through to_pandas
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             weight_col: pd.Series([], dtype=np.float64),
+                             "score": pd.Series([], dtype=np.float64)})
+    cands = cands.sort_values(["score", id_col],
+                              ascending=[False, True], ignore_index=True)
+    return cands.head(k).reset_index(drop=True)

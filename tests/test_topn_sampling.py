@@ -513,3 +513,25 @@ def test_cooccurrence_pairs_matches_brute_force():
         .sort_values(["type_a", "type_b"], ignore_index=True)
     )
     assert out.equals(ref.astype(out.dtypes.to_dict()))
+
+def test_weighted_sample_topk_deterministic_and_partition_invariant():
+    from pgd_ray.text.hashing import splitmix64
+    from pgd_ray.text.sampling import weighted_sample_topk
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    ids = rng.permutation(np.arange(10_000, dtype=np.int64))[:n]
+    w = rng.integers(1, 500, n).astype(np.float64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "n_chars": pa.array(w, pa.float64())})
+    u = ((splitmix64(ids) >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+    score = np.log(u) / w
+    order = np.lexsort((ids, -score))[:25]
+    for parts in (1, 13):
+        got = weighted_sample_topk(
+            rd.from_arrow(t).repartition(parts), k=25)
+        assert got["doc_id"].tolist() == ids[order].tolist(), parts
+        assert np.allclose(got["score"], score[order])
+    # heavier rows must dominate the sample on average
+    got = weighted_sample_topk(rd.from_arrow(t), k=300)
+    assert got["n_chars"].mean() > w.mean()
