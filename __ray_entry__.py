@@ -1077,6 +1077,31 @@ def _q_cooccurrence(sf_dir):
     return cooccurrence_pairs(sf_dir, window_us=300_000_000)
 
 
+def _q_lexical_diversity(sf_dir):
+    """Per-doc unigram entropy / Simpson / type-token ratio —
+    text.entropy.lexical_diversity (one streamed pass, token histogram
+    per doc, no shuffle)."""
+    from pgd_ray.text.entropy import lexical_diversity
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = lexical_diversity(docs).to_pandas()
+    for c in ("entropy", "simpson", "ttr"):
+        out[c] = out[c].round(6)
+    return out
+
+
+def _q_user_activity(sf_dir):
+    """Per-user RFM-style features — stages.features
+    .user_activity_features (one hash aggregation + the two-level
+    exact-distinct breadth, small self-join)."""
+    from pgd_ray.stages.features import user_activity_features
+
+    out = user_activity_features(sf_dir).to_pandas()
+    out["total_value"] = out["total_value"].round(6)
+    out["mean_value"] = out["mean_value"].round(6)
+    return out.astype({"n_events": np.int64, "n_types": np.int64})
+
+
 def _q_weighted_sample(sf_dir):
     """Deterministic A-ES weighted sample (k=50, weight = n_chars) —
     text.sampling.weighted_sample_topk; keys are a pure splitmix64
@@ -1744,6 +1769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": _q_transitions,
         "grouped_quantiles": _q_grouped_quantiles,
         "weighted_sample": _q_weighted_sample,
+        "lexical_diversity": _q_lexical_diversity,
+        "user_activity": _q_user_activity,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -2066,6 +2093,39 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
 GROUP BY 1, 2""",
+        # text.entropy.lexical_diversity: token histogram per doc
+        "lexical_diversity": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS types FROM cnt GROUP BY 1),
+ent AS (SELECT cnt.doc_id,
+               -SUM((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n))
+                 AS entropy,
+               SUM((CAST(c AS DOUBLE) / n.n) * (CAST(c AS DOUBLE) / n.n))
+                 AS simpson
+        FROM cnt JOIN n ON n.doc_id = cnt.doc_id GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n.n, 0) AS n_tokens, COALESCE(n.types, 0) AS n_types,
+       ROUND(COALESCE(ent.entropy, 0), 6) AS entropy,
+       ROUND(COALESCE(ent.simpson, 0), 6) AS simpson,
+       ROUND(COALESCE(CAST(n.types AS DOUBLE) / n.n, 0), 6) AS ttr
+FROM documents d
+LEFT JOIN n ON n.doc_id = d.doc_id
+LEFT JOIN ent ON ent.doc_id = d.doc_id""",
+        # stages.features.user_activity_features: one hash aggregation
+        "user_activity": """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us,
+       ROUND(SUM(value), 6) AS total_value,
+       ROUND(AVG(value), 6) AS mean_value
+FROM events GROUP BY user_id""",
         # text.sampling.weighted_sample_topk: A-ES keys u^(1/w) ranked
         # by the monotone ln(u)/w; u = (splitmix64(doc_id)>>11 + 1)/2^53
         # — bit-identical to the engine (division by 2^53 is exact)
