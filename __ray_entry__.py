@@ -631,6 +631,18 @@ def _q_ktruss_copurchase(sf_dir):
     return pd.DataFrame({"src": lo, "dst": hi})
 
 
+def _q_two_hop_sizes(sf_dir):
+    """Exact distance<=2 neighborhood cardinality per vertex —
+    graph.twohop.two_hop_sizes (plasma-shared CSR, stateless-task
+    kernel, segment-gather per vertex)."""
+    from pgd_ray.graph.twohop import two_hop_sizes
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    out = two_hop_sizes(csr).to_pandas().sort_values("v", ignore_index=True)
+    out["v"] = vids[out["v"].to_numpy()]
+    return out.astype({"v": np.int64, "n2": np.int64})
+
+
 def _q_onion_copurchase(sf_dir):
     """Onion decomposition (peel layer + core per vertex) —
     graph.onion.onion_layers task kernel; the recursive-CTE oracle
@@ -1703,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_copurchase": _q_ktruss_copurchase,
         "densest_copurchase": _q_densest_copurchase,
         "onion_copurchase": _q_onion_copurchase,
+        "two_hop_sizes": _q_two_hop_sizes,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "link_pred_scores_copurchase": _q_link_pred_scores_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
@@ -2938,6 +2951,16 @@ tr(it, src, dst) AS (
   ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
   WHERE t.it < 8)
 SELECT src, dst FROM tr WHERE it = 8""",
+        # two_hop_sizes: distinct vertices within distance <= 2,
+        # excluding the vertex itself
+        "two_hop_sizes": f"""
+WITH {_E_CTE}, {_S_CTE},
+two AS (
+  SELECT s1.src AS v, s2.dst AS w FROM s s1 JOIN s s2 ON s2.src = s1.dst
+  UNION
+  SELECT src AS v, dst AS w FROM s)
+SELECT v, CAST(COUNT(DISTINCT w) AS BIGINT) AS n2
+FROM two WHERE w <> v GROUP BY v""",
         # onion_copurchase: layer-by-layer peel — round removes every
         # live vertex with within-S degree <= k (k starts at the min
         # degree and only rises to the survivors' min), layer = last

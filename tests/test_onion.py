@@ -80,3 +80,32 @@ def test_isolated_vertices_peel_first():
     layer, core = onion_kernel(csr.indptr, csr.indices)
     assert core[3] == 0 and core[4] == 0 and layer[3] == 1
     assert (core[[0, 1, 2]] == 2).all()
+
+
+def test_two_hop_sizes_matches_bfs_reference():
+    from pgd_ray.graph.twohop import two_hop_sizes
+
+    for seed, n in ((3, 50), (8, 50)):
+        edges = sorted(random_graph(n=n, p=0.06, seed=seed))
+        csr = _csr(edges, n)
+        got = {r["v"]: r["n2"] for r in two_hop_sizes(csr).take_all()}
+        adj = [set() for _ in range(n)]
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        for v in range(n):
+            reach = set(adj[v])
+            for u in adj[v]:
+                reach |= adj[u]
+            reach.discard(v)
+            assert got[v] == len(reach), v
+
+
+def test_two_hop_isolated_and_star():
+    from pgd_ray.graph.twohop import two_hop_sizes
+
+    # star 0-1, 0-2, 0-3 + isolated 4: leaves see whole star (3)
+    edges = [(0, 1), (0, 2), (0, 3)]
+    csr = _csr(edges, 5)
+    got = {r["v"]: r["n2"] for r in two_hop_sizes(csr).take_all()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
