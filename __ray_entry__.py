@@ -631,6 +631,27 @@ def _q_ktruss_copurchase(sf_dir):
     return pd.DataFrame({"src": lo, "dst": hi})
 
 
+def _q_rich_club(sf_dir):
+    """Rich-club coefficients phi(k) for k in {0,50,100,150} —
+    graph.richclub.rich_club (one edge pass against the broadcast
+    degree vector, |ks|+1 partial counters per batch)."""
+    from pgd_ray.graph.richclub import rich_club
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    out = rich_club(dense, csr.degrees().astype(np.int64),
+                    ks=[0, 50, 100, 150])
+    return out.astype({"k": np.int64, "n_k": np.int64, "e_k": np.int64})
+
+
+def _q_s_metric(sf_dir):
+    """s-metric Σ deg(u)·deg(v) over edges — graph.richclub.s_metric."""
+    from pgd_ray.graph.richclub import s_metric
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    s = s_metric(dense, csr.degrees().astype(np.int64))
+    return pd.DataFrame({"s_metric": [np.int64(s)]})
+
+
 def _q_two_hop_sizes(sf_dir):
     """Exact distance<=2 neighborhood cardinality per vertex —
     graph.twohop.two_hop_sizes (plasma-shared CSR, stateless-task
@@ -1716,6 +1737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_copurchase": _q_densest_copurchase,
         "onion_copurchase": _q_onion_copurchase,
         "two_hop_sizes": _q_two_hop_sizes,
+        "rich_club": _q_rich_club,
+        "s_metric": _q_s_metric,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "link_pred_scores_copurchase": _q_link_pred_scores_copurchase,
         "ppr_copurchase": _q_ppr_copurchase,
@@ -2951,6 +2974,25 @@ tr(it, src, dst) AS (
   ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
   WHERE t.it < 8)
 SELECT src, dst FROM tr WHERE it = 8""",
+        # rich_club: edge density among vertices with degree > k
+        "rich_club": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+ks AS (SELECT * FROM (VALUES (0), (50), (100), (150)) t(k)),
+nk AS (SELECT ks.k, CAST(COUNT(d.v) AS BIGINT) AS n_k
+       FROM ks LEFT JOIN d ON d.degree > ks.k GROUP BY ks.k),
+ekt AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+        FROM ks JOIN e ON TRUE
+        JOIN d d1 ON d1.v = e.src JOIN d d2 ON d2.v = e.dst
+        WHERE least(d1.degree, d2.degree) > ks.k GROUP BY ks.k)
+SELECT ks.k AS k, nk.n_k, COALESCE(ekt.e_k, 0) AS e_k,
+       ROUND(CASE WHEN nk.n_k >= 2
+             THEN 2.0 * COALESCE(ekt.e_k, 0) / (nk.n_k * (nk.n_k - 1))
+             ELSE 0 END, 9) AS phi
+FROM ks JOIN nk ON nk.k = ks.k LEFT JOIN ekt ON ekt.k = ks.k""",
+        "s_metric": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE}
+SELECT CAST(SUM(d1.degree * d2.degree) AS BIGINT) AS s_metric
+FROM e JOIN d d1 ON d1.v = e.src JOIN d d2 ON d2.v = e.dst""",
         # two_hop_sizes: distinct vertices within distance <= 2,
         # excluding the vertex itself
         "two_hop_sizes": f"""
