@@ -937,6 +937,19 @@ def _q_ivf_topk(sf_dir):
     return top
 
 
+def _q_quantization_error(sf_dir):
+    """Int8 scalar-quantization round-trip error per vector —
+    stages.quantization (d-row range partials, broadcast (mn, scale),
+    one streamed error pass; floor(x+0.5) contract on both sides)."""
+    from pgd_ray.stages.quantization import quantization_error
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = quantization_error(emb).to_pandas()
+    out["sse"] = out["sse"].round(9)
+    out["max_abs_err"] = out["max_abs_err"].round(9)
+    return out
+
+
 def _q_mmr_rerank(sf_dir):
     """MMR diversified top-5 (lambda=0.7) against the vec_id-0 query —
     stages.similarity.mmr_rerank (k distributed argmax passes, selected
@@ -1755,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "topk_cosine": _q_topk_cosine,
         "mmr_rerank": _q_mmr_rerank,
+        "quantization_error": _q_quantization_error,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -2066,6 +2080,26 @@ FROM s GROUP BY doc_id""",
         # ivf_topk with nprobe == n_centroids is exact → same oracle
         "ivf_topk": _TOPK_SQL,
         "mmr_rerank": _mmr_sql(5),
+        # stages.quantization: int8 round-trip — floor(x+0.5) on both
+        # sides (numpy round() is half-even, SQL round() is half-away;
+        # floor(+0.5) is the portable contract)
+        "quantization_error": """
+WITH x AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim),
+qq AS (SELECT x.vec_id, x.v,
+              CASE WHEN mm.mx > mm.mn THEN
+                mm.mn + LEAST(GREATEST(FLOOR(
+                  (x.v - mm.mn) / ((mm.mx - mm.mn) / 255.0) + 0.5), 0), 255)
+                  * ((mm.mx - mm.mn) / 255.0)
+              ELSE mm.mn END AS recon
+       FROM x JOIN mm ON mm.dim = x.dim)
+SELECT vec_id, ROUND(SUM((v - recon) * (v - recon)), 9) AS sse,
+       ROUND(MAX(ABS(v - recon)), 9) AS max_abs_err
+FROM qq GROUP BY vec_id""",
         "vertex_triangles": f"""
 WITH {_E_CTE}, {_S_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle

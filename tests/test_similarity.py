@@ -275,3 +275,34 @@ def test_mmr_prefers_diversity_over_duplicates():
     }))
     got = mmr_rerank(ds, base[0], k=2, lam=0.3, dtype=np.float64)
     assert got["vec_id"].tolist() == [0, 3]
+
+
+def test_quantization_error_bounds_and_degenerate_dim():
+    from pgd_ray.stages.quantization import quantization_error, train_ranges
+
+    rng = np.random.default_rng(6)
+    m = rng.standard_normal((300, 8)).astype(np.float32)
+    m[:, 3] = 1.25  # degenerate dimension: must reconstruct exactly
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in m],
+                              pa.list_(pa.float32())),
+    })).repartition(7)
+    ranges = train_ranges(ds)
+    md = m.astype(np.float64)
+    assert np.allclose(ranges["mn"], md.min(axis=0))
+    assert np.allclose(ranges["mx"], md.max(axis=0))
+    out = quantization_error(ds).to_pandas().sort_values(
+        "vec_id", ignore_index=True)
+    # half-step bound per live dim: |err| <= scale/2 (+ulp)
+    scale = (md.max(axis=0) - md.min(axis=0)) / 255.0
+    assert (out["max_abs_err"] <= scale.max() / 2 * (1 + 1e-12)).all()
+    # exact reference replay
+    mn = md.min(axis=0)
+    live = scale > 0
+    recon = np.broadcast_to(mn, md.shape).copy()
+    q = (md[:, live] - mn[live]) / scale[live]
+    recon[:, live] = mn[live] + np.clip(np.floor(q + 0.5), 0, 255) * scale[live]
+    e = md - recon
+    assert np.array_equal(out["sse"].to_numpy(), (e * e).sum(axis=1))
+    assert np.array_equal(out["max_abs_err"].to_numpy(), np.abs(e).max(axis=1))
