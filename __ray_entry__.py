@@ -631,6 +631,18 @@ def _q_ktruss_copurchase(sf_dir):
     return pd.DataFrame({"src": lo, "dst": hi})
 
 
+def _q_wl_colors(sf_dir):
+    """1-WL color refinement, 3 rounds, commutative splitmix combine —
+    graph.wl.wl_colors (per-round broadcast color vector, segmented
+    sums per contiguous vertex batch)."""
+    from pgd_ray.graph.wl import wl_colors
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    out = wl_colors(csr, rounds=3)
+    out["v"] = vids[out["v"].to_numpy()]
+    return out.astype({"v": np.int64, "color": np.int64})
+
+
 def _q_rich_club(sf_dir):
     """Rich-club coefficients phi(k) for k in {0,50,100,150} —
     graph.richclub.rich_club (one edge pass against the broadcast
@@ -1751,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "onion_copurchase": _q_onion_copurchase,
         "two_hop_sizes": _q_two_hop_sizes,
         "rich_club": _q_rich_club,
+        "wl_colors": _q_wl_colors,
         "s_metric": _q_s_metric,
         "link_pred_copurchase": _q_link_pred_copurchase,
         "link_pred_scores_copurchase": _q_link_pred_scores_copurchase,
@@ -3008,6 +3021,25 @@ tr(it, src, dst) AS (
   ) sup ON sup.u = t.src AND sup.v = t.dst AND sup.c >= 3
   WHERE t.it < 8)
 SELECT src, dst FROM tr WHERE it = 8""",
+        # wl_colors: 1-WL refinement with the engine's exact combine —
+        # c' = splitmix((splitmix(c) + Σ_nb splitmix(c_nb)) mod 2^64),
+        # colors carried as UBIGINT, sums in HUGEINT mod 2^64; output
+        # shifted right once for int64 safety (the MIS convention)
+        "wl_colors": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+wl(it, v, c) AS (
+  SELECT 0, v, CAST(degree AS UBIGINT) FROM d
+  UNION ALL
+  SELECT it + 1, v, {_splitmix_sql('acc', '0')} FROM (
+    SELECT w.it AS it, w.v AS v,
+           CAST((CAST({_splitmix_sql('w.c', '0')} AS HUGEINT)
+                 + SUM(CAST({_splitmix_sql('w2.c', '0')} AS HUGEINT)))
+                % {_M64} AS UBIGINT) AS acc
+    FROM wl w JOIN s ON s.src = w.v
+    JOIN wl w2 ON w2.v = s.dst AND w2.it = w.it
+    GROUP BY w.it, w.v, w.c
+  ) WHERE it < 3)
+SELECT v, CAST(c >> 1 AS BIGINT) AS color FROM wl WHERE it = 3""",
         # rich_club: edge density among vertices with degree > k
         "rich_club": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
