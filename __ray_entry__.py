@@ -1431,6 +1431,23 @@ def _q_tpch_q18(sf_dir):
     return q18(sf_dir, qty_over=250.0, k=100)
 
 
+def _q_tpch_q13(sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — NO join
+    (per-customer count histogram + a scalar zero-bucket) —
+    pipelines.tpch.q13."""
+    from pgd_ray.pipelines.tpch import q13
+
+    return q13(sf_dir)
+
+
+def _q_tpch_q7(sf_dir):
+    """TPC-H Q7 shape: cross-nation shipping volume by year — one
+    big⋈big join, dimension broadcast — pipelines.tpch.q7."""
+    from pgd_ray.pipelines.tpch import q7
+
+    return q7(sf_dir)
+
+
 def _q_tpch_q12(sf_dir):
     """TPC-H Q12 shape: conditional aggregation over one distributed
     hash join of the two big tables — pipelines.tpch.q12."""
@@ -1803,7 +1820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_corr": _q_returnflag_corr,
         "chunk_docs": _q_chunk_docs,
         "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
@@ -2525,6 +2544,33 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority""",
+        # pipelines.tpch.q13: LEFT JOIN order-count histogram
+        "tpch_q13": """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+        # pipelines.tpch.q7: cross-nation volume by ship year
+        "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+    AND epoch_us(l_shipdate) >= 788918400000000
+    AND epoch_us(l_shipdate) < 1009843200000000) sh
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3""",
         # pipelines.tpch.q10: returned-item revenue top-20; ORDER BY
         # the rounded alias — same contract as the engine's sort
         "tpch_q10": """

@@ -645,3 +645,128 @@ def q14(
         total_sum += float(b["total"].to_numpy(zero_copy_only=False).sum())
     share = 100.0 * promo_sum / total_sum if total_sum else 0.0
     return pd.DataFrame({"promo_revenue": [round(share, 4)]})
+
+
+def q13(sf_dir: str, exclude_priority: str = "1-URGENT") -> pd.DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape on this
+    schema: the comment-pattern exclusion becomes a priority
+    exclusion).  NO join at all: the per-customer count histogram
+    comes from one hash aggregate of filtered orders, and the
+    zero-order bucket is (total customers − customers with orders) —
+    two scalar counts.  Columns (c_count, custdist), ordered
+    (custdist desc, c_count desc)."""
+    from pgd_ray.util import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr=f"o_orderpriority != '{exclude_priority}'")
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="c_count")).materialize()
+    hist = (
+        per_cust.groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .to_pandas()
+    )
+    n_customers = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    zero = n_customers - int(per_cust.count())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    hist = hist.astype({"c_count": np.int64, "custdist": np.int64})
+    return hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False], ignore_index=True)
+
+
+def q7(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_19",
+    date_lo_us: int = 788_918_400_000_000,
+    date_hi_us: int = 1_009_843_200_000_000,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): revenue
+    per (supplier nation, customer nation, ship year) for cross-nation
+    pairs, shipdate in [lo, hi).  ONE big⋈big hash join
+    (lineitem⋈orders); supplier / customer / nation dimensions are
+    broadcast lookup arrays (the q5 star-schema pattern).  Columns
+    (supp_nation, cust_nation, l_year, revenue), ordered by the three
+    keys."""
+    import pyarrow.parquet as pq_mod
+
+    from pgd_ray.util import read_parquet_clean
+
+    nat = pq_mod.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    sup = pq_mod.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cst = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    names = np.empty(int(nat["n_nationkey"].max()) + 1, object)
+    names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+    sup_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, np.int64)
+    sup_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    cst_nat = np.full(int(cst["c_custkey"].max()) + 1, -1, np.int64)
+    cst_nat[cst["c_custkey"].to_numpy()] = cst["c_nationkey"].to_numpy()
+    dims = ray.put((names, sup_nat, cst_nat))
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return t.filter(pa.array((d >= date_lo_us) & (d < date_hi_us)))
+
+    j = li.map_batches(in_window, batch_format="pyarrow").join(
+        orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def volume(t: pa.Table, dims_ref=dims) -> pa.Table:
+        names, sup_nat, cst_nat = _dim_arrays(dims_ref)
+        sn = sup_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        cn = cst_nat[t["o_custkey"].to_numpy(zero_copy_only=False)]
+        sname = names[np.maximum(sn, 0)]
+        cname = names[np.maximum(cn, 0)]
+        m = (((sname == nation_a) & (cname == nation_b))
+             | ((sname == nation_b) & (cname == nation_a))) \
+            & (sn >= 0) & (cn >= 0)
+        if not m.any():
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "vol": pa.array([], pa.float64())})
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)[m]
+        year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "supp_nation": pa.array(sname[m], pa.string()),
+            "cust_nation": pa.array(cname[m], pa.string()),
+            "l_year": pa.array(year, pa.int64()),
+            "vol": price * (1.0 - disc),
+        })
+
+    agg = (
+        j.map_batches(volume, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("vol", alias_name="revenue"))
+        .to_pandas()
+    )
+    if agg.empty:  # empty aggregates lose their columns
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values(["supp_nation", "cust_nation", "l_year"],
+                           ignore_index=True)

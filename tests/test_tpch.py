@@ -96,3 +96,26 @@ def test_q18_matches_duckdb_and_threshold():
     # impossible threshold -> empty result, schema intact
     empty = q18(SF, qty_over=1e9)
     assert len(empty) == 0 and "c_name" in empty.columns
+
+
+def test_q13_matches_duckdb_and_accounts_all_customers():
+    import __ray_entry__ as E
+
+    got = E.queries()["tpch_q13"](SF).reset_index(drop=True)
+    exp = _con().execute(E.oracle_sql()["tpch_q13"]).df()
+    assert got["c_count"].tolist() == exp["c_count"].tolist()
+    assert got["custdist"].tolist() == exp["custdist"].astype(int).tolist()
+    ncust = _con().execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert got["custdist"].sum() == ncust
+
+
+def test_q7_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = E.queries()["tpch_q7"](SF).reset_index(drop=True)
+    exp = _con().execute(E.oracle_sql()["tpch_q7"]).df()
+    assert got["supp_nation"].tolist() == exp["supp_nation"].tolist()
+    assert got["l_year"].tolist() == exp["l_year"].tolist()
+    assert np.allclose(got["revenue"], exp["revenue"], atol=0.011)
+    # both directions of the nation pair appear
+    assert set(got["supp_nation"]) == {"NATION_3", "NATION_19"}
