@@ -1172,6 +1172,34 @@ def _q_weighted_sample(sf_dir):
     return out
 
 
+def _q_trigrams(sf_dir):
+    """Ordered event-type trigrams per user — stages.windows
+    .trigram_counts (sorted blocks, double shift-compare, boundary
+    stitch)."""
+    from pgd_ray.stages.windows import trigram_counts
+
+    return trigram_counts(sf_dir)
+
+
+def _q_degree_histogram(sf_dir):
+    """Log2-binned degree histogram — graph.degrees
+    .degree_histogram_log2 over the distributed degree table."""
+    from pgd_ray.graph.degrees import degree_histogram_log2, degree_table
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    out = degree_histogram_log2(degree_table(eds)).to_pandas()
+    return out.astype({"bin": np.int64, "n_vertices": np.int64})
+
+
+def _q_hill_alpha(sf_dir):
+    """Hill power-law tail estimator at d_min=64 — graph.degrees
+    .hill_alpha (one pass of (k, Σ ln d) partials)."""
+    from pgd_ray.graph.degrees import degree_table, hill_alpha
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    return hill_alpha(degree_table(eds), d_min=64)
+
+
 def _q_grouped_quantiles(sf_dir):
     """Per-event-type exact p50/p90 of value — stages.quantiles
     .grouped_quantiles (group-aware histogram refinement: one shared
@@ -1849,6 +1877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_cc": _q_local_cc,
         "cooccurrence": _q_cooccurrence,
         "transitions": _q_transitions,
+        "trigrams": _q_trigrams,
+        "degree_histogram": _q_degree_histogram,
+        "hill_alpha": _q_hill_alpha,
         "grouped_quantiles": _q_grouped_quantiles,
         "weighted_sample": _q_weighted_sample,
         "lexical_diversity": _q_lexical_diversity,
@@ -2239,6 +2270,30 @@ WITH s AS (
   FROM documents)
 SELECT doc_id, n_chars, ROUND(s.score, 6) AS score
 FROM s ORDER BY s.score DESC, doc_id LIMIT 50""",
+        # stages.windows.trigram_counts: double LEAD mirror
+        "trigrams": """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type AS type_a, t1 AS type_b, t2 AS type_c,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams
+FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2, 3""",
+        # graph.degrees.degree_histogram_log2
+        "degree_histogram": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE}
+SELECT CAST(FLOOR(log2(degree)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM d GROUP BY 1""",
+        # graph.degrees.hill_alpha at d_min = 64
+        "hill_alpha": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE}
+SELECT CAST(64 AS BIGINT) AS d_min, CAST(COUNT(*) AS BIGINT) AS k_tail,
+       ROUND(1.0 + COUNT(*) / (SUM(ln(CAST(degree AS DOUBLE)))
+                               - COUNT(*) * ln(64.0)), 6) AS alpha
+FROM d WHERE degree >= 64""",
         # stages.quantiles.grouped_quantiles: exact per-group rank rule
         # floor(q*(n-1)) — value identity, no interpolation, so the
         # histogram-refined engine value matches the sorted rank value

@@ -163,3 +163,47 @@ def _assort_partial(dv: np.ndarray, du: np.ndarray) -> pa.Table:
             "cnt": [int(len(dv))],
         }
     )
+
+
+def degree_histogram_log2(deg_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Log2-binned degree histogram over a (v, degree) Dataset —
+    columns (bin, n_vertices) with bin = floor(log2(degree)); the
+    standard heavy-tail eyeball plot, computed as per-batch bincount
+    partials + one tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False)
+        b = np.floor(np.log2(d)).astype(np.int64)
+        ub, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(ub, pa.int64()),
+                         "part": pa.array(c.astype(np.int64), pa.int64())})
+
+    return (
+        deg_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("part", alias_name="n_vertices"))
+    )
+
+
+def hill_alpha(deg_ds: ray.data.Dataset, d_min: int) -> pd.DataFrame:
+    """Hill power-law tail estimator over degrees >= d_min:
+    alpha = 1 + k / Σ ln(d_i / d_min).  One streamed pass of (k,
+    Σ ln d) partials; returns a single row (d_min, k_tail, alpha)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= d_min]
+        return pa.table({"k": pa.array([len(d)], pa.int64()),
+                         "lsum": pa.array([float(np.log(d).sum())],
+                                          pa.float64())})
+
+    k = 0
+    lsum = 0.0
+    for b in deg_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        k += int(b["k"].to_numpy(zero_copy_only=False).sum())
+        lsum += float(b["lsum"].to_numpy(zero_copy_only=False).sum())
+    denom = lsum - k * np.log(float(d_min))
+    alpha = 1.0 + k / denom if denom > 0 else float("nan")
+    return pd.DataFrame({"d_min": [np.int64(d_min)], "k_tail": [np.int64(k)],
+                         "alpha": [round(alpha, 6)]})

@@ -657,3 +657,74 @@ def transition_counts(sf_dir: str) -> ray.data.Dataset:
                 ray.data.from_arrow(_table(d)))
     return interior_counts.groupby(["type_from", "type_to"]).aggregate(
         Sum("n", alias_name="n_trans"))
+
+
+def trigram_counts(sf_dir: str) -> ray.data.Dataset:
+    """Ordered event-type trigrams per user ((t0, t1, t2) of three
+    consecutive events in (ts, event_id) order), counted corpus-wide —
+    columns (type_a, type_b, type_c, n_trigrams).  Same sorted-block +
+    boundary-user stitch as ``transition_counts`` with a double
+    shift-compare."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _tri(uid: np.ndarray, et: np.ndarray) -> pd.DataFrame | None:
+        if len(uid) < 3:
+            return None
+        m = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        if not m.any():
+            return None
+        return (
+            pd.DataFrame({"type_a": et[:-2][m], "type_b": et[1:-1][m],
+                          "type_c": et[2:][m]})
+            .groupby(["type_a", "type_b", "type_c"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def _table(d: pd.DataFrame | None) -> pa.Table:
+        if d is None or d.empty:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "type_c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "type_a": d["type_a"].to_numpy(dtype=object),
+            "type_b": d["type_b"].to_numpy(dtype=object),
+            "type_c": d["type_c"].to_numpy(dtype=object),
+            "n": d["n"].to_numpy(dtype=np.int64)})
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _table(None)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        return _table(_tri(uid[interior], et[interior]))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.select(cols).filter(
+            pa.array((uid == uid[0]) | (uid == uid[-1])))
+
+    interior_counts = srt.map_batches(
+        block, batch_format="pyarrow", batch_size=None)
+    bdf = srt.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        d = _tri(bdf["user_id"].to_numpy(), bdf["event_type"].to_numpy())
+        if d is not None and len(d):
+            interior_counts = interior_counts.union(
+                ray.data.from_arrow(_table(d)))
+    return interior_counts.groupby(["type_a", "type_b", "type_c"]).aggregate(
+        Sum("n", alias_name="n_trigrams"))

@@ -44,3 +44,21 @@ def test_rich_club_degenerate_thresholds():
     assert r0["n_k"] == 2 and r0["e_k"] == 1 and r0["phi"] == 1.0
     r5 = out[out["k"] == 5].iloc[0]
     assert r5["n_k"] == 0 and r5["e_k"] == 0 and r5["phi"] == 0.0
+
+
+def test_degree_histogram_and_hill():
+    import ray.data
+
+    from pgd_ray.graph.degrees import degree_histogram_log2, hill_alpha
+
+    deg = np.array([1, 2, 3, 4, 7, 8, 64, 100, 200], np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array(range(len(deg)), pa.int64()),
+        "degree": pa.array(deg, pa.int64())}))
+    hist = {r["bin"]: r["n_vertices"]
+            for r in degree_histogram_log2(ds).take_all()}
+    assert hist == {0: 1, 1: 2, 2: 2, 3: 1, 6: 2, 7: 1}
+    h = hill_alpha(ds, d_min=64)
+    tail = deg[deg >= 64].astype(float)
+    alpha = 1 + len(tail) / np.log(tail / 64.0).sum()
+    assert h["k_tail"][0] == 3 and abs(h["alpha"][0] - round(alpha, 6)) < 1e-9

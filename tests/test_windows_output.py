@@ -370,3 +370,36 @@ def test_transition_counts_matches_pandas(tmp_path):
     assert got["type_from"].tolist() == ref["type_from"].tolist()
     assert got["type_to"].tolist() == ref["type_to"].tolist()
     assert got["n_trans"].astype(int).tolist() == ref["n_trans"].tolist()
+
+
+def test_trigram_counts_matches_pandas(tmp_path):
+    import pandas as pd
+
+    from pgd_ray.stages.windows import trigram_counts
+
+    rng = np.random.default_rng(21)
+    n = 400
+    uid = rng.integers(0, 9, n)
+    ts_us = rng.integers(0, 10**9, n)
+    etype = rng.choice(np.array(["a", "b", "c"]), n)
+    sf = _write_typed_events(tmp_path, uid, ts_us, etype, shards=8)
+
+    got = trigram_counts(sf).to_pandas().sort_values(
+        ["type_a", "type_b", "type_c"], ignore_index=True)
+
+    df = pd.DataFrame({"user_id": uid, "ts": ts_us, "event_id": range(n),
+                       "event_type": etype}).sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+    u = df["user_id"].to_numpy()
+    e = df["event_type"].to_numpy()
+    m = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+    ref = (
+        pd.DataFrame({"type_a": e[:-2][m], "type_b": e[1:-1][m],
+                      "type_c": e[2:][m]})
+        .groupby(["type_a", "type_b", "type_c"]).size()
+        .reset_index(name="n_trigrams")
+        .sort_values(["type_a", "type_b", "type_c"], ignore_index=True)
+    )
+    assert got[["type_a", "type_b", "type_c"]].values.tolist() == \
+        ref[["type_a", "type_b", "type_c"]].values.tolist()
+    assert got["n_trigrams"].astype(int).tolist() == ref["n_trigrams"].tolist()
