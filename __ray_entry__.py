@@ -1088,6 +1088,26 @@ def _q_bigram_lm(sf_dir):
     return bigram_lm_score(docs).to_pandas()
 
 
+def _q_curate_corpus(sf_dir):
+    """End-to-end curation: clean_corpus_ds -> decontamination filter
+    -> distributed sequence packing, Dataset-out —
+    pipelines.curate.curate_corpus; the oracle splices the
+    clean/decontam/pack mirrors into one chain."""
+    import pyarrow as pa
+
+    from pgd_ray.pipelines.curate import curate_corpus
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+        )),
+        batch_format="pyarrow",
+    )
+    return curate_corpus(docs, bench).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+
+
 def _q_decontaminate(sf_dir):
     """Benchmark decontamination: docs sharing any token 8-gram with
     the benchmark slice (doc_id % 50 == 0) are flagged —
@@ -1871,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "bigram_lm": _q_bigram_lm,
         "decontaminate": _q_decontaminate,
+        "curate_corpus": _q_curate_corpus,
         "tfidf_top5": _q_tfidf_top5,
         "bm25_rank": _q_bm25_rank,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -2034,6 +2055,98 @@ def _anf_lane_sql() -> tuple[str, str]:
         for k in range(8)
     )
     return aggs, merged
+
+
+# clean_corpus oracle, split for composition: the CTE chain and the
+# survivor SELECT are reused verbatim by the end-to-end curate_corpus
+# mirror (clean -> decontaminate -> pack)
+_CLEAN_SQL_CTES = r"""st AS (
+  SELECT doc_id, token_count,
+         ROUND(0.4*least(n_chars/200.0, 1.0)
+               + 0.5*(word_count/CAST(greatest(token_count,1) AS DOUBLE))
+               + 0.1*(1.0 - digit_count/CAST(greatest(n_chars,1) AS DOUBLE)), 6) AS quality
+  FROM (SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS token_count,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS word_count,
+               CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count
+        FROM documents)),
+lg AS (
+  SELECT doc_id, CASE
+    WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+    WHEN de = greatest(de, en, es, fr) THEN 'de'
+    WHEN en = greatest(de, en, es, fr) THEN 'en'
+    WHEN es = greatest(de, en, es, fr) THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM (SELECT doc_id,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['das','den','der','die','ein','ist','mit','nicht','und','zu'], x))) AS de,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['a','and','for','in','is','it','of','that','the','to'], x))) AS en,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['el','es','la','las','los','por','que','un','una','y'], x))) AS es,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> list_contains(['des','est','et','la','le','les','pour','que','un','une'], x))) AS fr
+  FROM documents)),
+filt AS (
+  SELECT d.doc_id, st.token_count, st.quality, md5(d.text) AS h, d.text
+  FROM documents d JOIN st USING (doc_id) JOIN lg USING (doc_id)
+  WHERE lg.lang_pred = 'en' AND st.quality >= 0.9),
+ex AS (
+  SELECT * FROM filt
+  WHERE doc_id = (SELECT MIN(f2.doc_id) FROM filt f2 WHERE f2.h = filt.h)),
+sh AS (
+  SELECT doc_id,
+    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
+  FROM (SELECT doc_id,
+        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
+        FROM (SELECT doc_id,
+              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
+              FROM ex)) ),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.7),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+walk(v, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.v),
+comp AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v)"""
+
+_CLEAN_SQL_FINAL = r"""SELECT e.doc_id, e.token_count, e.quality
+FROM ex e LEFT JOIN comp c ON c.v = e.doc_id
+WHERE c.comp IS NULL OR c.comp = e.doc_id"""
+
+_CLEAN_SQL = "WITH RECURSIVE\n" + _CLEAN_SQL_CTES + "\n" + _CLEAN_SQL_FINAL
+
+_CURATE_SQL = (
+    "WITH RECURSIVE\n" + _CLEAN_SQL_CTES + ",\n"
+    + "surv AS (" + _CLEAN_SQL_FINAL + r"""),
+w0c AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+        FROM documents),
+gc AS (SELECT doc_id, array_to_string(ws[pos:pos+7], ' ') AS gram
+       FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS pos
+             FROM w0c)),
+bgc AS (SELECT DISTINCT gram FROM gc WHERE doc_id % 50 = 0),
+contam AS (SELECT DISTINCT gc.doc_id FROM gc JOIN bgc ON bgc.gram = gc.gram),
+keptc AS (SELECT surv.* FROM surv
+          LEFT JOIN contam ON contam.doc_id = surv.doc_id
+          WHERE contam.doc_id IS NULL),
+packedc AS (
+  SELECT doc_id, token_count, quality,
+         CAST(COALESCE(SUM(token_count) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM keptc)
+SELECT doc_id, token_count, quality, start_tok,
+       start_tok // 1024 AS pack_id,
+       start_tok % 1024 AS pack_offset
+FROM packedc"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2831,66 +2944,8 @@ FROM af JOIN comp c ON c.v = af.vec_id""",
         # >= 0.7 graph, keep each component's min).  Composes the
         # individually-oracled lang_id / text_stats / exact_dedup /
         # minhash_dedup fragments.
-        "clean_corpus": r"""
-WITH RECURSIVE
-st AS (
-  SELECT doc_id, token_count,
-         ROUND(0.4*least(n_chars/200.0, 1.0)
-               + 0.5*(word_count/CAST(greatest(token_count,1) AS DOUBLE))
-               + 0.1*(1.0 - digit_count/CAST(greatest(n_chars,1) AS DOUBLE)), 6) AS quality
-  FROM (SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS token_count,
-               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS word_count,
-               CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count
-        FROM documents)),
-lg AS (
-  SELECT doc_id, CASE
-    WHEN greatest(de, en, es, fr) = 0 THEN 'und'
-    WHEN de = greatest(de, en, es, fr) THEN 'de'
-    WHEN en = greatest(de, en, es, fr) THEN 'en'
-    WHEN es = greatest(de, en, es, fr) THEN 'es'
-    ELSE 'fr' END AS lang_pred
-  FROM (SELECT doc_id,
-    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-        x -> list_contains(['das','den','der','die','ein','ist','mit','nicht','und','zu'], x))) AS de,
-    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-        x -> list_contains(['a','and','for','in','is','it','of','that','the','to'], x))) AS en,
-    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-        x -> list_contains(['el','es','la','las','los','por','que','un','una','y'], x))) AS es,
-    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-        x -> list_contains(['des','est','et','la','le','les','pour','que','un','une'], x))) AS fr
-  FROM documents)),
-filt AS (
-  SELECT d.doc_id, st.token_count, st.quality, md5(d.text) AS h, d.text
-  FROM documents d JOIN st USING (doc_id) JOIN lg USING (doc_id)
-  WHERE lg.lang_pred = 'en' AND st.quality >= 0.9),
-ex AS (
-  SELECT * FROM filt
-  WHERE doc_id = (SELECT MIN(f2.doc_id) FROM filt f2 WHERE f2.h = filt.h)),
-sh AS (
-  SELECT doc_id,
-    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
-  FROM (SELECT doc_id,
-        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
-        FROM (SELECT doc_id,
-              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
-              FROM ex)) ),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
-        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.7),
-sym AS (SELECT doc_a AS u, doc_b AS v FROM p
-        UNION ALL SELECT doc_b, doc_a FROM p),
-walk(v, comp) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
-  UNION
-  SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.v),
-comp AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v)
-SELECT e.doc_id, e.token_count, e.quality
-FROM ex e LEFT JOIN comp c ON c.v = e.doc_id
-WHERE c.comp IS NULL OR c.comp = e.doc_id""",
+        "clean_corpus": _CLEAN_SQL,
+        "curate_corpus": _CURATE_SQL,
         # minhash_dedup: dup groups = connected components of the exact
         # char-5-gram Jaccard >= 0.7 pair graph (group id = min doc_id).
         # The Ray side reaches the same pair set via MinHash+LSH

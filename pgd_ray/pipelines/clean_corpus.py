@@ -93,7 +93,31 @@ def clean_corpus(
     concurrency=(1, 16),
 ) -> pd.DataFrame:
     """Run the full hygiene chain; returns the survivors' (doc_id,
-    token_count, quality) — deterministic, every kept doc is its
+    token_count, quality) as pandas (oracle-compare convenience) —
+    ``clean_corpus_ds`` is the Dataset-out contract for composition."""
+    out = clean_corpus_ds(docs, lang=lang, quality_min=quality_min,
+                          nd_threshold=nd_threshold,
+                          concurrency=concurrency).to_pandas()
+    if out.empty:  # empty frames come back column-less
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "token_count": pd.Series([], dtype="int64"),
+                "quality": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def clean_corpus_ds(
+    docs: ray.data.Dataset,
+    lang: str = "en",
+    quality_min: float = 0.9,
+    nd_threshold: float = 0.7,
+    concurrency=(1, 16),
+) -> ray.data.Dataset:
+    """The hygiene chain with the survivors left DISTRIBUTED: a
+    Dataset of (doc_id, token_count, quality) — every kept doc is its
     (exact and near) duplicate group's minimum doc_id."""
     from pgd_ray.text.dedup import candidate_pairs_minhash
 
@@ -161,17 +185,7 @@ def clean_corpus(
         d = ray.get(drop_ref)
         return b[~b["doc_id"].isin(d)] if d else b
 
-    out = (
+    return (
         survivors.map_batches(drop_neardups, batch_format="pandas")
         .select_columns(["doc_id", "token_count", "quality"])
-        .to_pandas()
     )
-    if out.empty:  # empty frames come back column-less
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "token_count": pd.Series([], dtype="int64"),
-                "quality": pd.Series([], dtype="float64"),
-            }
-        )
-    return out.sort_values("doc_id", ignore_index=True)
