@@ -1231,6 +1231,26 @@ def _q_grouped_quantiles(sf_dir):
     return grouped_quantiles(ev, "event_type", "value", [0.5, 0.9])
 
 
+def _q_zipf_slope(sf_dir):
+    """Zipf rank-frequency exponent over the top-100 vocabulary —
+    text.analysis.zipf_slope (one vocab shuffle, closed-form OLS on n
+    driver rows)."""
+    from pgd_ray.text.analysis import zipf_slope
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return zipf_slope(docs, n=100)
+
+
+def _q_kmv_events(sf_dir):
+    """KMV bottom-k distinct sketch over event_id (k=256) —
+    stages.kmv.kmv_distinct (per-batch bottom-k, #blocks×k driver
+    merge; integer-exact through the k-th minimum)."""
+    from pgd_ray.stages.kmv import kmv_distinct
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return kmv_distinct(ev, "event_id", k=256)
+
+
 def _q_transitions(sf_dir):
     """Markov transition bigrams: consecutive same-user event-type
     pairs in (ts, event_id) order — stages.windows.transition_counts
@@ -1885,6 +1905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_value": _q_quantiles_value,
         "distinct_users": _q_distinct_users,
         "hll_users": _q_hll_users,
+        "kmv_events": _q_kmv_events,
+        "zipf_slope": _q_zipf_slope,
         "stratified_docs": _q_stratified_docs,
         "cap_per_source": _q_cap_per_source,
         "pack_assignments": _q_pack_assignments,
@@ -2419,6 +2441,35 @@ WITH v AS (SELECT event_type, value,
 qq AS (SELECT * FROM (VALUES (0.5), (0.9)) t(q))
 SELECT event_type, q, value FROM v, qq
 WHERE rk = CAST(floor(q * (n - 1)) AS BIGINT)""",
+        # text.analysis.zipf_slope: OLS of ln(count) on ln(rank)
+        "zipf_slope": """
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
+             FROM documents),
+top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM tok GROUP BY token ORDER BY n_total DESC, token LIMIT 100),
+r AS (SELECT ln(CAST(row_number() OVER (
+                 ORDER BY n_total DESC, token) AS DOUBLE)) AS x,
+             ln(CAST(n_total AS DOUBLE)) AS y
+      FROM top)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept
+FROM r""",
+        # stages.kmv: bottom-256 splitmix values over event_id —
+        # integer-exact through the k-th minimum; estimator
+        # (k-1)·2^64/h_k with the identical double conversion
+        "kmv_events": f"""
+WITH h AS (SELECT DISTINCT {_splitmix_sql('event_id', '0')} AS hv
+           FROM events),
+b AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+kth AS (SELECT MAX(hv) AS kh, COUNT(*) AS n FROM b)
+SELECT CAST(n AS BIGINT) AS k_used,
+       CASE WHEN n < 256 THEN CAST(0 AS BIGINT)
+            ELSE CAST(kh >> 1 AS BIGINT) END AS kth_hash,
+       CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+            ELSE ROUND(255 * 18446744073709551616.0
+                       / CAST(kh AS DOUBLE), 6) END AS est_distinct
+FROM kth""",
         # stages.windows.transition_counts: adjacent same-user pairs
         "transitions": """
 WITH s AS (

@@ -270,3 +270,25 @@ def vocab_topk(
     )
     totals = partial.groupby("token").aggregate(Sum("n", alias_name="n_total"))
     return totals.sort(["n_total", "token"], descending=[True, False]).limit(n)
+
+
+def zipf_slope(
+    docs: ray.data.Dataset, n: int = 100, concurrency=(1, 16)
+) -> pd.DataFrame:
+    """Zipf rank-frequency exponent: the OLS slope of ln(count) on
+    ln(rank) over the corpus's top-``n`` vocabulary (rank 1 = most
+    frequent; ties -> token asc, the ``vocab_topk`` order).  Natural
+    text sits near -1.  One distributed vocab pass (the vocab_topk
+    shuffle); the regression is a closed form over n driver rows.
+    Returns a single row (n_terms, slope, intercept)."""
+    top = vocab_topk(docs, n=n, concurrency=concurrency).to_pandas()
+    if top.empty:
+        return pd.DataFrame({"n_terms": [np.int64(0)],
+                             "slope": [np.nan], "intercept": [np.nan]})
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n_total"].to_numpy(dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+    return pd.DataFrame({"n_terms": [np.int64(len(top))],
+                         "slope": [round(float(slope), 6)],
+                         "intercept": [round(float(ym - slope * xm), 6)]})
