@@ -166,6 +166,7 @@ def run_bench() -> dict:
     sketches = _sketch_micro()
     r2ops = _round2_ops()
     r3ops = _round3_ops(dense, csr, nw)
+    r3bops = _round3b_ops(dense, csr, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -185,6 +186,7 @@ def run_bench() -> dict:
         "sketch_docs_per_sec": sketches,
         "round2_ops_sec": r2ops,
         "round3_ops_sec": r3ops,
+        "round3b_ops_sec": r3bops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -278,6 +280,66 @@ def _round3_ops(dense, csr, nw: int) -> dict:
        date_hi_us=852_076_800_000_000, disc_lo=0.04, disc_hi=0.06,
        qty_below=24.0)
     out["tpch_q6"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _round3b_ops(dense, csr, nw: int) -> dict:
+    """Wall time of the late-round-3 operators (auxiliary): densest
+    subgraph peel, onion decomposition (task kernel), exact 2-hop
+    sizes, 1-WL refinement, segment-level span dedup, the end-to-end
+    curate pipeline, KMV sketch and MMR re-rank."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pgd_ray.graph.densest import densest_subgraph
+    from pgd_ray.graph.onion import onion_layers
+    from pgd_ray.graph.twohop import two_hop_sizes
+    from pgd_ray.graph.wl import wl_colors
+    from pgd_ray.pipelines.curate import curate_corpus
+    from pgd_ray.stages.kmv import kmv_distinct
+    from pgd_ray.stages.similarity import mmr_rerank
+    from pgd_ray.text.segdedup import segment_dedup_docs
+    from pgd_ray.util import read_parquet_clean
+
+    out = {}
+    t0 = time.perf_counter()
+    densest_subgraph(dense)
+    out["densest_peel"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    onion_layers(dense, csr).materialize()
+    out["onion_task"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    two_hop_sizes(csr).materialize()
+    out["two_hop_sizes"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    wl_colors(csr, rounds=3)
+    out["wl_3rounds"] = round(time.perf_counter() - t0, 3)
+
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    segment_dedup_docs(docs).materialize()
+    out["segment_dedup"] = round(time.perf_counter() - t0, 3)
+    bench_slice = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)),
+        batch_format="pyarrow")
+    t0 = time.perf_counter()
+    curate_corpus(docs, bench_slice).materialize()
+    out["curate_corpus"] = round(time.perf_counter() - t0, 3)
+
+    ev = read_parquet_clean(f"{SF_DIR}/events.parquet", columns=["event_id"])
+    t0 = time.perf_counter()
+    kmv_distinct(ev, "event_id", k=256)
+    out["kmv_distinct"] = round(time.perf_counter() - t0, 3)
+    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    q = np.asarray(
+        emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0],
+        np.float64)
+    t0 = time.perf_counter()
+    mmr_rerank(emb.filter(expr="vec_id != 0"), q, k=5)
+    out["mmr_top5"] = round(time.perf_counter() - t0, 3)
     return out
 
 
