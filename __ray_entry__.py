@@ -608,6 +608,19 @@ def _q_eigencen_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_katz_copurchase(sf_dir):
+    from pgd_ray.graph.iterative import katz_centrality
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    # α = 0.5/Δ ≤ 0.5/λ_max makes the Jacobi iteration a contraction
+    # (truncation error ≤ 2^-32 after the fixed 32 rounds), and the
+    # oracle derives the SAME scalar from its degree CTE — both sides
+    # compute 0.5/Δ in IEEE float64, so the mirror is exact
+    alpha = 0.5 / max(1, int(np.diff(csr.indptr).max()))
+    x = katz_centrality(csr, alpha=alpha, beta=1.0, iters=32)
+    return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
+
+
 def _q_kcore_copurchase(sf_dir):
     from pgd_ray.graph.iterative import kcore
 
@@ -1833,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_copurchase": _q_pagerank_copurchase,
         "kcore_copurchase": _q_kcore_copurchase,
         "eigencen_copurchase": _q_eigencen_copurchase,
+        "katz_copurchase": _q_katz_copurchase,
         "mis_copurchase": _q_mis_copurchase,
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
@@ -3194,6 +3208,23 @@ eig(it, v, score) AS (
     FROM eig JOIN s ON s.src = eig.v
     WHERE eig.it < 64 GROUP BY eig.it+1, s.dst) t)
 SELECT v, ROUND(score, 9) AS score FROM eig WHERE it = 64""",
+        # katz_copurchase: Katz centrality as 32 fixed Jacobi rounds
+        # x ← 1 + α·A·x from x_0 = 1, with α = 0.5/Δ derived from the
+        # degree CTE exactly as the engine derives it from the CSR —
+        # a contraction, so the fixed horizon is within 2^-32 of the
+        # Neumann-series limit.  Every copurchase vertex has degree
+        # ≥ 1, so the inner join covers the full vertex set.
+        "katz_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+al AS (SELECT 0.5 / CAST(MAX(degree) AS DOUBLE) AS a FROM d),
+kz(it, v, score) AS (
+  SELECT 0, v, CAST(1.0 AS DOUBLE) FROM d
+  UNION ALL
+  SELECT it, v, 1.0 + (SELECT a FROM al) * raw FROM (
+    SELECT kz.it+1 AS it, s.dst AS v, SUM(kz.score) AS raw
+    FROM kz JOIN s ON s.src = kz.v
+    WHERE kz.it < 32 GROUP BY kz.it+1, s.dst) t)
+SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         "kcore_copurchase": f"""
 WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
 k(it, v, val) AS (

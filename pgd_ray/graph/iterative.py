@@ -180,6 +180,11 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         # summation order differs, so cross-engine equality is
         # allclose-level, unlike the integer programs)
         return extras["inv_norm"] * _seg_sum(vals, idx)
+    if program == "katz":
+        # Katz centrality, Jacobi form: x ← β·1 + α·A·x.  Raw neighbor
+        # state (no degree scaling), constant extras — works unchanged
+        # on both the broadcast and the sharded executor.
+        return extras["beta"] + extras["alpha"] * _seg_sum(vals, idx)
     if program == "cc":
         return np.minimum(own, _seg_min(vals, idx, own))
     if program == "bfs":
@@ -973,6 +978,44 @@ def eigenvector_centrality(
     )
     nrm = float(np.linalg.norm(y))
     return y / nrm if nrm > 0 else y
+
+
+def katz_centrality(
+    csr: CSRGraph,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    iters: int = 32,
+    checkpoint_dir=None,
+    resume: bool = False,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Katz centrality by a FIXED number of Jacobi rounds
+    x_{t+1} = β·1 + α·A·x_t from x_0 = β·1 (so the result is a pure
+    function of (graph, α, β, iters), mirrorable by a recursive-CTE
+    oracle; with α < 1/λ_max the sequence is the truncated Neumann
+    series β·Σ_t α^t A^t 1).  Unlike PageRank there is no degree
+    normalization and no teleport renormalization — a hub's score
+    grows with raw neighborhood volume.  Constant extras, raw-state
+    gather: runs unchanged on the broadcast and sharded executors."""
+    n = csr.n
+    if n == 0:
+        return np.array([])
+    eng = IterativeEngine(
+        csr, "katz", n_workers=n_workers, engine=engine,
+        checkpoint_dir=checkpoint_dir, workers=workers,
+    )
+    x, _ = eng.run(
+        np.full(n, float(beta)),
+        lambda s: {"alpha": float(alpha), "beta": float(beta)},
+        lambda d: False,
+        iters,
+        resume=resume,
+        extras_from_stats=lambda stats: {"alpha": float(alpha),
+                                         "beta": float(beta)},
+    )
+    return x
 
 
 def bfs_distances(

@@ -390,6 +390,50 @@ def test_eigenvector_centrality_edgeless_and_empty():
     assert np.array_equal(z, np.zeros(3))
 
 
+def _katz_ref(csr, alpha, beta, iters):
+    n = csr.n
+    A = np.zeros((n, n))
+    src = np.repeat(np.arange(n), csr.degrees())
+    A[src, csr.indices] = 1.0
+    x = np.full(n, beta)
+    for _ in range(iters):
+        x = beta + alpha * (A @ x)
+    return x
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_katz_matches_dense(seed):
+    from pgd_ray.graph.iterative import katz_centrality
+
+    csr = _csr(40, 0.15, seed)
+    alpha = 0.5 / max(1, int(csr.degrees().max()))
+    got = katz_centrality(csr, alpha=alpha, beta=1.0, iters=32, n_workers=3)
+    assert np.allclose(got, _katz_ref(csr, alpha, 1.0, 32), atol=1e-9)
+
+
+def test_katz_engine_parity_and_empty():
+    from pgd_ray.graph.iterative import katz_centrality
+
+    csr = _csr(60, 0.1, 13)
+    alpha = 0.5 / max(1, int(csr.degrees().max()))
+    a = katz_centrality(csr, alpha=alpha, iters=16, n_workers=3,
+                        engine="actors")
+    d = katz_centrality(csr, alpha=alpha, iters=16, n_workers=3,
+                        engine="dataset")
+    s = katz_centrality(csr, alpha=alpha, iters=16, n_workers=3,
+                        engine="sharded")
+    # per-range float gather order is identical across executors
+    assert np.array_equal(a, d)
+    assert np.array_equal(a, s)
+    assert len(katz_centrality(csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=0))) == 0
+    # edgeless n=3: x stays at beta + alpha*0 = beta
+    z = katz_centrality(csr_from_edge_arrays(
+        np.array([], np.int64), np.array([], np.int64), n=3),
+        alpha=0.1, beta=2.0, iters=4)
+    assert np.array_equal(z, np.full(3, 2.0))
+
+
 @pytest.mark.parametrize("seed", [11, 12])
 def test_mis_independent_maximal_engine_parity(seed):
     from pgd_ray.graph.iterative import maximal_independent_set
