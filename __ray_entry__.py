@@ -67,6 +67,25 @@ e AS (SELECT DISTINCT least(va.tid, vb.tid) AS src, greatest(va.tid, vb.tid) AS 
 """
 )
 
+# bipartite user x event_type incidence + HITS authority iteration —
+# pgd_ray.graph.bipartite (M = B^T B gram matrix, 32 power rounds)
+_BIP_CTE = """
+p AS (SELECT DISTINCT user_id, event_type FROM events),
+m AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM p a JOIN p b ON a.user_id = b.user_id GROUP BY 1, 2),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t
+       FROM (SELECT DISTINCT event_type FROM p)),
+av(it, et, a) AS (
+  SELECT 0, event_type, 1.0/sqrt((SELECT t FROM tt))
+  FROM (SELECT DISTINCT event_type FROM p)
+  UNION ALL
+  SELECT it, et, raw / sqrt(SUM(raw*raw) OVER ()) FROM (
+    SELECT av.it+1 AS it, m.ta AS et, SUM(m.c * av.a) AS raw
+    FROM av JOIN m ON m.tb = av.et
+    WHERE av.it < 32 GROUP BY av.it+1, m.ta) q)
+"""
+
 # co-purchase edges — pgd_ray.sources.edges.edges_copurchase
 _E_CTE = """
 e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -619,6 +638,46 @@ def _q_katz_copurchase(sf_dir):
     alpha = 0.5 / max(1, int(np.diff(csr.indptr).max()))
     x = katz_centrality(csr, alpha=alpha, beta=1.0, iters=32)
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
+
+
+def _q_avg_neighbor_degree(sf_dir):
+    from pgd_ray.graph.iterative import IterativeEngine
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    deg = np.diff(csr.indptr).astype(np.float64)
+    # one gather round of the katz program with (α=1, β=0) from
+    # state = degrees is exactly Σ_{u∈N(v)} deg(u) — reuse the
+    # distributed executor instead of a bespoke kernel
+    eng = IterativeEngine(csr, "katz", n_workers=8)
+    snd, _ = eng.run(deg, lambda s: {"alpha": 1.0, "beta": 0.0},
+                     lambda d: False, 1)
+    df = pd.DataFrame({
+        "degree": deg.astype(np.int64),
+        "nbr_mean": snd / np.maximum(deg, 1.0),
+    })
+    out = df.groupby("degree", as_index=False)["nbr_mean"].mean()
+    return pd.DataFrame({"degree": out["degree"],
+                         "knn": np.round(out["nbr_mean"], 9)})
+
+
+def _q_hits_authorities(sf_dir):
+    from pgd_ray.graph.bipartite import hits_scores
+
+    auth, _hubs = hits_scores(sf_dir, iters=32)
+    return auth
+
+
+def _q_hits_hubs(sf_dir):
+    from pgd_ray.graph.bipartite import hits_scores
+
+    _auth, hubs = hits_scores(sf_dir, iters=32)
+    return hubs
+
+
+def _q_butterflies(sf_dir):
+    from pgd_ray.graph.bipartite import butterflies_per_type
+
+    return butterflies_per_type(sf_dir)
 
 
 def _q_kcore_copurchase(sf_dir):
@@ -1847,6 +1906,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": _q_kcore_copurchase,
         "eigencen_copurchase": _q_eigencen_copurchase,
         "katz_copurchase": _q_katz_copurchase,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "hits_authorities": _q_hits_authorities,
+        "hits_hubs": _q_hits_hubs,
+        "butterflies_type": _q_butterflies,
         "mis_copurchase": _q_mis_copurchase,
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
@@ -3225,6 +3288,46 @@ kz(it, v, score) AS (
     FROM kz JOIN s ON s.src = kz.v
     WHERE kz.it < 32 GROUP BY kz.it+1, s.dst) t)
 SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
+        # hits_*: Kleinberg HITS on the bipartite user x event_type
+        # incidence graph, collapsed to the T-dim gram matrix
+        # M = B^T B (pgd_ray.graph.bipartite — the thin-side trick):
+        # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
+        # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
+        # per-round norm > 0, so the unguarded division is safe.
+        # avg_neighbor_degree: degree-degree correlation profile
+        # knn(k) = mean over degree-k vertices of (mean neighbor
+        # degree) — the Pastor-Satorras k_nn(k) curve; one gather
+        # round over the CSR on the engine side.
+        "avg_neighbor_degree": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+nd AS (SELECT s.src AS v, SUM(dd.degree) AS snd
+       FROM s JOIN d dd ON dd.v = s.dst GROUP BY s.src)
+SELECT d.degree,
+       ROUND(AVG(CAST(nd.snd AS DOUBLE) / d.degree), 9) AS knn
+FROM d JOIN nd ON nd.v = d.v GROUP BY d.degree""",
+        "hits_authorities": f"""
+WITH RECURSIVE {_BIP_CTE}
+SELECT et AS event_type, ROUND(a, 9) AS authority FROM av WHERE it = 32""",
+        "hits_hubs": f"""
+WITH RECURSIVE {_BIP_CTE},
+hr AS (SELECT p.user_id, SUM(av.a) AS raw
+       FROM p JOIN av ON av.et = p.event_type AND av.it = 32
+       GROUP BY p.user_id)
+SELECT user_id, ROUND(raw / (SELECT sqrt(SUM(raw*raw)) FROM hr), 9) AS hub
+FROM hr""",
+        # butterflies_type: per-type 2x2-biclique participation — the
+        # pair (ta < tb) with codegree c carries C(c,2) butterflies,
+        # credited to both endpoint types.
+        "butterflies_type": """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+m2 AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS c
+       FROM p a JOIN p b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2),
+u AS (SELECT ta AS event_type, c*(c-1)//2 AS b FROM m2
+      UNION ALL SELECT tb, c*(c-1)//2 FROM m2)
+SELECT event_type, CAST(SUM(b) AS BIGINT) AS butterflies
+FROM u GROUP BY event_type""",
         "kcore_copurchase": f"""
 WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
 k(it, v, val) AS (
