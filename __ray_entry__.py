@@ -1149,6 +1149,36 @@ def _q_tpch_q6(sf_dir):
               disc_lo=0.04, disc_hi=0.06, qty_below=24.0)
 
 
+_Q8_HI_US = 883_612_800_000_000   # 1998-01-01T00:00Z
+_Q15_HI_US = 828_316_800_000_000  # 1996-04-01T00:00Z
+
+
+def _q_tpch_q8(sf_dir):
+    """TPC-H Q8 national market share — pipelines.tpch.q8 (one shuffle
+    join; part/supplier/customer/nation/region broadcast)."""
+    from pgd_ray.pipelines.tpch import q8
+
+    return q8(sf_dir, nation="NATION_2", region="ASIA", ptype="ECONOMY",
+              date_lo_us=_Q5_LO_US, date_hi_us=_Q8_HI_US)
+
+
+def _q_tpch_q15(sf_dir):
+    """TPC-H Q15 top supplier — pipelines.tpch.q15 (partial per-batch
+    sums, tiny groupby, O(#ties) driver head)."""
+    from pgd_ray.pipelines.tpch import q15
+
+    return q15(sf_dir, date_lo_us=_Q5_LO_US, date_hi_us=_Q15_HI_US)
+
+
+def _q_tpch_q17(sf_dir):
+    """TPC-H Q17 small-quantity revenue (brand-only predicate — the
+    slim schema has no p_container) — pipelines.tpch.q17 (two passes
+    over the brand's lineitems, O(#brand parts) broadcast threshold)."""
+    from pgd_ray.pipelines.tpch import q17
+
+    return q17(sf_dir, brand="Brand#1")
+
+
 def _q_bigram_lm(sf_dir):
     """Self-trained bigram-LM quality score per document —
     text.lm.bigram_lm_score (pass 1: partial-combined bigram counts,
@@ -2008,6 +2038,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
     }
 
 
@@ -2430,6 +2463,45 @@ WHERE epoch_us(l_shipdate) >= {_Q5_LO_US}
   AND epoch_us(l_shipdate) < {_Q5_HI_US}
   AND l_discount BETWEEN 0.04 AND 0.06
   AND l_quantity < 24""",
+        "tpch_q8": f"""
+SELECT o_year,
+       ROUND(SUM(CASE WHEN s_nation = 'NATION_2' THEN volume ELSE 0.0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS s_nation
+  FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+       JOIN region r ON n1.n_regionkey = r.r_regionkey
+       JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND epoch_us(o.o_orderdate) >= {_Q5_LO_US}
+    AND epoch_us(o.o_orderdate) < {_Q8_HI_US})
+GROUP BY o_year""",
+        "tpch_q15": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_Q5_LO_US}
+    AND epoch_us(l_shipdate) < {_Q15_HI_US}
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+        # tpch_q17: brand-only predicate (slim schema has no
+        # p_container); threshold 0.2·AVG via exact integer-valued
+        # double sums on both sides.
+        "tpch_q17": """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT CAST(0.2 AS DOUBLE) * (SUM(l2.l_quantity) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""",
         "cooccurrence": """
 SELECT least(a.event_type, b.event_type) AS type_a,
        greatest(a.event_type, b.event_type) AS type_b,

@@ -770,3 +770,224 @@ def q7(
     agg["revenue"] = agg["revenue"].round(2)
     return agg.sort_values(["supp_nation", "cust_nation", "l_year"],
                            ignore_index=True)
+
+
+def q8(
+    sf_dir: str,
+    nation: str,
+    region: str,
+    ptype: str,
+    date_lo_us: int,
+    date_hi_us: int,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """National market share: per order-year in [lo, hi), the share of
+    ``region``-market revenue (customer's nation in the region, part
+    of the given type) supplied by ``nation``.  Columns
+    (o_year, mkt_share).  Same star-schema posture as q5: ONE shuffle
+    join (orders⋈lineitem); part/supplier/customer/nation/region all
+    collapse to broadcast dense lookup arrays."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cst = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    rkey = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    in_region = np.zeros(int(nat["n_nationkey"].max()) + 1, dtype=bool)
+    for _, r in nat.iterrows():
+        in_region[r["n_nationkey"]] = r["n_regionkey"] in rkey
+    tkeys = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    target = int(tkeys.iloc[0]) if len(tkeys) else -1
+    sel_part = np.zeros(int(prt["p_partkey"].max()) + 1, dtype=bool)
+    sel_part[prt.loc[prt["p_type"] == ptype, "p_partkey"].to_numpy()] = True
+    sup_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    sup_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    cst_nat = np.full(int(cst["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cst_nat[cst["c_custkey"].to_numpy()] = cst["c_nationkey"].to_numpy()
+    dims = ray.put((in_region, sel_part, sup_nat, cst_nat, target))
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        d = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]"))
+        m = (d.astype(np.int64) >= date_lo_us) & (d.astype(np.int64) < date_hi_us)
+        yr = d[m].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(m)),
+            "o_custkey": t["o_custkey"].filter(pa.array(m)),
+            "o_year": yr,
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_proj, batch_format="pyarrow")
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    j = li.join(
+        orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def vols(t: pa.Table, dims_ref) -> pa.Table:
+        in_region, sel_part, sup_nat, cst_nat, target = _dim_arrays(dims_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = cst_nat[ck]
+        m = sel_part[pk] & (cn >= 0) & in_region[np.maximum(cn, 0)]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        vol = price * (1.0 - disc)
+        is_t = sup_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)[m]] == target
+        return pa.table({
+            "o_year": t["o_year"].filter(pa.array(m)),
+            "vol": vol,
+            "tvol": np.where(is_t, vol, 0.0),
+        })
+
+    agg = (
+        j.map_batches(vols, fn_kwargs={"dims_ref": dims},
+                      batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("vol", alias_name="vol"),
+                   Sum("tvol", alias_name="tvol"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                             "mkt_share": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({
+        "o_year": agg["o_year"].astype(np.int64),
+        "mkt_share": (agg["tvol"] / agg["vol"]).round(6),
+    }).sort_values("o_year", ignore_index=True)
+
+
+def q15(
+    sf_dir: str,
+    date_lo_us: int,
+    date_hi_us: int,
+) -> pd.DataFrame:
+    """Top supplier(s) by revenue over one quarter of shipments:
+    per-batch partial sums per suppkey (combine-before-shuffle), one
+    tiny groupby, driver-side max + tie filter (output is O(#ties)),
+    supplier names decorated from the small dimension read.  Columns
+    (s_suppkey, s_name, total_revenue)."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    def part(t: pa.Table) -> pa.Table:
+        ship = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        m = (ship >= date_lo_us) & (ship < date_hi_us)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[m]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        df = pd.DataFrame({"s": sk, "r": price * (1.0 - disc)})
+        g = df.groupby("s", as_index=False)["r"].sum()
+        return pa.table({"l_suppkey": g["s"].to_numpy(np.int64),
+                         "rev": g["r"].to_numpy(np.float64)})
+
+    rev = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        )
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue"))
+        .to_pandas()
+    )
+    if rev.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series([], dtype=np.float64)})
+    best = rev[rev["total_revenue"] == rev["total_revenue"].max()]
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas().set_index("s_suppkey")["s_name"]
+    out = pd.DataFrame({
+        "s_suppkey": best["l_suppkey"].astype(np.int64).to_numpy(),
+        "s_name": best["l_suppkey"].map(names).to_numpy(),
+        "total_revenue": best["total_revenue"].round(2).to_numpy(),
+    })
+    return out.sort_values("s_suppkey", ignore_index=True)
+
+
+def q17(
+    sf_dir: str,
+    brand: str,
+) -> pd.DataFrame:
+    """Small-quantity-order revenue for one brand (the p_container
+    predicate of canonical Q17 is dropped — the slim schema carries no
+    container column): average yearly revenue lost if orders with
+    l_quantity < 0.2·avg(per-part quantity) were not filled.  Pass 1
+    aggregates per-part (sum, count) over the brand's lineitems; the
+    resulting per-part threshold map is O(#brand parts) and broadcast;
+    pass 2 filters and sums.  One row (avg_yearly)."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    sel = np.zeros(int(prt["p_partkey"].max()) + 1, dtype=bool)
+    sel[prt.loc[prt["p_brand"] == brand, "p_partkey"].to_numpy()] = True
+    sel_ref = ray.put(sel)
+
+    def brand_rows(t: pa.Table, sel_ref) -> pa.Table:
+        s = _dim_arrays(sel_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(s[pk]))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(brand_rows, fn_kwargs={"sel_ref": sel_ref},
+                  batch_format="pyarrow").materialize()
+    per_part = (
+        li.groupby("l_partkey")
+        .aggregate(Sum("l_quantity", alias_name="qsum"),
+                   Count(alias_name="qcnt"))
+        .to_pandas()
+    )
+    if per_part.empty:
+        return pd.DataFrame({"avg_yearly": pd.Series([], dtype=np.float64)})
+    thr = dict(zip(
+        per_part["l_partkey"].to_numpy(np.int64),
+        0.2 * (per_part["qsum"].to_numpy(np.float64)
+               / per_part["qcnt"].to_numpy(np.float64)),
+    ))
+    thr_ref = ray.put(thr)
+
+    def small(t: pa.Table, thr_ref) -> pa.Table:
+        tm = _dim_arrays(thr_ref)
+        pk = t["l_partkey"].to_pandas()
+        lim = pk.map(tm).to_numpy(np.float64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(
+            [float(price[qty < lim].sum())], pa.float64())})
+
+    total = sum(
+        b["p"].to_numpy(zero_copy_only=False).sum()
+        for b in li.map_batches(small, fn_kwargs={"thr_ref": thr_ref},
+                                batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pd.DataFrame({"avg_yearly": [round(float(total) / 7.0, 2)]})

@@ -119,3 +119,42 @@ def test_q7_matches_duckdb():
     assert np.allclose(got["revenue"], exp["revenue"], atol=0.011)
     # both directions of the nation pair appear
     assert set(got["supp_nation"]) == {"NATION_3", "NATION_19"}
+
+
+def _con_full():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_q8_q15_q17_match_duckdb():
+    import __ray_entry__ as E
+
+    con = _con_full()
+    qs, os_ = E.queries(), E.oracle_sql()
+    for name, keys in [("tpch_q8", ["o_year"]),
+                       ("tpch_q15", ["s_suppkey"]),
+                       ("tpch_q17", [])]:
+        got = qs[name](SF).reset_index(drop=True)
+        exp = con.execute(os_[name]).df()
+        if keys:
+            got = got.sort_values(keys, ignore_index=True)
+            exp = exp.sort_values(keys, ignore_index=True)
+        assert len(got) == len(exp), name
+        assert sorted(got.columns) == sorted(exp.columns), name
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                assert np.allclose(got[c], exp[c], atol=0.011), (name, c)
+            else:
+                assert got[c].tolist() == exp[c].tolist(), (name, c)
+
+
+def test_q15_empty_window_and_q17_unknown_brand():
+    from pgd_ray.pipelines.tpch import q15, q17
+
+    assert len(q15(SF, date_lo_us=0, date_hi_us=1)) == 0
+    assert len(q17(SF, brand="Brand#none")) == 0
