@@ -640,6 +640,38 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_inter_event_gaps(sf_dir):
+    """Per-type inter-arrival stats — stages.windows.inter_event_gaps
+    (sorted blocks, integer-exact partials, boundary stitch)."""
+    from pgd_ray.stages.windows import inter_event_gaps
+
+    return inter_event_gaps(sf_dir)
+
+
+def _q_rollup_events(sf_dir):
+    """ROLLUP lattice over (event_type, day) — stages.cube.rollup_counts
+    (one base scan, coarser levels folded from the base cube)."""
+    from pgd_ray.stages.cube import rollup_counts
+
+    return rollup_counts(sf_dir)
+
+
+def _q_pivot_user_types(sf_dir):
+    """Long-to-wide per-user type counts — stages.cube.pivot_counts
+    (per-batch crosstab partials, one hash aggregation)."""
+    from pgd_ray.stages.cube import pivot_counts
+
+    return pivot_counts(sf_dir)
+
+
+def _q_bpe_pairs(sf_dir):
+    """Top-32 adjacent byte pairs (one BPE merge round's count table)
+    — text.bpe.byte_pair_counts (bincount partials, 64K-cell merge)."""
+    from pgd_ray.text.bpe import byte_pair_counts
+
+    return byte_pair_counts(sf_dir, top=32)
+
+
 def _q_avg_neighbor_degree(sf_dir):
     from pgd_ray.graph.iterative import IterativeEngine
 
@@ -1937,6 +1969,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencen_copurchase": _q_eigencen_copurchase,
         "katz_copurchase": _q_katz_copurchase,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "inter_event_gaps": _q_inter_event_gaps,
+        "rollup_events": _q_rollup_events,
+        "pivot_user_types": _q_pivot_user_types,
+        "bpe_pairs": _q_bpe_pairs,
         "hits_authorities": _q_hits_authorities,
         "hits_hubs": _q_hits_hubs,
         "butterflies_type": _q_butterflies,
@@ -3366,6 +3402,48 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # inter_event_gaps: per-type inter-arrival stats; the gap is
+        # credited to the LATER event's type (LAG semantics).
+        "inter_event_gaps": """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS mean_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+        # rollup_events: ROLLUP lattice with NULL-free sentinels
+        # ('(all)', -1) mirroring stages.cube.rollup_counts.
+        "rollup_events": """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day, -1) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS value_sum
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+      FROM events)
+GROUP BY ROLLUP (event_type, day)""",
+        # pivot_user_types: conditional aggregation with the five
+        # corpus types hardcoded (the engine derives them).
+        "pivot_user_types": """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id""",
+        # bpe_pairs: adjacent character pairs; documents are ASCII so
+        # DuckDB's character substr equals the engine's byte pairs.
+        "bpe_pairs": """
+WITH ch AS (
+  SELECT substr(d.text, CAST(i.i AS INTEGER), 2) AS pair
+  FROM documents d,
+       LATERAL unnest(generate_series(1, length(d.text) - 1)) AS i(i))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM ch GROUP BY pair ORDER BY n DESC, pair LIMIT 32""",
         # avg_neighbor_degree: degree-degree correlation profile
         # knn(k) = mean over degree-k vertices of (mean neighbor
         # degree) — the Pastor-Satorras k_nn(k) curve; one gather

@@ -728,3 +728,101 @@ def trigram_counts(sf_dir: str) -> ray.data.Dataset:
                 ray.data.from_arrow(_table(d)))
     return interior_counts.groupby(["type_a", "type_b", "type_c"]).aggregate(
         Sum("n", alias_name="n_trigrams"))
+
+
+def inter_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type inter-arrival statistics: for every consecutive
+    same-user event pair in (ts, event_id) order, the gap is credited
+    to the LATER event's type; output (event_type, n_gaps,
+    mean_gap_us, max_gap_us).
+
+    Same sorted-block + boundary-stitch shape as ``transition_counts``:
+    interior users reduce to per-type (sum, max, count) partials inside
+    their block — integer-exact int64 sums — and only the <= 2 users
+    touching each block edge ship raw rows to the driver, so no gap is
+    double-counted or lost.  The final exchange is a <= |types|-row
+    groupby."""
+    from ray.data.aggregate import Max
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id",
+                                             "event_type"],
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _gaps(uid, ts_us, et) -> pd.DataFrame | None:
+        if len(uid) < 2:
+            return None
+        m = uid[1:] == uid[:-1]
+        if not m.any():
+            return None
+        g = (ts_us[1:] - ts_us[:-1])[m]
+        return (
+            pd.DataFrame({"event_type": et[1:][m], "g": g})
+            .groupby("event_type", sort=False)["g"]
+            .agg(gsum="sum", gmax="max", n="size")
+            .reset_index()
+        )
+
+    def _table(d: pd.DataFrame | None) -> pa.Table:
+        if d is None or d.empty:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "gsum": pa.array([], pa.int64()),
+                             "gmax": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": d["event_type"].to_numpy(dtype=object),
+            "gsum": d["gsum"].to_numpy(np.int64),
+            "gmax": d["gmax"].to_numpy(np.int64),
+            "n": d["n"].to_numpy(np.int64)})
+
+    def _ts_us(t: pa.Table) -> np.ndarray:
+        return (t["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _table(None)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        return _table(_gaps(
+            uid[interior], _ts_us(t)[interior],
+            t["event_type"].to_numpy(zero_copy_only=False)[interior]))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.select(cols).filter(
+            pa.array((uid == uid[0]) | (uid == uid[-1])))
+
+    parts = srt.map_batches(block, batch_format="pyarrow", batch_size=None)
+    bdf = srt.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None).to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        d = _gaps(bdf["user_id"].to_numpy(),
+                  bdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                  bdf["event_type"].to_numpy())
+        if d is not None and len(d):
+            parts = parts.union(ray.data.from_arrow(_table(d)))
+    agg = parts.groupby("event_type").aggregate(
+        Sum("gsum", alias_name="gsum"),
+        Max("gmax", alias_name="max_gap_us"),
+        Sum("n", alias_name="n_gaps"),
+    ).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_gaps": pd.Series([], dtype=np.int64),
+                             "mean_gap_us": pd.Series([], dtype=np.float64),
+                             "max_gap_us": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_gaps": agg["n_gaps"].astype(np.int64),
+        "mean_gap_us": np.round(
+            agg["gsum"].to_numpy(np.float64) / agg["n_gaps"].to_numpy(np.float64), 6),
+        "max_gap_us": agg["max_gap_us"].astype(np.int64),
+    }).sort_values("event_type", ignore_index=True)
