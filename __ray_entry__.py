@@ -640,6 +640,63 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_basket_lift(sf_dir):
+    """Market-basket association lift over (order, part) incidences —
+    stages.basket.basket_lift (hash self-join pair expansion, driver
+    sees only >= min_both pairs)."""
+    from pgd_ray.stages.basket import basket_lift
+
+    return basket_lift(sf_dir, min_both=3)
+
+
+def _q_comp_size_hist(sf_dir):
+    """Component-size histogram of the >= 3-support co-purchase graph
+    (a genuinely multi-component graph, unlike the raw copurchase
+    giant component) — basket pair counts -> threshold -> distributed
+    CC -> size histogram."""
+    import pyarrow.compute as pc_
+
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.graph.iterative import connected_components
+    from pgd_ray.graph.normalize import densify, vertex_ids
+    from pgd_ray.stages.basket import pair_counts
+
+    eds = pair_counts(sf_dir).map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["n_both"], 3))
+        .select(["part_a", "part_b"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if eds.count() == 0:
+        return pd.DataFrame({"size": pd.Series([], dtype=np.int64),
+                             "n_components": pd.Series([], dtype=np.int64)})
+    vids = vertex_ids(eds)
+    dense = densify(eds, vids).materialize()
+    comp = connected_components(build_csr(dense, n=len(vids)))
+    sizes = np.bincount(comp)
+    sizes = sizes[sizes > 0]
+    u, c = np.unique(sizes, return_counts=True)
+    return pd.DataFrame({"size": u.astype(np.int64),
+                         "n_components": c.astype(np.int64)})
+
+
+def _q_pmi_collocations(sf_dir):
+    """PMI collocations over the document corpus — text.lm
+    .pmi_collocations (streaming bigram/unigram partials; driver sees
+    only frequent pairs)."""
+    from pgd_ray.text.lm import pmi_collocations
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pmi_collocations(docs, min_count=5)
+
+
+def _q_decayed_counts(sf_dir):
+    """Per-type exponentially-decayed counts at the corpus horizon —
+    stages.windows.decayed_counts (two streaming passes)."""
+    from pgd_ray.stages.windows import decayed_counts
+
+    return decayed_counts(sf_dir)
+
+
 def _q_inter_event_gaps(sf_dir):
     """Per-type inter-arrival stats — stages.windows.inter_event_gaps
     (sorted blocks, integer-exact partials, boundary stitch)."""
@@ -1970,6 +2027,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_copurchase": _q_katz_copurchase,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "inter_event_gaps": _q_inter_event_gaps,
+        "basket_lift": _q_basket_lift,
+        "comp_size_hist": _q_comp_size_hist,
+        "pmi_collocations": _q_pmi_collocations,
+        "decayed_counts": _q_decayed_counts,
         "rollup_events": _q_rollup_events,
         "pivot_user_types": _q_pivot_user_types,
         "bpe_pairs": _q_bpe_pairs,
@@ -3402,6 +3463,70 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # basket_lift: association lift of frequent part pairs —
+        # n_both·N / (n_a·n_b), pairs with >= 3 shared baskets.
+        "basket_lift": """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM po),
+ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM po GROUP BY 1),
+pc AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS n_both
+       FROM po a JOIN po b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2)
+SELECT part_a, part_b, n_both,
+       ROUND(n_both * (SELECT n FROM n) / CAST(i1.c * i2.c AS DOUBLE), 6)
+         AS lift
+FROM pc JOIN ic i1 ON i1.l_partkey = part_a
+        JOIN ic i2 ON i2.l_partkey = part_b
+WHERE n_both >= 3""",
+        # comp_size_hist: component-size histogram of the support>=3
+        # co-purchase graph — same recursive min-propagation walk as
+        # cc_copurchase over the thresholded edge set.
+        "comp_size_hist": """
+WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pcn AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS c
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+e AS (SELECT src, dst FROM pcn WHERE c >= 3),
+s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+vtx AS (SELECT DISTINCT src AS v FROM s),
+walk(v, comp) AS (
+  SELECT v, v FROM vtx
+  UNION
+  SELECT s.dst, walk.comp FROM walk JOIN s ON s.src = walk.v),
+cc AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v),
+cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size FROM cc GROUP BY comp)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM cs GROUP BY size""",
+        # pmi_collocations: Church-Hanks PMI of bigrams with count>=5;
+        # the division chain mirrors text.lm.pmi_collocations exactly.
+        "pmi_collocations": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos FROM w0),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uc),
+bg AS (SELECT x.w AS w1, y.w AS w2
+       FROM w x JOIN w y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bc)
+SELECT bc.w1, bc.w2, bc.c AS n_pair,
+       ROUND(ln((bc.c / (SELECT n FROM nb))
+                / ((u1.c / (SELECT n FROM nu))
+                   * (u2.c / (SELECT n FROM nu)))), 6) AS pmi
+FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+WHERE bc.c >= 5""",
+        # decayed_counts: half-life-weighted counts at T = max(ts),
+        # tau = 7 days in microseconds.
+        "decayed_counts": """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS t FROM events)
+SELECT event_type,
+       ROUND(SUM(exp(-CAST((SELECT t FROM mx) - epoch_us(ts) AS DOUBLE)
+                     / 604800000000.0)), 6) AS decayed_n
+FROM events GROUP BY event_type""",
         # inter_event_gaps: per-type inter-arrival stats; the gap is
         # credited to the LATER event's type (LAG semantics).
         "inter_event_gaps": """

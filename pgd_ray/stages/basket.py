@@ -1,0 +1,124 @@
+"""Market-basket co-occurrence mining over (order, part) incidences.
+
+The pair-generation step is the standard distributed wedge expansion:
+one hash-partitioned self-join on the basket key.  Per-basket blowup
+is C(items, 2) — bounded here by TPC-H-style basket sizes (~7); a
+corpus with mega-baskets needs the usual hub mitigation (cap or
+sample items per basket) before the join, same note as
+``graph.bipartite``.
+
+``basket_lift`` then scores each frequent pair with the association
+lift  P(a,b) / (P(a)·P(b)) = n_both · N / (n_a · n_b).  Only pairs
+with ``n_both >= min_both`` ever reach the driver, and the item-count
+side is filtered to the parts those pairs mention (broadcast set), so
+driver memory is O(#frequent pairs), not O(#parts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from pgd_ray.util import read_parquet_clean
+
+
+def order_part_incidence(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (l_orderkey, l_partkey) pairs — hash-dedup, pruned
+    2-column read."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count())
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+
+
+def pair_counts(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Per-pair basket co-occurrence counts (part_a < part_b, n_both)."""
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["okey", "part_b"])
+
+    po = (
+        order_part_incidence(sf_dir)
+        .materialize()
+        .repartition(num_partitions)
+        .materialize()
+    )
+    right = po.map_batches(rn, batch_format="pyarrow").materialize()
+    j = po.join(
+        right, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("okey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"part_a": a[m], "part_b": b[m]})
+
+    return (
+        j.map_batches(orient, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Count(alias_name="n_both"))
+    )
+
+
+def basket_lift(
+    sf_dir: str, min_both: int = 3, num_partitions: int = 8
+) -> pd.DataFrame:
+    """Frequent pairs with association lift — columns
+    (part_a, part_b, n_both, lift)."""
+    po = order_part_incidence(sf_dir).materialize()
+    n_orders = float(
+        po.select_columns(["l_orderkey"])
+        .groupby("l_orderkey").aggregate(Count()).count()
+    )
+    pairs = (
+        pair_counts(sf_dir, num_partitions)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_both"], min_both)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"part_a": pd.Series([], dtype=np.int64),
+                             "part_b": pd.Series([], dtype=np.int64),
+                             "n_both": pd.Series([], dtype=np.int64),
+                             "lift": pd.Series([], dtype=np.float64)})
+    needed = np.unique(np.concatenate([pairs["part_a"].to_numpy(),
+                                       pairs["part_b"].to_numpy()]))
+    needed_ref = ray.put(needed)
+
+    def in_needed(t: pa.Table, needed_ref) -> pa.Table:
+        nd = ray.get(needed_ref) if isinstance(needed_ref, ray.ObjectRef) \
+            else needed_ref
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(k, nd)))
+
+    ic = (
+        po.groupby("l_partkey").aggregate(Count(alias_name="c"))
+        .map_batches(in_needed, fn_kwargs={"needed_ref": needed_ref},
+                     batch_format="pyarrow")
+        .to_pandas()
+        .set_index("l_partkey")["c"]
+    )
+    ca = pairs["part_a"].map(ic).to_numpy(np.int64)
+    cb = pairs["part_b"].map(ic).to_numpy(np.int64)
+    nb = pairs["n_both"].to_numpy(np.int64)
+    lift = (nb.astype(np.float64) * n_orders) / (ca * cb).astype(np.float64)
+    return pd.DataFrame({
+        "part_a": pairs["part_a"].astype(np.int64),
+        "part_b": pairs["part_b"].astype(np.int64),
+        "n_both": nb,
+        "lift": np.round(lift, 6),
+    }).sort_values(["part_a", "part_b"], ignore_index=True)

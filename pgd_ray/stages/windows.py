@@ -826,3 +826,50 @@ def inter_event_gaps(sf_dir: str) -> pd.DataFrame:
             agg["gsum"].to_numpy(np.float64) / agg["n_gaps"].to_numpy(np.float64), 6),
         "max_gap_us": agg["max_gap_us"].astype(np.int64),
     }).sort_values("event_type", ignore_index=True)
+
+
+def decayed_counts(
+    sf_dir: str, tau_us: float = 604_800_000_000.0
+) -> pd.DataFrame:
+    """Exponentially-decayed event counts per type, evaluated at the
+    corpus horizon T = max(ts): Σ exp(-(T - ts)/τ) — the streaming
+    half-life counter every freshness-weighted dashboard runs, here as
+    two streaming passes (max, then per-batch partial decayed sums;
+    the second exchange is <= |types| rows).  Columns (event_type,
+    decayed_n)."""
+    from ray.data.aggregate import Max
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).materialize()
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": (t["ts"].to_numpy(zero_copy_only=False)
+                                .astype("datetime64[us]").astype(np.int64))})
+
+    mx = ev.map_batches(to_us, batch_format="pyarrow").aggregate(Max("us"))
+    t_max = mx["max(us)"]
+    if t_max is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "decayed_n": pd.Series([], dtype=np.float64)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        w = np.exp(-((t_max - us).astype(np.float64)) / tau_us)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "w": w})
+        g = df.groupby("event_type", sort=False)["w"].sum().reset_index()
+        return pa.table({"event_type": g["event_type"].to_numpy(object),
+                         "w": g["w"].to_numpy(np.float64)})
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("w", alias_name="decayed_n"))
+        .to_pandas()
+    )
+    agg["decayed_n"] = agg["decayed_n"].round(6)
+    return agg.sort_values("event_type", ignore_index=True)

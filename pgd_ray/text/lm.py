@@ -146,3 +146,87 @@ def bigram_lm_score(
         fn_kwargs={"lm_ref": lm, "column": column},
         batch_format="pandas", batch_size=4096, concurrency=concurrency,
     )
+
+
+def _unigram_partials(b: pd.DataFrame, column: str) -> pd.DataFrame:
+    lists = b[column].fillna("").str.findall(_TOK_RE)
+    lens = lists.str.len().to_numpy(dtype=np.int64)
+    if int(lens.sum()) == 0:
+        return pd.DataFrame({"w": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype="int64")})
+    toks = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+    g = pd.Series(toks).groupby(toks, sort=False).size()
+    out = g.reset_index()
+    out.columns = ["w", "c"]
+    out["c"] = out["c"].astype("int64")
+    return out
+
+
+def unigram_counts(
+    docs: ray.data.Dataset, column: str = "text", concurrency: int | None = 16
+) -> ray.data.Dataset:
+    """Corpus unigram count table (w, c) — per-batch partials, one
+    exchange."""
+    return (
+        docs.select_columns([column])
+        .map_batches(
+            _unigram_partials, fn_kwargs={"column": column},
+            batch_format="pandas", batch_size=4096, concurrency=concurrency,
+        )
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def pmi_collocations(
+    docs: ray.data.Dataset,
+    column: str = "text",
+    min_count: int = 5,
+    concurrency: int | None = 16,
+) -> pd.DataFrame:
+    """Collocations by pointwise mutual information (Church & Hanks
+    1990): for every bigram with count >= min_count,
+    PMI = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) ).  Counting is
+    the streaming partial-combine shape of ``bigram_counts``; only the
+    >= min_count pairs and the unigram rows for words THEY mention
+    reach the driver (O(#frequent pairs)).  Columns
+    (w1, w2, n_pair, pmi)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    bc = bigram_counts(docs, column=column, concurrency=concurrency
+                       ).materialize()
+    uc = unigram_counts(docs, column=column, concurrency=concurrency
+                        ).materialize()
+    n_bi = bc.aggregate(Sum("c"))["sum(c)"] or 0
+    n_uni = uc.aggregate(Sum("c"))["sum(c)"] or 0
+    freq = bc.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["c"], min_count)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if freq.empty or n_bi == 0 or n_uni == 0:
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "n_pair": pd.Series([], dtype=np.int64),
+                             "pmi": pd.Series([], dtype=np.float64)})
+    needed = set(freq["w1"]) | set(freq["w2"])
+    needed_ref = ray.put(needed)
+
+    def in_needed(t: pa.Table, needed_ref) -> pa.Table:
+        nd = ray.get(needed_ref) if isinstance(needed_ref, ray.ObjectRef) \
+            else needed_ref
+        return t.filter(pa.array(
+            t["w"].to_pandas().isin(nd).to_numpy()))
+
+    um = uc.map_batches(in_needed, fn_kwargs={"needed_ref": needed_ref},
+                        batch_format="pyarrow").to_pandas()
+    wmap = um.set_index("w")["c"]
+    c = freq["c"].to_numpy(np.float64)
+    c1 = freq["w1"].map(wmap).to_numpy(np.float64)
+    c2 = freq["w2"].map(wmap).to_numpy(np.float64)
+    pmi = np.log((c / float(n_bi)) / ((c1 / float(n_uni)) * (c2 / float(n_uni))))
+    return pd.DataFrame({
+        "w1": freq["w1"], "w2": freq["w2"],
+        "n_pair": freq["c"].astype(np.int64),
+        "pmi": np.round(pmi, 6),
+    }).sort_values(["w1", "w2"], ignore_index=True)
