@@ -640,6 +640,39 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_silhouette(sf_dir):
+    """Per-cluster simplified silhouette of the deterministic k-means
+    fit — stages.clustering.silhouette_by_cluster (one extra pass,
+    k x d broadcast, <= k-row exchange)."""
+    from pgd_ray.stages.clustering import silhouette_by_cluster
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    return silhouette_by_cluster(ds, k=8, iters=4)
+
+
+def _q_diameter_lb(sf_dir):
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
+    from the smallest part key, re-BFS from the farthest vertex (ties
+    -> min raw id), report the eccentricity found."""
+    from pgd_ray.graph.iterative import bfs_distances
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    seed = int(np.argmin(vids))
+    d1 = bfs_distances(csr, [seed])
+    reach1 = d1 < csr.n
+    best = d1[reach1].max()
+    cand = np.flatnonzero(reach1 & (d1 == best))
+    far = int(cand[np.argmin(vids[cand])])
+    d2 = bfs_distances(csr, [far])
+    reach2 = d2 < csr.n
+    return pd.DataFrame({
+        "start_v": [int(vids[seed])],
+        "far_v": [int(vids[far])],
+        "diameter_lb": [int(d2[reach2].max())],
+    })
+
+
 def _q_basket_lift(sf_dir):
     """Market-basket association lift over (order, part) incidences —
     stages.basket.basket_lift (hash self-join pair expansion, driver
@@ -2028,6 +2061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "inter_event_gaps": _q_inter_event_gaps,
         "basket_lift": _q_basket_lift,
+        "silhouette_kmeans": _q_silhouette,
+        "diameter_lb": _q_diameter_lb,
         "comp_size_hist": _q_comp_size_hist,
         "pmi_collocations": _q_pmi_collocations,
         "decayed_counts": _q_decayed_counts,
@@ -3463,6 +3498,45 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # silhouette_kmeans: simplified silhouette over the SAME
+        # unrolled-Lloyd chain as kmeans_embeddings; list_distance is
+        # the engine's sqrt-L2, (b-a)/greatest(a,b) per point, mean
+        # per cluster.
+        "silhouette_kmeans": f"""
+WITH {_kmeans_sql(8, 4)},
+dd AS (SELECT af.vec_id, af.cid, co.cid AS ocid,
+              list_distance(af.v, co.v) AS dist
+       FROM af CROSS JOIN c4 co),
+ab AS (SELECT vec_id, cid,
+              MIN(CASE WHEN ocid = cid THEN dist END) AS a,
+              MIN(CASE WHEN ocid <> cid THEN dist END) AS b
+       FROM dd GROUP BY vec_id, cid),
+sil AS (SELECT cid, (b - a) / greatest(a, b) AS s FROM ab)
+SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(s) / COUNT(*), 6) AS mean_silhouette
+FROM sil GROUP BY cid""",
+        # diameter_lb: double-sweep — BFS from MIN(v), farthest vertex
+        # (dist DESC, v ASC), BFS again, MAX dist.
+        "diameter_lb": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+seed AS (SELECT MIN(v) AS sv FROM d),
+w1(v, dist) AS (
+  SELECT sv, 0 FROM seed
+  UNION
+  SELECT s.dst, w1.dist + 1 FROM w1 JOIN s ON s.src = w1.v
+  WHERE w1.dist < 64),
+d1 AS (SELECT v, MIN(dist) AS dist FROM w1 GROUP BY v),
+far AS (SELECT v AS fv FROM d1 ORDER BY dist DESC, v LIMIT 1),
+w2(v, dist) AS (
+  SELECT fv, 0 FROM far
+  UNION
+  SELECT s.dst, w2.dist + 1 FROM w2 JOIN s ON s.src = w2.v
+  WHERE w2.dist < 64),
+d2 AS (SELECT v, MIN(dist) AS dist FROM w2 GROUP BY v)
+SELECT CAST((SELECT sv FROM seed) AS BIGINT) AS start_v,
+       CAST((SELECT fv FROM far) AS BIGINT) AS far_v,
+       CAST(MAX(dist) AS BIGINT) AS diameter_lb
+FROM d2""",
         # basket_lift: association lift of frequent part pairs —
         # n_both·N / (n_a·n_b), pairs with >= 3 shared baskets.
         "basket_lift": """

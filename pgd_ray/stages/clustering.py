@@ -151,3 +151,61 @@ def semdedup(
            .map_groups(dedup_cluster, batch_format="pandas")
            .to_pandas())
     return out.sort_values(id_col, ignore_index=True)
+
+
+def silhouette_by_cluster(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    point, a = L2 distance to its own centroid, b = min distance to
+    any other centroid, s = (b-a)/max(a,b); the per-cluster mean is
+    the standard clustering-quality score that avoids the O(n^2)
+    pairwise silhouette.  One extra streaming pass over the vectors
+    with the k x d centroid matrix broadcast; the exchange is <= k
+    rows of (sum, count) partials.  Columns (cluster, n,
+    mean_silhouette)."""
+    _asg, cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
+                             id_col=id_col)
+    if cents.size == 0:
+        return pd.DataFrame({"cluster": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "mean_silhouette": pd.Series([], dtype=np.float64)})
+    cref = ray.put(cents)
+
+    def partial(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _stack(b[vec_col])
+        D = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        own = np.argmin(D, axis=1)
+        rows = np.arange(len(X))
+        a = D[rows, own]
+        D2 = D.copy()
+        D2[rows, own] = np.inf
+        bmin = D2.min(axis=1)
+        sil = (bmin - a) / np.maximum(a, bmin)
+        ssum = np.zeros(C.shape[0])
+        np.add.at(ssum, own, sil)
+        cnt = np.bincount(own, minlength=C.shape[0]).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cluster": nz.astype(np.int64),
+                         "ssum": ssum[nz], "n": cnt[nz]})
+
+    agg = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("ssum", alias_name="ssum"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "cluster": agg["cluster"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "mean_silhouette": np.round(
+            agg["ssum"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64),
+            6),
+    }).sort_values("cluster", ignore_index=True)

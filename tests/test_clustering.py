@@ -85,3 +85,27 @@ def test_semdedup_no_pairs_all_kept():
     out = semdedup(_emb_ds(X), k=2, iters=2, threshold=0.9999)
     assert out["keep"].all()
     assert (out["rep"].to_numpy() == out["vec_id"].to_numpy()).all()
+
+
+def test_silhouette_matches_brute():
+    from pgd_ray.stages.clustering import silhouette_by_cluster
+
+    rng = np.random.RandomState(11)
+    X = np.concatenate([rng.randn(20, 4) + 5 * i for i in range(3)])
+    ds = _emb_ds(X)
+    got = silhouette_by_cluster(ds, k=3, iters=4)
+
+    X = X.astype(np.float32).astype(np.float64)  # storage precision
+    C = _kmeans_ref(X, 3, 4)[1]
+    D = np.sqrt(((X[:, None].astype(np.float64) - C[None]) ** 2).sum(2))
+    own = np.argmin(D, 1)
+    a = D[np.arange(len(X)), own]
+    D2 = D.copy()
+    D2[np.arange(len(X)), own] = np.inf
+    b = D2.min(1)
+    sil = (b - a) / np.maximum(a, b)
+    for c in range(3):
+        row = got[got["cluster"] == c]
+        assert int(row["n"].iloc[0]) == int((own == c).sum())
+        assert abs(float(row["mean_silhouette"].iloc[0])
+                   - sil[own == c].mean()) < 1e-6

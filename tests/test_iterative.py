@@ -698,3 +698,18 @@ def test_neighborhood_function_monotone_and_exact_on_path():
     assert nf[eff] >= 0.9 * nf[-1]
     if eff > 0:
         assert nf[eff - 1] < 0.9 * nf[-1]
+
+
+def test_double_sweep_diameter_on_path_graph():
+    from pgd_ray.graph.iterative import bfs_distances
+
+    # path 0-1-2-...-9: double sweep from the middle finds the true
+    # diameter 9
+    n = 10
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    csr = csr_from_edge_arrays(src, dst, n=n)
+    d1 = bfs_distances(csr, [4])
+    far = int(np.argmax(d1))
+    d2 = bfs_distances(csr, [far])
+    assert int(d2[d2 < n].max()) == n - 1
