@@ -640,6 +640,45 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_weighted_pagerank(sf_dir):
+    """PageRank with co-purchase-count edge weights, 32 fixed rounds.
+    Integer weights enter the distributed CSR build as w parallel
+    edges (build_csr(dedup=False) — the multigraph path), so the
+    UNCHANGED pagerank gather kernel computes the weighted message
+    sum Σ w·x/wdeg and np.diff(indptr) IS the weighted degree."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.graph.iterative import IterativeEngine
+    from pgd_ray.stages.basket import pair_counts
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    vref = _ray.put(vids)
+
+    def expand(t, vref):
+        v = _ray.get(vref) if isinstance(vref, _ray.ObjectRef) else vref
+        a = np.searchsorted(v, t["part_a"].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(v, t["part_b"].to_numpy(zero_copy_only=False))
+        w = t["n_both"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.repeat(a, w), "dst": np.repeat(b, w)})
+
+    exp = pair_counts(sf_dir).map_batches(
+        expand, fn_kwargs={"vref": vref}, batch_format="pyarrow"
+    ).materialize()
+    wcsr = build_csr(exp, n=len(vids), dedup=False)
+    n = wcsr.n
+    base = (1.0 - 0.85) / n
+    eng = IterativeEngine(wcsr, "pagerank", n_workers=8)
+    x, _ = eng.run(
+        np.full(n, 1.0 / n),
+        lambda s: {"base": base, "alpha": 0.85},
+        lambda d: False, 32,
+        extras_from_stats=lambda st: {"base": base, "alpha": 0.85},
+    )
+    return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
+
+
 def _q_silhouette(sf_dir):
     """Per-cluster simplified silhouette of the deterministic k-means
     fit — stages.clustering.silhouette_by_cluster (one extra pass,
@@ -2062,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inter_event_gaps": _q_inter_event_gaps,
         "basket_lift": _q_basket_lift,
         "silhouette_kmeans": _q_silhouette,
+        "weighted_pagerank": _q_weighted_pagerank,
         "diameter_lb": _q_diameter_lb,
         "comp_size_hist": _q_comp_size_hist,
         "pmi_collocations": _q_pmi_collocations,
@@ -3498,6 +3538,30 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # weighted_pagerank: 32 fixed rounds of
+        # x ← (1-α)/n + α·Σ w·x/wdeg over basket-count edge weights —
+        # the engine runs the SAME unweighted kernel on the w-fold
+        # multigraph, so Σ w·x/wdeg is literally w repeated additions.
+        "weighted_pagerank": """
+WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              CAST(COUNT(*) AS BIGINT) AS w
+       FROM po a JOIN po b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+sw AS (SELECT src, dst, w FROM ew
+       UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+dw AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS wdeg FROM sw GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dw),
+pr(it, v, score) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM dw
+  UNION ALL
+  SELECT it, v, (1 - 0.85) / (SELECT n FROM nn) + 0.85 * raw FROM (
+    SELECT pr.it+1 AS it, sw.dst AS v,
+           SUM(pr.score * sw.w / dw.wdeg) AS raw
+    FROM pr JOIN sw ON sw.src = pr.v JOIN dw ON dw.v = pr.v
+    WHERE pr.it < 32 GROUP BY pr.it+1, sw.dst) t)
+SELECT v, ROUND(score, 9) AS score FROM pr WHERE it = 32""",
         # silhouette_kmeans: simplified silhouette over the SAME
         # unrolled-Lloyd chain as kmeans_embeddings; list_distance is
         # the engine's sqrt-L2, (b-a)/greatest(a,b) per point, mean

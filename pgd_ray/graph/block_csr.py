@@ -323,10 +323,16 @@ def build_range_csr(
     num_ranges: int | None = None,
     out_dir: str | Path | None = None,
     balance: bool = True,
+    dedup: bool = True,
 ) -> tuple[RangeCSR, np.ndarray | None]:
     """Distributed CSR build with NO driver-side edge pass.
 
     ``pairs`` may be raw (dups / self-loops / either orientation ok).
+    ``dedup=False`` KEEPS duplicate rows — the multigraph path: an
+    integer-weighted graph enters as w parallel edges and every
+    gather kernel then sums a neighbor w times, which is exactly the
+    weighted message sum (weights stay in the data plane; no kernel
+    changes).
     ``dense=True`` relabels vertices to dense [0, n) first (distinct +
     broadcast searchsorted remap) and returns the id table.  ``n``
     overrides the vertex-count inference (isolated trailing vertices).
@@ -392,8 +398,8 @@ def build_range_csr(
         dst = t["dst"].to_numpy(zero_copy_only=False)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
-        keep = np.empty(len(src), dtype=bool)  # exact dedup, local to the range
-        if len(src):
+        if dedup and len(src):  # exact dedup, local to the range
+            keep = np.empty(len(src), dtype=bool)
             keep[0] = True
             keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
             src, dst = src[keep], dst[keep]

@@ -146,6 +146,7 @@ def build_csr(
     n: int | None = None,
     checkpoint: str | Path | None = None,
     num_ranges: int | None = None,
+    dedup: bool = True,
 ) -> CSRGraph:
     """Distributed CSR build from a canonical edge Dataset.
 
@@ -162,7 +163,8 @@ def build_csr(
     if checkpoint is not None and Path(checkpoint).exists():
         return CSRGraph.read(checkpoint)
 
-    rcsr, _ = build_range_csr(canonical_ds, n=n, dense=False, num_ranges=num_ranges)
+    rcsr, _ = build_range_csr(canonical_ds, n=n, dense=False,
+                              num_ranges=num_ranges, dedup=dedup)
     g = rcsr.to_csr()
     if checkpoint is not None:
         g.write(checkpoint)

@@ -152,3 +152,51 @@ def test_manifest_resume_skips_rebuild(tmp_path):
     )
     assert rcsr3.m == rcsr.m
     assert rcsr3.to_csr().indices.tolist() == a.indices.tolist()
+
+
+def test_multigraph_build_keeps_duplicates(ray_session):
+    import ray
+
+    from pgd_ray.graph.csr import build_csr
+
+    # edge (0,1) x3, (1,2) x1 — dedup=False keeps multiplicity
+    t = pa.table({"src": np.array([0, 0, 0, 1], np.int64),
+                  "dst": np.array([1, 1, 1, 2], np.int64)})
+    g = build_csr(ray.data.from_arrow(t), n=3, dedup=False)
+    assert list(np.diff(g.indptr)) == [3, 4, 1]  # weighted degrees
+    assert list(g.indices[:3]) == [1, 1, 1]
+    gd = build_csr(ray.data.from_arrow(t), n=3, dedup=True)
+    assert list(np.diff(gd.indptr)) == [1, 2, 1]
+
+
+def test_weighted_pagerank_matches_dense(ray_session):
+    import ray
+
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.graph.iterative import IterativeEngine
+
+    rng = np.random.default_rng(6)
+    n = 25
+    W = np.zeros((n, n), np.int64)
+    for _ in range(60):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            W[min(a, b), max(a, b)] += 1
+    src, dst = np.nonzero(W)
+    exp_src = np.repeat(src, W[src, dst])
+    exp_dst = np.repeat(dst, W[src, dst])
+    g = build_csr(ray.data.from_arrow(pa.table(
+        {"src": exp_src, "dst": exp_dst})), n=n, dedup=False)
+
+    base = 0.15 / n
+    eng = IterativeEngine(g, "pagerank", n_workers=3)
+    x, _ = eng.run(np.full(n, 1.0 / n),
+                   lambda s: {"base": base, "alpha": 0.85},
+                   lambda d: False, 32)
+
+    A = (W + W.T).astype(np.float64)
+    wdeg = np.maximum(A.sum(1), 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(32):
+        r = base + 0.85 * (A.T @ (r / wdeg))
+    assert np.allclose(x, r, atol=1e-9)
