@@ -67,6 +67,28 @@ e AS (SELECT DISTINCT least(va.tid, vb.tid) AS src, greatest(va.tid, vb.tid) AS 
 """
 )
 
+# 20-round label propagation over the tool graph (mode of neighbor
+# labels, ties -> smallest) ending in lab(v, label) — shared by the
+# conductance oracle; label_prop_tool / modularity_tool inline the
+# same chain.
+_LP_CTE = """
+vtx AS (SELECT tid AS v FROM vocab),
+lp(it, v, label) AS (
+  SELECT 0, v, v FROM vtx
+  UNION ALL
+  SELECT it+1, v, new_label FROM (
+    SELECT lp.it AS it, lp.v AS v, COALESCE(m.nl, lp.label) AS new_label
+    FROM lp LEFT JOIN (
+      SELECT s.src AS mv, lp2.label AS nl
+      FROM s JOIN lp lp2 ON lp2.v = s.dst
+      GROUP BY s.src, lp2.label
+      QUALIFY row_number() OVER (PARTITION BY s.src
+                                 ORDER BY COUNT(*) DESC, lp2.label ASC) = 1
+    ) m ON m.mv = lp.v
+  ) WHERE it < 20),
+lab AS (SELECT v, CAST(label AS BIGINT) AS label FROM lp WHERE it = 20)
+"""
+
 # bipartite user x event_type incidence + HITS authority iteration —
 # pgd_ray.graph.bipartite (M = B^T B gram matrix, 32 power rounds)
 _BIP_CTE = """
@@ -638,6 +660,31 @@ def _q_katz_copurchase(sf_dir):
     alpha = 0.5 / max(1, int(np.diff(csr.indptr).max()))
     x = katz_centrality(csr, alpha=alpha, beta=1.0, iters=32)
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
+
+
+def _q_conductance_tool(sf_dir):
+    """Per-community conductance of the LP labeling on the tool graph
+    — graph.community.conductance_by_label (edge side distributed,
+    labels broadcast once)."""
+    from pgd_ray.graph.community import conductance_by_label
+    from pgd_ray.graph.iterative import label_propagation
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    lab = label_propagation(csr, max_iter=20)
+    return conductance_by_label(eds, csr, lab)
+
+
+def _q_conductance_cores(sf_dir):
+    """Per-level conductance of the k-core decomposition layers on the
+    copurchase graph — a labeling with REAL cut edges (unlike LP on
+    the tool graph, which converges to one community)."""
+    from pgd_ray.graph.community import conductance_by_label
+    from pgd_ray.graph.iterative import kcore
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    core = kcore(csr)
+    out = conductance_by_label(dense, csr, core)
+    return out.rename(columns={"label": "core"})
 
 
 def _q_weighted_pagerank(sf_dir):
@@ -2102,6 +2149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": _q_basket_lift,
         "silhouette_kmeans": _q_silhouette,
         "weighted_pagerank": _q_weighted_pagerank,
+        "conductance_tool": _q_conductance_tool,
+        "conductance_cores": _q_conductance_cores,
         "diameter_lb": _q_diameter_lb,
         "comp_size_hist": _q_comp_size_hist,
         "pmi_collocations": _q_pmi_collocations,
@@ -3538,6 +3587,67 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # conductance_tool: per-community conductance of the SAME
+        # 20-round LP labeling — cut / min(vol, 2m - vol), each cut
+        # edge charged to both endpoint communities; whole-volume
+        # communities (denominator 0) report 0.
+        "conductance_tool": f"""
+WITH RECURSIVE {_TE_CTE}, {_S_CTE}, {_LP_CTE},
+dg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree
+       FROM s GROUP BY src),
+cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+    SELECT la.label FROM e JOIN lab la ON la.v = e.src
+                           JOIN lab lb ON lb.v = e.dst
+    WHERE la.label <> lb.label
+    UNION ALL
+    SELECT lb.label FROM e JOIN lab la ON la.v = e.src
+                           JOIN lab lb ON lb.v = e.dst
+    WHERE la.label <> lb.label) GROUP BY label),
+degs AS (SELECT la.label,
+                CAST(SUM(COALESCE(dg.degree, 0)) AS BIGINT) AS volume
+         FROM lab la LEFT JOIN dg ON dg.v = la.v GROUP BY la.label),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e)
+SELECT degs.label, CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut_edges,
+       degs.volume,
+       ROUND(CASE WHEN least(degs.volume, 2*mm.m - degs.volume) > 0
+                  THEN COALESCE(cut.cut, 0)
+                       / CAST(least(degs.volume, 2*mm.m - degs.volume)
+                              AS DOUBLE)
+                  ELSE 0.0 END, 9) AS conductance
+FROM degs LEFT JOIN cut ON cut.label = degs.label CROSS JOIN mm""",
+        # conductance_cores: conductance of the k-core level partition
+        # (same 64-round peel as kcore_copurchase, then the same
+        # cut/volume splice as conductance_tool).
+        "conductance_cores": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+k(it, v, val) AS (
+  SELECT 0, v, degree FROM d
+  UNION ALL
+  SELECT it+1, src, CAST(MAX(LEAST(nval, rn)) AS BIGINT) FROM (
+    SELECT k.it, s.src, k2.val AS nval,
+           row_number() OVER (PARTITION BY s.src ORDER BY k2.val DESC) AS rn
+    FROM k JOIN s ON s.src = k.v JOIN k k2 ON k2.v = s.dst AND k2.it = k.it
+  ) WHERE it < 64 GROUP BY it+1, src),
+lab AS (SELECT v, val AS label FROM k WHERE it = 64),
+cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+    SELECT la.label FROM e JOIN lab la ON la.v = e.src
+                           JOIN lab lb ON lb.v = e.dst
+    WHERE la.label <> lb.label
+    UNION ALL
+    SELECT lb.label FROM e JOIN lab la ON la.v = e.src
+                           JOIN lab lb ON lb.v = e.dst
+    WHERE la.label <> lb.label) GROUP BY label),
+degs AS (SELECT la.label, CAST(SUM(d.degree) AS BIGINT) AS volume
+         FROM lab la JOIN d ON d.v = la.v GROUP BY la.label),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e)
+SELECT degs.label AS core, CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut_edges,
+       degs.volume,
+       ROUND(CASE WHEN least(degs.volume, 2*mm.m - degs.volume) > 0
+                  THEN COALESCE(cut.cut, 0)
+                       / CAST(least(degs.volume, 2*mm.m - degs.volume)
+                              AS DOUBLE)
+                  ELSE 0.0 END, 9) AS conductance
+FROM degs LEFT JOIN cut ON cut.label = degs.label CROSS JOIN mm""",
         # weighted_pagerank: 32 fixed rounds of
         # x ← (1-α)/n + α·Σ w·x/wdeg over basket-count edge weights —
         # the engine runs the SAME unweighted kernel on the w-fold

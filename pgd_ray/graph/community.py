@@ -91,3 +91,63 @@ def modularity(edges, csr: CSRGraph, labels: np.ndarray) -> float:
     """Scalar Newman modularity Q of the labeling."""
     tab = modularity_by_label(edges, csr, labels, round_to=15)
     return float(tab["q"].sum())
+
+
+def conductance_by_label(
+    edges,
+    csr: CSRGraph,
+    labels: np.ndarray,
+    round_to: int = 9,
+) -> pd.DataFrame:
+    """Per-community conductance φ(c) = cut(c) / min(vol(c), 2m-vol(c))
+    over canonical (src<dst) edges — the standard cut-quality score
+    complementing ``modularity_by_label``.  cut(c) counts edges with
+    exactly one endpoint in c (each such edge charges BOTH endpoint
+    communities); vol is the degree sum.  Edge side distributed with
+    the label vector broadcast once; communities spanning the whole
+    volume (denominator 0) report φ = 0.  Columns (label, cut_edges,
+    volume, conductance)."""
+    labels = np.asarray(labels, dtype=np.int64)
+    n = csr.n
+    if labels.shape[0] != n:
+        raise ValueError(f"labels length {labels.shape[0]} != n {n}")
+    m = int(csr.indices.size // 2)
+    if n == 0:
+        return pd.DataFrame({"label": np.array([], np.int64),
+                             "cut_edges": np.array([], np.int64),
+                             "volume": np.array([], np.int64),
+                             "conductance": np.array([], np.float64)})
+    lab_ref = ray.put(labels)
+
+    def cut_part(b: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ls = lab[b["src"].to_numpy(zero_copy_only=False)]
+        ld = lab[b["dst"].to_numpy(zero_copy_only=False)]
+        keep = ls != ld
+        u, c = np.unique(np.concatenate([ls[keep], ld[keep]]),
+                         return_counts=True)
+        return pa.table({"label": u.astype(np.int64),
+                         "cut": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    cut_df = (
+        edges.map_batches(cut_part, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("cut", alias_name="cut"))
+        .to_pandas()
+    )
+    deg = csr.degrees().astype(np.int64)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    vol = np.bincount(inv, weights=deg).astype(np.int64)
+    cut = np.zeros(uniq.size, dtype=np.int64)
+    if len(cut_df):
+        cut[np.searchsorted(uniq, cut_df["label"].to_numpy())] = (
+            cut_df["cut"].to_numpy())
+    den = np.minimum(vol, 2 * m - vol).astype(np.float64)
+    phi = np.divide(cut.astype(np.float64), den,
+                    out=np.zeros(len(uniq)), where=den > 0)
+    return pd.DataFrame({
+        "label": uniq, "cut_edges": cut, "volume": vol,
+        "conductance": np.round(phi, round_to),
+    })

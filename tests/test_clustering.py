@@ -109,3 +109,27 @@ def test_silhouette_matches_brute():
         assert int(row["n"].iloc[0]) == int((own == c).sum())
         assert abs(float(row["mean_silhouette"].iloc[0])
                    - sil[own == c].mean()) < 1e-6
+
+
+def test_conductance_matches_brute():
+    import ray.data as rd
+
+    from pgd_ray.graph.community import conductance_by_label
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+
+    # two triangles joined by one edge; labels split them
+    src = np.array([0, 0, 1, 3, 3, 4, 2], np.int64)
+    dst = np.array([1, 2, 2, 4, 5, 5, 3], np.int64)
+    csr = csr_from_edge_arrays(src, dst, n=6)
+    eds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    labels = np.array([7, 7, 7, 9, 9, 9], np.int64)
+    got = conductance_by_label(eds, csr, labels).set_index("label")
+    # each side: cut 1, volume 7 (3 internal edges *2 + 1 cut),
+    # min(7, 14-7) = 7
+    for lbl in (7, 9):
+        assert int(got.loc[lbl, "cut_edges"]) == 1
+        assert int(got.loc[lbl, "volume"]) == 7
+        assert abs(float(got.loc[lbl, "conductance"]) - 1 / 7) < 1e-9
+    # single community covering everything -> denominator 0 -> 0.0
+    one = conductance_by_label(eds, csr, np.zeros(6, np.int64))
+    assert float(one["conductance"].iloc[0]) == 0.0
