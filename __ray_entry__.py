@@ -662,6 +662,24 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_embedding_covariance(sf_dir):
+    """Upper-triangle covariance of embedding dims —
+    stages.vector_stats.embedding_covariance (gram partials,
+    O(#batches·d²) exchange)."""
+    from pgd_ray.stages.vector_stats import embedding_covariance
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_covariance(ds)
+
+
+def _q_window_distinct_users(sf_dir):
+    """Exact distinct users per tumbling hour —
+    stages.windows.window_distinct_users (two-level hash agg)."""
+    from pgd_ray.stages.windows import window_distinct_users
+
+    return window_distinct_users(sf_dir)
+
+
 def _q_conductance_tool(sf_dir):
     """Per-community conductance of the LP labeling on the tool graph
     — graph.community.conductance_by_label (edge side distributed,
@@ -2151,6 +2169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": _q_weighted_pagerank,
         "conductance_tool": _q_conductance_tool,
         "conductance_cores": _q_conductance_cores,
+        "embedding_covariance": _q_embedding_covariance,
+        "window_distinct_users": _q_window_distinct_users,
         "diameter_lb": _q_diameter_lb,
         "comp_size_hist": _q_comp_size_hist,
         "pmi_collocations": _q_pmi_collocations,
@@ -3587,6 +3607,26 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # embedding_covariance: population cov(i,j) of embedding dims,
+        # 1-based, upper triangle; the division chain mirrors
+        # stages.vector_stats.embedding_covariance exactly.
+        "embedding_covariance": """
+WITH x AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mu AS (SELECT i, SUM(v) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
+xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY 1, 2)
+SELECT xx.i, xx.j,
+       ROUND(sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
+FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j""",
+        # window_distinct_users: exact per-hour distinct users.
+        "window_distinct_users": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
         # conductance_tool: per-community conductance of the SAME
         # 20-round LP labeling — cut / min(vol, 2m - vol), each cut
         # edge charged to both endpoint communities; whole-volume

@@ -74,3 +74,56 @@ def embedding_dim_stats(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def embedding_covariance(
+    ds: ray.data.Dataset, col: str = "embedding", round_to: int = 6
+) -> pd.DataFrame:
+    """Upper-triangle population covariance matrix of the embedding
+    dimensions: cov(i,j) = E[x_i x_j] - E[x_i]E[x_j].  Each batch
+    emits its d x d gram partial X^T X flattened to d(d+1)/2 rows plus
+    per-dim sums — the exchange is O(#batches · d^2), never rows — and
+    a ``groupby((i,j))`` reduces.  Columns (i, j, cov), 1-based dims,
+    i <= j."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        if len(c) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sxy": pa.array([], pa.float64())})
+        d = len(c[0])
+        m = (c.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, d))
+        g = m.T @ m
+        iu, ju = np.triu_indices(d)
+        # per-dim sums ride along as j = 0 rows (dims are 1-based),
+        # the row count as (0, 0)
+        return pa.table({
+            "i": np.concatenate([iu + 1, np.arange(1, d + 1), [0]]),
+            "j": np.concatenate([ju + 1, np.zeros(d, np.int64), [0]]),
+            "sxy": np.concatenate([g[iu, ju], m.sum(axis=0),
+                                   [float(m.shape[0])]]),
+        })
+
+    agg = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "j": pd.Series([], dtype=np.int64),
+                             "cov": pd.Series([], dtype=np.float64)})
+    n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "sxy"].iloc[0])
+    sums = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["sxy"]
+    up = agg[agg["j"] > 0].copy()
+    mi = up["i"].map(sums).to_numpy(np.float64) / n
+    mj = up["j"].map(sums).to_numpy(np.float64) / n
+    cov = up["sxy"].to_numpy(np.float64) / n - mi * mj
+    return pd.DataFrame({
+        "i": up["i"].astype(np.int64), "j": up["j"].astype(np.int64),
+        "cov": np.round(cov, round_to),
+    }).sort_values(["i", "j"], ignore_index=True)

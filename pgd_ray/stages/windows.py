@@ -873,3 +873,39 @@ def decayed_counts(
     )
     agg["decayed_n"] = agg["decayed_n"].round(6)
     return agg.sort_values("event_type", ignore_index=True)
+
+
+def window_distinct_users(
+    sf_dir: str, window_us: int = 3_600_000_000
+) -> pd.DataFrame:
+    """Exact distinct users per tumbling window — the two-level hash
+    aggregation (dedup (window, user) first, then count rows per
+    window); both exchanges are hash aggs, no per-group Python.
+    Columns (window_start_us, n_users)."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"window_start_us": (us // window_us) * window_us,
+                         "user_id": t["user_id"]})
+
+    dedup = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["window_start_us", "user_id"])
+        .aggregate(Count())
+        .select_columns(["window_start_us"])
+    )
+    out = (
+        dedup.groupby("window_start_us")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("window_start_us", ignore_index=True)

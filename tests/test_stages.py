@@ -144,3 +144,22 @@ def test_cms_overestimates_and_is_tight_when_wide():
     sk2 = cms_sketch(ds, "k", width=4096, depth=4)
     est2 = cms_estimate(q, "k", sk2).to_pandas()
     assert all(r.est_count == true[int(r.k)] for r in est2.itertuples(index=False))
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from pgd_ray.stages.vector_stats import embedding_covariance
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(0, 2, (60, 5)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": pa.array(list(X)),
+    }))
+    got = embedding_covariance(ds)
+    Xd = X.astype(np.float64)
+    C = np.cov(Xd, rowvar=False, bias=True)
+    for r in got.itertuples():
+        assert abs(r.cov - C[r.i - 1, r.j - 1]) < 1e-6
+    assert len(got) == 5 * 6 // 2
