@@ -662,6 +662,64 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_bloom_semi_orders(sf_dir):
+    """Orders of high-balance customers via the Bloom-prefiltered
+    exact semi-join — stages.bloom.bloom_semi_join (no-false-negative
+    prefilter sheds probe volume; the verify join makes the output
+    exactly the semi-join)."""
+    import pyarrow.compute as pc_
+
+    from pgd_ray.stages.bloom import bloom_semi_join
+
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc_.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow")
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    j = bloom_semi_join(orders, cust, key="o_custkey",
+                        build_key="c_custkey")
+    from ray.data.aggregate import Count, Sum
+    agg = (j.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n"),
+                      Sum("o_totalprice", alias_name="total"))
+           .to_pandas())
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["total"] = agg["total"].round(2)
+    return agg.sort_values("o_orderpriority", ignore_index=True)
+
+
+def _q_value_quartiles(sf_dir):
+    """Per-type quartile-bucket counts of events.value — thresholds
+    from the exact distributed quantile engine (rank rule
+    floor(q·(n-1)), lower value), bucketing one vectorized pass."""
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["event_type", "value"]).materialize()
+    thr = exact_quantiles(
+        ev.select_columns(["value"]), "value", [0.25, 0.5, 0.75],
+        bins=64, fetch_cap=100,
+    )["value"].to_numpy(np.float64)
+
+    import pyarrow as pa
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "bucket": np.searchsorted(thr, v, side="right").astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count
+    agg = (ev.map_batches(bucketed, batch_format="pyarrow")
+           .groupby(["event_type", "bucket"])
+           .aggregate(Count(alias_name="n_events"))
+           .to_pandas())
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    return agg.sort_values(["event_type", "bucket"], ignore_index=True)
+
+
 def _q_embedding_covariance(sf_dir):
     """Upper-triangle covariance of embedding dims —
     stages.vector_stats.embedding_covariance (gram partials,
@@ -2170,6 +2228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_tool": _q_conductance_tool,
         "conductance_cores": _q_conductance_cores,
         "embedding_covariance": _q_embedding_covariance,
+        "bloom_semi_orders": _q_bloom_semi_orders,
+        "value_quartiles": _q_value_quartiles,
         "window_distinct_users": _q_window_distinct_users,
         "diameter_lb": _q_diameter_lb,
         "comp_size_hist": _q_comp_size_hist,
@@ -3607,6 +3667,32 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # bloom_semi_orders: the Bloom stage is a no-false-negative
+        # prefilter + exact verify join, so the oracle is the PLAIN
+        # semi-join — output equality holds for any FP rate.
+        "bloom_semi_orders": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority""",
+        # value_quartiles: buckets against the exact rank-rule
+        # thresholds (floor(q·(n-1)), lower value — the engine's
+        # quantile contract); v == q_k lands in bucket k+... (strict <).
+        "value_quartiles": """
+WITH n AS (SELECT COUNT(*) AS c FROM events),
+s AS (SELECT value AS x, row_number() OVER (ORDER BY value) - 1 AS r
+      FROM events),
+q AS (SELECT
+  MAX(CASE WHEN r = CAST(floor(0.25*(c-1)) AS BIGINT) THEN x END) AS q1,
+  MAX(CASE WHEN r = CAST(floor(0.5*(c-1)) AS BIGINT) THEN x END) AS q2,
+  MAX(CASE WHEN r = CAST(floor(0.75*(c-1)) AS BIGINT) THEN x END) AS q3
+  FROM s, n)
+SELECT event_type,
+       CAST(CASE WHEN value < q.q1 THEN 0 WHEN value < q.q2 THEN 1
+                 WHEN value < q.q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, q GROUP BY 1, 2""",
         # embedding_covariance: population cov(i,j) of embedding dims,
         # 1-based, upper triangle; the division chain mirrors
         # stages.vector_stats.embedding_covariance exactly.
