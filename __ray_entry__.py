@@ -662,6 +662,31 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_event_islands(sf_dir):
+    """Gaps-and-islands over per-user event_id runs —
+    stages.windows.event_islands (sorted blocks + boundary stitch)."""
+    from pgd_ray.stages.windows import event_islands
+
+    return event_islands(sf_dir)
+
+
+def _q_grouped_ols(sf_dir):
+    """Per-type OLS of value ~ time — stages.regress.grouped_ols
+    (five-sum partials, centered exact-integer origin)."""
+    from pgd_ray.stages.regress import grouped_ols
+
+    return grouped_ols(sf_dir)
+
+
+def _q_fuzzy_names(sf_dir):
+    """Token-blocked Levenshtein <= 2 pairs over DISTINCT part names —
+    stages.fuzzy.fuzzy_name_pairs (vocabulary-level entity-resolution
+    candidates + verify)."""
+    from pgd_ray.stages.fuzzy import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(sf_dir, max_dist=2)
+
+
 def _q_bloom_semi_orders(sf_dir):
     """Orders of high-balance customers via the Bloom-prefiltered
     exact semi-join — stages.bloom.bloom_semi_join (no-false-negative
@@ -2229,6 +2254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_cores": _q_conductance_cores,
         "embedding_covariance": _q_embedding_covariance,
         "bloom_semi_orders": _q_bloom_semi_orders,
+        "event_islands": _q_event_islands,
+        "grouped_ols": _q_grouped_ols,
+        "fuzzy_names": _q_fuzzy_names,
         "value_quartiles": _q_value_quartiles,
         "window_distinct_users": _q_window_distinct_users,
         "diameter_lb": _q_diameter_lb,
@@ -3667,6 +3695,47 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # event_islands: classic gaps-and-islands — group key
+        # event_id - row_number() per user.
+        "event_islands": """
+WITH g AS (SELECT user_id, event_id,
+                  event_id - row_number() OVER (
+                    PARTITION BY user_id ORDER BY event_id) AS grp
+           FROM events),
+isl AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS max_island
+FROM isl GROUP BY user_id""",
+        # grouped_ols: explicit five-sum OLS on x centered by the
+        # exact integer min(ts) and scaled to days — mirrors
+        # stages.regress.grouped_ols's formula (NOT regr_slope, whose
+        # streaming kernel accumulates differently).
+        "grouped_ols": """
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t FROM events),
+b AS (SELECT event_type,
+             CAST(epoch_us(ts) - (SELECT t FROM t0) AS DOUBLE)
+               / 86400000000.0 AS x,
+             value AS y
+      FROM events),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         AS intercept
+FROM s""",
+        # fuzzy_names: vocabulary-level fuzzy match — DISTINCT names,
+        # candidates = pairs sharing >= 1 whitespace token (the stated
+        # recall contract), verified with levenshtein <= 2.
+        "fuzzy_names": """
+WITH nm AS (SELECT DISTINCT p_name FROM part),
+tk AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM nm),
+cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+         FROM tk a JOIN tk b ON a.tok = b.tok AND a.p_name < b.p_name)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 2""",
         # bloom_semi_orders: the Bloom stage is a no-false-negative
         # prefilter + exact verify join, so the oracle is the PLAIN
         # semi-join — output equality holds for any FP rate.

@@ -909,3 +909,80 @@ def window_distinct_users(
     )
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("window_start_us", ignore_index=True)
+
+
+def event_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands per user over event_id: an island is a maximal
+    run of consecutive ids — the classic sequence-integrity profile
+    (missing-id detection, ingestion-gap audit).  Sorted blocks with
+    the transition_counts boundary contract: interior users reduce
+    inside their block, the <= 2 edge users per block recompute from
+    raw rows on the driver.  Columns (user_id, n_islands,
+    max_island)."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    srt = ev.sort(["user_id", "event_id"]).materialize()
+
+    def _islands(uid: np.ndarray, eid: np.ndarray) -> pd.DataFrame | None:
+        if len(uid) == 0:
+            return None
+        new_run = np.concatenate(([True], (uid[1:] != uid[:-1])
+                                  | (eid[1:] != eid[:-1] + 1)))
+        run_id = np.cumsum(new_run) - 1
+        run_u = uid[new_run]
+        run_len = np.bincount(run_id)
+        return (
+            pd.DataFrame({"user_id": run_u, "len": run_len})
+            .groupby("user_id", sort=False)["len"]
+            .agg(n_islands="size", max_island="max")
+            .reset_index()
+        )
+
+    def _table(d: pd.DataFrame | None) -> pa.Table:
+        if d is None or d.empty:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_islands": pa.array([], pa.int64()),
+                             "max_island": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "n_islands": d["n_islands"].to_numpy(np.int64),
+            "max_island": d["max_island"].to_numpy(np.int64)})
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _table(None)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        return _table(_islands(
+            uid[interior],
+            t["event_id"].to_numpy(zero_copy_only=False)[interior]))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "user_id"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.select(cols).filter(
+            pa.array((uid == uid[0]) | (uid == uid[-1])))
+
+    parts = srt.map_batches(block, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    bdf = srt.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None).to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(["user_id", "event_id"], kind="stable")
+        d = _islands(bdf["user_id"].to_numpy(), bdf["event_id"].to_numpy())
+        if d is not None and len(d):
+            parts = pd.concat([parts, d], ignore_index=True)
+    if parts.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_islands": pd.Series([], dtype=np.int64),
+                             "max_island": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("user_id", as_index=False).agg(
+        n_islands=("n_islands", "sum"), max_island=("max_island", "max"))
+    for c in ("user_id", "n_islands", "max_island"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
