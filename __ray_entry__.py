@@ -662,6 +662,35 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_clustering_spectrum(sf_dir):
+    """Clustering spectrum c(k) = mean local clustering per degree
+    class — the Watts-Strogatz curve, derived from the distributed
+    vertex-triangle kernel."""
+    from pgd_ray.graph.graphlets import local_clustering
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    df = local_clustering(dense, csr).to_pandas()
+    d = df["degree"].to_numpy(np.float64)
+    t = df["triangles"].to_numpy(np.float64)
+    ratio = np.where(d >= 2, 2.0 * t / (d * (d - 1.0)), 0.0)
+    g = (pd.DataFrame({"degree": df["degree"].astype(np.int64),
+                       "r": ratio})
+         .groupby("degree", as_index=False)
+         .agg(n_vertices=("r", "size"), c_k=("r", "mean")))
+    g["n_vertices"] = g["n_vertices"].astype(np.int64)
+    g["c_k"] = g["c_k"].round(6)
+    return g
+
+
+def _q_ewma_daily(sf_dir):
+    """EWMA-smoothed daily counts per type —
+    stages.windows.ewma_daily (distributed daily agg, O(days) driver
+    recurrence)."""
+    from pgd_ray.stages.windows import ewma_daily
+
+    return ewma_daily(sf_dir, alpha=0.3)
+
+
 def _q_event_islands(sf_dir):
     """Gaps-and-islands over per-user event_id runs —
     stages.windows.event_islands (sorted blocks + boundary stitch)."""
@@ -2255,6 +2284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "bloom_semi_orders": _q_bloom_semi_orders,
         "event_islands": _q_event_islands,
+        "clustering_spectrum": _q_clustering_spectrum,
+        "ewma_daily": _q_ewma_daily,
         "grouped_ols": _q_grouped_ols,
         "fuzzy_names": _q_fuzzy_names,
         "value_quartiles": _q_value_quartiles,
@@ -3695,6 +3726,40 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # clustering_spectrum: c(k) over the same per-vertex triangle
+        # CTE as local_cc; degree<2 vertices contribute 0.
+        "clustering_spectrum": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst),
+up AS (SELECT src AS v, triangle FROM et
+       UNION ALL SELECT dst AS v, triangle FROM et),
+vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles
+       FROM up GROUP BY v)
+SELECT d.degree, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(AVG(CASE WHEN d.degree >= 2
+                 THEN 2.0 * vt.triangles / (d.degree * (d.degree - 1.0))
+                 ELSE 0.0 END), 6) AS c_k
+FROM d JOIN vt ON vt.v = d.v GROUP BY d.degree""",
+        # ewma_daily: observed-day EWMA recurrence, seed = first day;
+        # (1 - CAST(0.3 AS DOUBLE)) mirrors the engine's 1.0 - alpha.
+        "ewma_daily": """
+WITH RECURSIVE dd AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+      FROM dd),
+w(event_type, day, n, rk, ewma) AS (
+  SELECT event_type, day, n, rk, CAST(n AS DOUBLE) FROM r WHERE rk = 1
+  UNION ALL
+  SELECT r.event_type, r.day, r.n, r.rk,
+         CAST(0.3 AS DOUBLE) * r.n + (1 - CAST(0.3 AS DOUBLE)) * w.ewma
+  FROM w JOIN r ON r.event_type = w.event_type AND r.rk = w.rk + 1)
+SELECT event_type, day, n, ROUND(ewma, 6) AS ewma FROM w""",
         # event_islands: classic gaps-and-islands — group key
         # event_id - row_number() per user.
         "event_islands": """

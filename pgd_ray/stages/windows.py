@@ -986,3 +986,50 @@ def event_islands(sf_dir: str) -> pd.DataFrame:
     for c in ("user_id", "n_islands", "max_island"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id", ignore_index=True)
+
+
+def ewma_daily(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """EWMA-smoothed daily event counts per type: one distributed
+    (type, day) aggregation, then the inherently-sequential smoothing
+    recurrence ewma_t = α·x_t + (1-α)·ewma_{t-1} (seed = first day)
+    runs per type over the <= #days aggregate rows on the driver —
+    the smoothing is O(days), never O(events), and missing days are
+    skipped (observed-day recurrence, stated contract).  Columns
+    (event_type, day, n, ewma)."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    daily = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "day": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "ewma": pd.Series([], dtype=np.float64)})
+    daily = daily.sort_values(["event_type", "day"], ignore_index=True)
+    out = []
+    for _, g in daily.groupby("event_type", sort=False):
+        x = g["n"].to_numpy(np.float64)
+        e = np.empty(len(x))
+        e[0] = x[0]
+        for i in range(1, len(x)):
+            e[i] = alpha * x[i] + (1.0 - alpha) * e[i - 1]
+        out.append(g.assign(ewma=np.round(e, 6)))
+    res = pd.concat(out, ignore_index=True)
+    res["day"] = res["day"].astype(np.int64)
+    res["n"] = res["n"].astype(np.int64)
+    return res

@@ -109,3 +109,26 @@ def test_byte_pair_counts_rejects_non_ascii(tmp_path):
                    tmp_path / "sfdir" / "documents.parquet")
     with pytest.raises(Exception):
         byte_pair_counts(str(tmp_path / "sfdir"))
+
+
+def test_ewma_daily_matches_recurrence(tmp_path):
+    from pgd_ray.stages.windows import ewma_daily
+
+    rng = np.random.default_rng(31)
+    n = 250
+    ts_us = rng.integers(0, 10 * 86_400_000_000, n)
+    ev = pd.DataFrame({"event_id": np.arange(n),
+                       "ts": pd.to_datetime(ts_us, unit="us"),
+                       "user_id": np.zeros(n, np.int64),
+                       "event_type": rng.choice(np.array(["a", "b"]), n),
+                       "value": 1.0})
+    sf = _write_events_dir(tmp_path, ev)
+    got = ewma_daily(sf, alpha=0.3)
+    for t in ["a", "b"]:
+        g = got[got["event_type"] == t].sort_values("day")
+        x = g["n"].to_numpy(np.float64)
+        e = x[0]
+        assert abs(g["ewma"].iloc[0] - e) < 1e-9
+        for i in range(1, len(x)):
+            e = 0.3 * x[i] + 0.7 * e
+            assert abs(g["ewma"].iloc[i] - e) < 1e-6
