@@ -167,6 +167,7 @@ def run_bench() -> dict:
     r2ops = _round2_ops()
     r3ops = _round3_ops(dense, csr, nw)
     r3bops = _round3b_ops(dense, csr, nw)
+    r3cops = _round3c_ops(dense, csr, vids, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -187,6 +188,7 @@ def run_bench() -> dict:
         "round2_ops_sec": r2ops,
         "round3_ops_sec": r3ops,
         "round3b_ops_sec": r3bops,
+        "round3c_ops_sec": r3cops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -340,6 +342,95 @@ def _round3b_ops(dense, csr, nw: int) -> dict:
     t0 = time.perf_counter()
     mmr_rerank(emb.filter(expr="vec_id != 0"), q, k=5)
     out["mmr_top5"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _round3c_ops(dense, csr, vids, nw: int) -> dict:
+    """Wall time of the session-3 operators (auxiliary): weighted
+    PageRank over the expanded multigraph, bipartite HITS +
+    butterflies, basket pair counting, the Bloom-prefiltered
+    semi-join, Katz, inter-event gaps, BPE byte pairs, fuzzy name
+    matching and the embedding covariance matrix."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+    import ray
+
+    from pgd_ray.graph.bipartite import butterflies_per_type, hits_scores
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.graph.iterative import IterativeEngine, katz_centrality
+    from pgd_ray.stages.basket import pair_counts
+    from pgd_ray.stages.bloom import bloom_semi_join
+    from pgd_ray.stages.vector_stats import embedding_covariance
+    from pgd_ray.stages.fuzzy import fuzzy_name_pairs
+    from pgd_ray.stages.windows import inter_event_gaps
+    from pgd_ray.text.bpe import byte_pair_counts
+    from pgd_ray.util import read_parquet_clean
+
+    out = {}
+    t0 = time.perf_counter()
+    pc_ds = pair_counts(SF_DIR, num_partitions=nw).materialize()
+    out["basket_pairs"] = round(time.perf_counter() - t0, 3)
+
+    n = csr.n
+    t0 = time.perf_counter()
+    vref = ray.put(vids)
+
+    def expand(t, vref=vref):
+        v = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+        w = t["n_both"].to_numpy(zero_copy_only=False)
+        a = np.searchsorted(v, t["part_a"].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(v, t["part_b"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": np.repeat(a, w), "dst": np.repeat(b, w)})
+
+    exp = pc_ds.map_batches(expand, batch_format="pyarrow").materialize()
+    wcsr = build_csr(exp, n=n, dedup=False)
+    eng = IterativeEngine(wcsr, "pagerank", n_workers=nw)
+    base = (1.0 - 0.85) / n
+    eng.run(np.full(n, 1.0 / n), lambda s: {"base": base, "alpha": 0.85},
+            lambda d: False, 32,
+            extras_from_stats=lambda st: {"base": base, "alpha": 0.85})
+    out["weighted_pagerank_32it"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    katz_centrality(csr, alpha=0.5 / max(1, int(np.diff(csr.indptr).max())),
+                    iters=32, n_workers=nw)
+    out["katz_32it"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    hits_scores(SF_DIR, iters=32, num_partitions=nw)
+    out["hits"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    butterflies_per_type(SF_DIR, num_partitions=nw)
+    out["butterflies"] = round(time.perf_counter() - t0, 3)
+
+    cust = read_parquet_clean(f"{SF_DIR}/customer.parquet",
+                              columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc_.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    t0 = time.perf_counter()
+    bloom_semi_join(orders, cust, key="o_custkey", build_key="c_custkey",
+                    num_partitions=nw).materialize()
+    out["bloom_semi_join"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    inter_event_gaps(SF_DIR)
+    out["inter_event_gaps"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    byte_pair_counts(SF_DIR, top=32)
+    out["bpe_pairs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    fuzzy_name_pairs(SF_DIR, max_dist=2, num_partitions=nw)
+    out["fuzzy_names"] = round(time.perf_counter() - t0, 3)
+
+    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
+                             columns=["embedding"])
+    t0 = time.perf_counter()
+    embedding_covariance(emb)
+    out["embedding_covariance"] = round(time.perf_counter() - t0, 3)
     return out
 
 
