@@ -662,6 +662,86 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_user_entropy(sf_dir):
+    """Per-user Shannon entropy of the event-type mix (behavioral
+    diversity) — one (user,type) hash agg, entropy folded from the
+    <= |users|·|types| count rows."""
+    from ray.data.aggregate import Count
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    cnt = (ev.groupby(["user_id", "event_type"])
+           .aggregate(Count(alias_name="c")).to_pandas())
+    tot = cnt.groupby("user_id")["c"].transform("sum")
+    p = cnt["c"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    ent = (cnt.assign(term=-p * np.log(p))
+           .groupby("user_id", as_index=False)
+           .agg(n_events=("c", "sum"), entropy=("term", "sum")))
+    return pd.DataFrame({
+        "user_id": ent["user_id"].astype(np.int64),
+        "n_events": ent["n_events"].astype(np.int64),
+        "entropy": np.round(ent["entropy"], 6) + 0.0,  # -0.0 -> 0.0
+    }).sort_values("user_id", ignore_index=True)
+
+
+def _q_chi2_type_dow(sf_dir):
+    """Pearson chi-square independence statistic of event_type x
+    day-of-week — observed counts distributed, the |types|·7 expected
+    table folded on the driver.  One row (chi2, dof)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        # epoch day 0 = Thursday; dow 0 = Monday like isodow-1
+        return pa.table({"event_type": t["event_type"],
+                         "dow": (us // 86_400_000_000 + 3) % 7})
+
+    obs = (ev.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["event_type", "dow"])
+           .aggregate(Count(alias_name="o")).to_pandas())
+    n = float(obs["o"].sum())
+    rt = obs.groupby("event_type")["o"].transform("sum").to_numpy(np.float64)
+    ct = obs.groupby("dow")["o"].transform("sum").to_numpy(np.float64)
+    e = rt * ct / n
+    chi2 = float((((obs["o"].to_numpy(np.float64) - e) ** 2) / e).sum())
+    dof = (obs["event_type"].nunique() - 1) * (obs["dow"].nunique() - 1)
+    return pd.DataFrame({"chi2": [round(chi2, 6)],
+                         "dof": [np.int64(dof)]})
+
+
+def _q_benford_prices(sf_dir):
+    """Benford first-digit audit of o_totalprice: observed share per
+    leading digit vs log10(1 + 1/d) — the classic bookkeeping
+    anomaly screen."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        v = v[v > 0]
+        # floor, NOT a double->int cast: DuckDB CAST rounds half-even
+        # while numpy astype truncates — floor() is the shared rule
+        d = np.floor(v / np.power(10.0, np.floor(np.log10(v)))).astype(np.int64)
+        return pa.table({"digit": d})
+
+    obs = (orders.map_batches(digit, batch_format="pyarrow")
+           .groupby("digit").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    tot = float(obs["n"].sum())
+    d = obs["digit"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "digit": obs["digit"].astype(np.int64),
+        "n": obs["n"].astype(np.int64),
+        "share": np.round(obs["n"].to_numpy(np.float64) / tot, 6),
+        "benford": np.round(np.log10(1.0 + 1.0 / d), 6),
+    }).sort_values("digit", ignore_index=True)
+
+
 def _q_json_props(sf_dir):
     """Semi-structured extraction + per-type profile of props.k —
     stages.cube.json_props_stats (vectorized extraction, two-level
@@ -2295,6 +2375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_islands": _q_event_islands,
         "clustering_spectrum": _q_clustering_spectrum,
         "json_props": _q_json_props,
+        "user_entropy": _q_user_entropy,
+        "chi2_type_dow": _q_chi2_type_dow,
+        "benford_prices": _q_benford_prices,
         "ewma_daily": _q_ewma_daily,
         "grouped_ols": _q_grouped_ols,
         "fuzzy_names": _q_fuzzy_names,
@@ -3736,6 +3819,46 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # user_entropy: Shannon entropy of each user's type mix;
+        # + 0.0 normalizes a single-type user's -0.0 on both sides.
+        "user_entropy": """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, SUM(c) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+       ROUND(SUM(-(c.c / CAST(t.tot AS DOUBLE))
+                 * ln(c.c / CAST(t.tot AS DOUBLE))), 6) + 0.0 AS entropy
+FROM c JOIN t ON t.user_id = c.user_id
+GROUP BY c.user_id, t.tot""",
+        # chi2_type_dow: Pearson chi-square of type x day-of-week
+        # (epoch day + 3 mod 7 => 0 = Monday); (o-e)·(o-e)/e with e
+        # spelled the same way as the engine (r·c/n).
+        "chi2_type_dow": """
+WITH o AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM o),
+rt AS (SELECT event_type, CAST(SUM(o) AS DOUBLE) AS r FROM o GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(o) AS DOUBLE) AS c FROM o GROUP BY 1),
+ee AS (SELECT o.o, rt.r * ct.c / (SELECT n FROM n) AS e
+       FROM o JOIN rt USING (event_type) JOIN ct USING (dow))
+SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       CAST(((SELECT COUNT(*) FROM rt) - 1)
+            * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof
+FROM ee""",
+        # benford_prices: leading digit by floor(v / 10^floor(log10 v))
+        # — floor on BOTH sides (DuckDB's double->int CAST rounds).
+        "benford_prices": """
+WITH d AS (SELECT CAST(floor(o_totalprice
+                             / power(10.0, floor(log10(o_totalprice))))
+                  AS BIGINT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM o)
+SELECT digit, n, ROUND(n / (SELECT tot FROM t), 6) AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford
+FROM o""",
         # json_props: JSON field extraction via DuckDB's ->> mirroring
         # the engine's vectorized extraction of props.k.
         "json_props": """
