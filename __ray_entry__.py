@@ -662,6 +662,24 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_char_entropy(sf_dir):
+    """Per-doc byte-distribution entropy — text.entropy.char_entropy
+    (pure map stage, one row per doc)."""
+    from pgd_ray.text.entropy import char_entropy
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return char_entropy(docs).to_pandas()
+
+
+def _q_unigram_xent(sf_dir):
+    """Per-doc unigram cross-entropy under the corpus MLE —
+    text.lm.unigram_cross_entropy (two streaming passes)."""
+    from pgd_ray.text.lm import unigram_cross_entropy
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_cross_entropy(docs).to_pandas()
+
+
 def _q_user_entropy(sf_dir):
     """Per-user Shannon entropy of the event-type mix (behavioral
     diversity) — one (user,type) hash agg, entropy folded from the
@@ -2376,6 +2394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_spectrum": _q_clustering_spectrum,
         "json_props": _q_json_props,
         "user_entropy": _q_user_entropy,
+        "char_entropy": _q_char_entropy,
+        "unigram_xent": _q_unigram_xent,
         "chi2_type_dow": _q_chi2_type_dow,
         "benford_prices": _q_benford_prices,
         "ewma_daily": _q_ewma_daily,
@@ -3819,6 +3839,34 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # char_entropy: byte-distribution entropy per doc via the
+        # algebraic form ln(len) - Σ c·ln(c)/len (ASCII corpus: chars
+        # == bytes).
+        "char_entropy": """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+       FROM ch GROUP BY doc_id, c),
+agg AS (SELECT doc_id, SUM(n) AS len, SUM(n * ln(n)) AS s
+        FROM cc GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.len, 0) AS BIGINT) AS n_chars,
+       ROUND(COALESCE(ln(a.len) - a.s / a.len, 0.0), 6) + 0.0
+         AS char_entropy
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+        # unigram_xent: order-0 sibling of bigram_lm — same tokenizer
+        # mirror, H = -(1/|d|) Σ ln(c_w/N).
+        "unigram_xent": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w FROM w0),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uc),
+sc AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+              SUM(ln(uc.c / (SELECT n FROM nu))) AS s
+       FROM w JOIN uc USING (w) GROUP BY w.doc_id)
+SELECT d.doc_id, CAST(COALESCE(sc.nw, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(-sc.s / sc.nw, 0.0), 6) + 0.0 AS cross_entropy
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
         # user_entropy: Shannon entropy of each user's type mix;
         # + 0.0 normalizes a single-type user's -0.0 on both sides.
         "user_entropy": """

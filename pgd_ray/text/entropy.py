@@ -63,3 +63,41 @@ def lexical_diversity(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def char_entropy(
+    docs: ray.data.Dataset, column: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document Shannon entropy of the byte distribution — the
+    cheap randomness screen that flags base64 blobs / binary-in-text
+    (entropy near 8·ln2) and degenerate repetition (near 0).  Pure
+    map stage: each batch bincounts (doc, byte) keys in one vectorized
+    pass; nothing leaves the worker but one row per document.
+    Columns (doc_id, n_chars, char_entropy)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[column].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lens = np.array([len(x or "") for x in texts], dtype=np.int64)
+        ent = np.zeros(len(texts), dtype=np.float64)
+        if lens.sum():
+            buf = np.frombuffer("".join(x or "" for x in texts)
+                                .encode("latin-1"), dtype=np.uint8)
+            did = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            keys = did * np.int64(256) + buf
+            uk, cnt = np.unique(keys, return_counts=True)
+            kd = uk // 256
+            c = cnt.astype(np.float64)
+            # H = ln(len) - (1/len)·Σ c·ln c  (exact algebraic form)
+            s = np.zeros(len(texts), dtype=np.float64)
+            np.add.at(s, kd, c * np.log(c))
+            nz = lens > 0
+            ent[nz] = np.log(lens[nz].astype(np.float64)) - s[nz] / lens[nz]
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": lens,
+            "char_entropy": np.round(ent, 6) + 0.0,
+        })
+
+    return docs.select_columns([id_col, column]).map_batches(
+        fn, batch_format="pyarrow")

@@ -230,3 +230,50 @@ def pmi_collocations(
         "n_pair": freq["c"].astype(np.int64),
         "pmi": np.round(pmi, 6),
     }).sort_values(["w1", "w2"], ignore_index=True)
+
+
+def unigram_cross_entropy(
+    docs: ray.data.Dataset, column: str = "text",
+    concurrency: int | None = 16,
+) -> ray.data.Dataset:
+    """Per-document cross-entropy under the corpus' own unigram MLE:
+    H(d) = -(1/|d|) Σ_w ln(c_w / N) — the simplest perplexity-style
+    quality filter (bigram_lm_score's order-0 sibling).  Two streaming
+    passes: counts (partial-combined), then a broadcast
+    (vocab, logp) table scored per batch with searchsorted.  Columns
+    (doc_id, n_tokens, cross_entropy); empty docs score 0."""
+    cnt = unigram_counts(docs, column=column, concurrency=concurrency
+                         ).to_pandas()
+    if cnt.empty:
+        state = ray.put((np.array([], dtype=object),
+                         np.array([], dtype=np.float64)))
+    else:
+        cnt = cnt.sort_values("w", ignore_index=True)
+        n = float(cnt["c"].sum())
+        state = ray.put((
+            cnt["w"].to_numpy(dtype=object),
+            np.log(cnt["c"].to_numpy(np.float64) / n),
+        ))
+
+    def score(b: pd.DataFrame, state=state) -> pd.DataFrame:
+        vocab, logp = _lm_state(state)
+        lists = b[column].fillna("").str.findall(_TOK_RE)
+        lens = lists.str.len().to_numpy(dtype=np.int64)
+        h = np.zeros(len(b), dtype=np.float64)
+        if int(lens.sum()):
+            toks = np.concatenate([np.asarray(l, dtype=object)
+                                   for l in lists])
+            lp = logp[np.searchsorted(vocab, toks)]
+            sums = np.zeros(len(b), dtype=np.float64)
+            np.add.at(sums, np.repeat(np.arange(len(b)), lens), lp)
+            nz = lens > 0
+            h[nz] = -sums[nz] / lens[nz]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": lens,
+            "cross_entropy": np.round(h, 6) + 0.0,
+        })
+
+    return docs.select_columns(["doc_id", column]).map_batches(
+        score, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency)
