@@ -662,6 +662,33 @@ def _q_katz_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
+def _q_markov_stationary(sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain
+    (64 fixed rounds of pi <- pi·P from uniform over the T observed
+    types, P row-normalized from the distributed transition counts) —
+    the thin-side-iteration pattern again: the heavy count is
+    distributed, the T x T chain iterates on the driver."""
+    from pgd_ray.stages.windows import transition_counts
+
+    tc = transition_counts(sf_dir).to_pandas()
+    if tc.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "pi": pd.Series([], dtype=np.float64)})
+    types = np.sort(pd.unique(pd.concat([tc["type_from"], tc["type_to"]])))
+    tid = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    C = np.zeros((T, T), dtype=np.float64)
+    C[tc["type_from"].map(tid).to_numpy(),
+      tc["type_to"].map(tid).to_numpy()] = tc["n_trans"].to_numpy(np.float64)
+    out = C.sum(axis=1)
+    P = np.where(out[:, None] > 0, C / np.maximum(out, 1.0)[:, None],
+                 1.0 / T)  # dangling rows: uniform
+    pi = np.full(T, 1.0 / T)
+    for _ in range(64):
+        pi = pi @ P
+    return pd.DataFrame({"event_type": types, "pi": np.round(pi, 9)})
+
+
 def _q_char_entropy(sf_dir):
     """Per-doc byte-distribution entropy — text.entropy.char_entropy
     (pure map stage, one row per doc)."""
@@ -2395,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": _q_json_props,
         "user_entropy": _q_user_entropy,
         "char_entropy": _q_char_entropy,
+        "markov_stationary": _q_markov_stationary,
         "unigram_xent": _q_unigram_xent,
         "chi2_type_dow": _q_chi2_type_dow,
         "benford_prices": _q_benford_prices,
@@ -3839,6 +3867,31 @@ SELECT v, ROUND(score, 9) AS score FROM kz WHERE it = 32""",
         # a_k = M a_{k-1} / ||.|| for 32 fixed rounds, hubs one pass
         # h = B a_32 / ||B a_32||.  M's positive diagonal keeps every
         # per-round norm > 0, so the unguarded division is safe.
+        # markov_stationary: 64 fixed pi <- pi·P rounds over the
+        # transition chain; P spelled pi·(c/out) exactly as the engine
+        # precomputes it.  Assumes (holds on this corpus) every
+        # observed type has outgoing AND incoming transitions — the
+        # engine additionally handles dangling rows uniformly.
+        "markov_stationary": """
+WITH RECURSIVE s0 AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+tr AS (SELECT event_type AS tf, nxt AS tt, CAST(COUNT(*) AS DOUBLE) AS c
+       FROM s0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+ty AS (SELECT DISTINCT t FROM
+       (SELECT tf AS t FROM tr UNION SELECT tt FROM tr)),
+tn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM ty),
+outs AS (SELECT tf, SUM(c) AS o FROM tr GROUP BY tf),
+p(it, t, pi) AS (
+  SELECT 0, t, 1.0 / (SELECT t FROM tn) FROM ty
+  UNION ALL
+  SELECT it, t, flow FROM (
+    SELECT p.it+1 AS it, tr.tt AS t, SUM(p.pi * (tr.c / o.o)) AS flow
+    FROM p JOIN tr ON tr.tf = p.t JOIN outs o ON o.tf = p.t
+    WHERE p.it < 64 GROUP BY p.it+1, tr.tt) q)
+SELECT t AS event_type, ROUND(pi, 9) AS pi FROM p WHERE it = 64""",
         # char_entropy: byte-distribution entropy per doc via the
         # algebraic form ln(len) - Σ c·ln(c)/len (ASCII corpus: chars
         # == bytes).
