@@ -639,6 +639,20 @@ def _q_mis_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "in_mis": m})
 
 
+def _q_matching_copurchase(sf_dir):
+    """Deterministic local-min-edge maximal matching —
+    graph.matching.maximal_matching (Luby coins on the line graph:
+    distinct per-round edge priorities, a pure function of the graph,
+    replayed bit-exactly by the recursive-CTE oracle)."""
+    from pgd_ray.graph.matching import maximal_matching
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    mate = maximal_matching(csr)
+    vid_arr = np.asarray(vids)
+    mate_raw = np.where(mate >= 0, vid_arr[np.where(mate >= 0, mate, 0)], -1)
+    return pd.DataFrame({"v": vid_arr, "mate": mate_raw})
+
+
 def _q_eigencen_copurchase(sf_dir):
     from pgd_ray.graph.iterative import eigenvector_centrality
 
@@ -2442,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hubs": _q_hits_hubs,
         "butterflies_type": _q_butterflies,
         "mis_copurchase": _q_mis_copurchase,
+        "matching_copurchase": _q_matching_copurchase,
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
         "neighborhood_function": _q_neighborhood_function,
@@ -3828,6 +3843,51 @@ st(it, v, dv, code) AS (
   ) nb ON nb.v = st.v AND nb.it = st.it
   WHERE st.it < 64)
 SELECT v, code = -2 AS in_mis FROM st WHERE it = 64""",
+        # matching_copurchase: local-min-edge maximal matching — each
+        # round every alive edge (both ends unmatched) draws
+        # splitmix64((a<<32|b) XOR it*C) (bijective in the canonical
+        # edge key within a round — no ties) and matches iff it
+        # undercuts every alive edge sharing an endpoint; local minima
+        # are pairwise non-adjacent so winners form a matching.  64
+        # rounds >> the O(log m) convergence; decided rows self-copy.
+        "matching_copurchase": f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+ed AS (SELECT a.dv AS a, b.dv AS b
+       FROM e JOIN did a ON a.v = e.src JOIN did b ON b.v = e.dst),
+st(it, dv, mate) AS (
+  SELECT 0, dv, CAST(-1 AS BIGINT) FROM did
+  UNION ALL
+  SELECT st.it + 1, st.dv,
+    CASE WHEN st.mate >= 0 THEN st.mate
+         WHEN w.other IS NOT NULL THEN w.other
+         ELSE CAST(-1 AS BIGINT) END
+  FROM st
+  LEFT JOIN (
+    WITH ae AS (
+      SELECT u.it AS it, ed.a AS a, ed.b AS b,
+             {_splitmix_sql(
+                 "CAST(ed.a AS UBIGINT) * 4294967296 + CAST(ed.b AS UBIGINT)",
+                 f"(CAST(u.it AS HUGEINT) * {0xD1B54A32D192ED03}) % {_M64}")} AS q
+      FROM ed
+      JOIN st u  ON u.dv = ed.a AND u.mate < 0
+      JOIN st v2 ON v2.dv = ed.b AND v2.it = u.it AND v2.mate < 0),
+    vm AS (SELECT it, x AS dv, MIN(q) AS mq FROM (
+             SELECT it, a AS x, q FROM ae
+             UNION ALL SELECT it, b AS x, q FROM ae)
+           GROUP BY it, x),
+    wn AS (SELECT ae.it, ae.a, ae.b FROM ae
+           JOIN vm va ON va.it = ae.it AND va.dv = ae.a
+           JOIN vm vb ON vb.it = ae.it AND vb.dv = ae.b
+           WHERE ae.q <= va.mq AND ae.q <= vb.mq)
+    SELECT it, a AS dv, b AS other FROM wn
+    UNION ALL SELECT it, b AS dv, a AS other FROM wn
+  ) w ON w.dv = st.dv AND w.it = st.it
+  WHERE st.it < 64)
+SELECT did.v AS v, COALESCE(m2.v, -1) AS mate
+FROM (SELECT dv, mate FROM st WHERE it = 64) f
+JOIN did ON did.dv = f.dv
+LEFT JOIN did m2 ON m2.dv = f.mate""",
         # eigencen_copurchase: eigenvector centrality as 64 fixed
         # power-iteration rounds with per-round 2-norm normalization
         # (the window over the grouped step result), exactly the
