@@ -242,6 +242,59 @@ def _splitmix_sql(raw: str, ln: str) -> str:
     return f"(SELECT xor(a, a >> 31) FROM (SELECT {x5} AS a))"
 
 
+def _msf_sql(rounds: int = 16) -> str:
+    """Unrolled-Borůvka maximum-spanning-forest SQL over the basket
+    co-occurrence graph: per round every component nominates its best
+    cut edge under the strict key (w DESC, a, b) — unique per edge, so
+    the forest is unique and must equal graph.mst.boruvka_forest's —
+    then contracts via a small recursive closure over the merge graph
+    (component nodes only, never vertex-squared).  Components at least
+    halve per round: 16 rounds cover n <= 65536 parts; converged
+    rounds self-copy (empty picks).  MATERIALIZED keeps DuckDB from
+    re-expanding the lineitem scan once per round."""
+    parts = [
+        """ew AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)""",
+        "vv AS (SELECT DISTINCT x AS v FROM (SELECT a AS x FROM ew UNION ALL SELECT b FROM ew))",
+        "cc0 AS (SELECT v, v AS c FROM vv)",
+        "ac0(a, b, w) AS (SELECT a, b, w FROM ew WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""og{i} AS MATERIALIZED (
+  SELECT ca.c AS c, ew.a, ew.b, ew.w
+  FROM ew JOIN cc{p} ca ON ca.v = ew.a JOIN cc{p} cb ON cb.v = ew.b AND cb.c <> ca.c
+  UNION ALL
+  SELECT cb.c, ew.a, ew.b, ew.w
+  FROM ew JOIN cc{p} ca ON ca.v = ew.a JOIN cc{p} cb ON cb.v = ew.b AND cb.c <> ca.c)""")
+        parts.append(f"""pk{i} AS (
+  SELECT a, b, w FROM (
+    SELECT c, a, b, w, row_number() OVER (PARTITION BY c ORDER BY w DESC, a, b) AS rn
+    FROM og{i}) WHERE rn = 1)""")
+        parts.append(
+            f"ac{i} AS MATERIALIZED (SELECT * FROM ac{p} UNION SELECT DISTINCT a, b, w FROM pk{i})")
+        parts.append(f"""mg{i} AS (
+  SELECT ca.c AS x, cb.c AS y
+  FROM pk{i} k JOIN cc{p} ca ON ca.v = k.a JOIN cc{p} cb ON cb.v = k.b
+  UNION
+  SELECT cb.c, ca.c
+  FROM pk{i} k JOIN cc{p} ca ON ca.v = k.a JOIN cc{p} cb ON cb.v = k.b)""")
+        parts.append(f"""wk{i}(v, l) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM mg{i})
+  UNION
+  SELECT mg{i}.y, wk{i}.l FROM wk{i} JOIN mg{i} ON mg{i}.x = wk{i}.v)""")
+        parts.append(f"nl{i} AS (SELECT v AS c, MIN(l) AS l FROM wk{i} GROUP BY v)")
+        parts.append(f"""cc{i} AS MATERIALIZED (
+  SELECT cc{p}.v, COALESCE(nl{i}.l, cc{p}.c) AS c
+  FROM cc{p} LEFT JOIN nl{i} ON nl{i}.c = cc{p}.c)""")
+    body = ",\n".join(parts)
+    return f"""WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+{body}
+SELECT a AS part_a, b AS part_b, w FROM ac{rounds} ORDER BY part_a, part_b"""
+
+
 def _fdiv_sql(a: str, b: str) -> str:
     """Python floor-division semantics in SQL for positive divisors
     (DuckDB's ``//`` truncates toward zero; the engine's closure uses
@@ -637,6 +690,17 @@ def _q_mis_copurchase(sf_dir):
     # (dense id, round), so the recursive-CTE oracle replays them
     m = maximal_independent_set(csr)
     return pd.DataFrame({"v": vids, "in_mis": m})
+
+
+def _q_msf_copurchase(sf_dir):
+    """Maximum spanning forest of the co-occurrence-weighted
+    copurchase graph — graph.mst.max_spanning_forest (Borůvka over the
+    distributed pair_counts aggregate; the strict key (w DESC, a, b)
+    makes the forest unique, so the unrolled-Borůvka SQL oracle must
+    agree edge-for-edge)."""
+    from pgd_ray.graph.mst import max_spanning_forest
+
+    return max_spanning_forest(sf_dir)
 
 
 def _q_matching_copurchase(sf_dir):
@@ -2457,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies_type": _q_butterflies,
         "mis_copurchase": _q_mis_copurchase,
         "matching_copurchase": _q_matching_copurchase,
+        "msf_copurchase": _q_msf_copurchase,
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
         "neighborhood_function": _q_neighborhood_function,
@@ -3843,6 +3908,9 @@ st(it, v, dv, code) AS (
   ) nb ON nb.v = st.v AND nb.it = st.it
   WHERE st.it < 64)
 SELECT v, code = -2 AS in_mis FROM st WHERE it = 64""",
+        # msf_copurchase: see _msf_sql — unrolled Borůvka, unique
+        # forest under the strict (w DESC, a, b) key.
+        "msf_copurchase": _msf_sql(),
         # matching_copurchase: local-min-edge maximal matching — each
         # round every alive edge (both ends unmatched) draws
         # splitmix64((a<<32|b) XOR it*C) (bijective in the canonical
