@@ -996,6 +996,22 @@ def _q_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def _q_pca_embeddings(sf_dir):
+    """Per-vector projection onto the top principal component —
+    stages.vector_stats.pca_top_component (one distributed gram-partial
+    pass builds the 64x64 covariance; fixed 64 power-iteration rounds
+    from the uniform unit start run on the driver — the
+    thin-side-iteration pattern) + pca_project (stateless vectorized
+    map).  A pure function of the data, so the recursive-CTE oracle
+    replays the identical iteration."""
+    from pgd_ray.stages.vector_stats import pca_project, pca_top_component
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"]).materialize()
+    mu, v, lam = pca_top_component(ds)
+    return pca_project(ds, mu, v)
+
+
 def _q_window_distinct_users(sf_dir):
     """Exact distinct users per tumbling hour —
     stages.windows.window_distinct_users (two-level hash agg)."""
@@ -2494,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_tool": _q_conductance_tool,
         "conductance_cores": _q_conductance_cores,
         "embedding_covariance": _q_embedding_covariance,
+        "pca_embeddings": _q_pca_embeddings,
         "bloom_semi_orders": _q_bloom_semi_orders,
         "event_islands": _q_event_islands,
         "clustering_spectrum": _q_clustering_spectrum,
@@ -4213,6 +4230,37 @@ xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
 SELECT xx.i, xx.j,
        ROUND(sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
 FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j""",
+        # pca_embeddings: projection onto the top principal component
+        # — the same unnest/gram covariance as embedding_covariance
+        # (both triangles), then 64 fixed power-iteration rounds with
+        # per-round 2-norm normalization from the uniform unit start
+        # (the eigencen_copurchase recursion shape), then one centered
+        # dot per vector.  Fixed horizon = the engine's contract; FP
+        # association differences wash out under ROUND(6).
+        "pca_embeddings": """
+WITH RECURSIVE x AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mu AS (SELECT i, SUM(v) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
+xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY 1, 2),
+cu AS (SELECT xx.i, xx.j, sxy / (SELECT n FROM nn) - ma.m * mb.m AS c
+       FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j),
+cv AS (SELECT i, j, c FROM cu UNION ALL SELECT j, i, c FROM cu WHERE i <> j),
+dd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM mu),
+pw(it, i, val) AS (
+  SELECT 0, i, 1.0 / sqrt((SELECT d FROM dd)) FROM mu
+  UNION ALL
+  SELECT it, i, raw / sqrt(SUM(raw * raw) OVER ()) FROM (
+    SELECT pw.it + 1 AS it, cv.i AS i, SUM(cv.c * pw.val) AS raw
+    FROM pw JOIN cv ON cv.j = pw.i
+    WHERE pw.it < 64 GROUP BY 1, 2) t),
+vf AS (SELECT i, val FROM pw WHERE it = 64)
+SELECT x.vec_id, ROUND(SUM((x.v - mu.m) * vf.val), 6) AS pc1
+FROM x JOIN mu ON mu.i = x.i JOIN vf ON vf.i = x.i
+GROUP BY x.vec_id""",
         # window_distinct_users: exact per-hour distinct users.
         "window_distinct_users": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

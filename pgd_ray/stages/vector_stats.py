@@ -127,3 +127,94 @@ def embedding_covariance(
         "i": up["i"].astype(np.int64), "j": up["j"].astype(np.int64),
         "cov": np.round(cov, round_to),
     }).sort_values(["i", "j"], ignore_index=True)
+
+
+def _cov_agg(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
+    """The gram/sum/count partial aggregate embedding_covariance uses,
+    returned unrounded for numeric consumers (PCA)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        if len(c) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sxy": pa.array([], pa.float64())})
+        d = len(c[0])
+        m = (c.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, d))
+        g = m.T @ m
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": np.concatenate([iu + 1, np.arange(1, d + 1), [0]]),
+            "j": np.concatenate([ju + 1, np.zeros(d, np.int64), [0]]),
+            "sxy": np.concatenate([g[iu, ju], m.sum(axis=0),
+                                   [float(m.shape[0])]]),
+        })
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+
+
+def pca_top_component(
+    ds: ray.data.Dataset, col: str = "embedding", iters: int = 64,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Top principal component of the embedding cloud by fixed-horizon
+    power iteration on the population covariance.
+
+    One distributed pass builds the d x d covariance (the same
+    O(#batches * d^2) gram-partial exchange as embedding_covariance);
+    the d x d iteration runs on the driver (the thin-side-iteration
+    pattern: heavy aggregate distributed, tiny dense solve local).
+    Fixed ``iters`` rounds from the uniform unit start — a pure
+    function of the data, so the recursive-CTE SQL oracle replays it;
+    the returned sign is whatever the deterministic iteration yields.
+    Returns (mu, v, lam): per-dim mean, unit component, its variance.
+    """
+    agg = _cov_agg(ds, col)
+    if agg.empty:
+        raise ValueError("pca_top_component: empty input")
+    n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "sxy"].iloc[0])
+    sums = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["sxy"]
+    d = len(sums)
+    mu = sums.sort_index().to_numpy(np.float64) / n
+    C = np.zeros((d, d), dtype=np.float64)
+    up = agg[agg["j"] > 0]
+    ii = up["i"].to_numpy(np.int64) - 1
+    jj = up["j"].to_numpy(np.int64) - 1
+    cv = up["sxy"].to_numpy(np.float64) / n - mu[ii] * mu[jj]
+    C[ii, jj] = cv
+    C[jj, ii] = cv
+    x = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        y = C @ x
+        x = y / np.sqrt((y * y).sum())
+    lam = float(x @ (C @ x))
+    return mu, x, lam
+
+
+def pca_project(
+    ds: ray.data.Dataset, mu: np.ndarray, v: np.ndarray,
+    col: str = "embedding", id_col: str = "vec_id", round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-vector projection onto a (centered) component: one
+    stateless vectorized map — (id_col, pc1)."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        if len(c) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pc1": pa.array([], pa.float64())})
+        d = len(v)
+        m = (c.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, d))
+        p = (m - mu) @ v
+        return pa.table({id_col: t[id_col],
+                         "pc1": pa.array(np.round(p, round_to))})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        proj, batch_format="pyarrow")
