@@ -996,6 +996,18 @@ def _q_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def _q_knn_clusters(sf_dir):
+    """Mutual-kNN-graph connected components over the embedding table
+    — stages.similarity.mutual_knn_clusters (broadcast-corpus exact
+    top-5 per vector, mutual filter by pair-count, min-label CC over
+    the thin mutual edge list)."""
+    from pgd_ray.stages.similarity import mutual_knn_clusters
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    return mutual_knn_clusters(emb, k=5)
+
+
 def _q_pca_embeddings(sf_dir):
     """Per-vector projection onto the top principal component —
     stages.vector_stats.pca_top_component (one distributed gram-partial
@@ -2511,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_cores": _q_conductance_cores,
         "embedding_covariance": _q_embedding_covariance,
         "pca_embeddings": _q_pca_embeddings,
+        "knn_clusters": _q_knn_clusters,
         "bloom_semi_orders": _q_bloom_semi_orders,
         "event_islands": _q_event_islands,
         "clustering_spectrum": _q_clustering_spectrum,
@@ -4230,6 +4243,27 @@ xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
 SELECT xx.i, xx.j,
        ROUND(sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
 FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j""",
+        # knn_clusters: mutual-5-NN components — exact cosine ranks
+        # (ties -> vec_id, the _TOPK_SQL convention), mutual = both
+        # directions in each other's top-5, then the proven recursive
+        # min-propagation walk over the (symmetric) mutual edges.
+        "knn_clusters": """
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+kn AS (SELECT src, dst FROM (
+         SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+         FROM sims) WHERE rn <= 5),
+mu AS (SELECT a.src, a.dst FROM kn a
+       JOIN kn b ON b.src = a.dst AND b.dst = a.src),
+wk(v, l) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT mu.dst, wk.l FROM wk JOIN mu ON mu.src = wk.v)
+SELECT v AS vec_id, MIN(l) AS cluster FROM wk GROUP BY v""",
         # pca_embeddings: projection onto the top principal component
         # — the same unnest/gram covariance as embedding_covariance
         # (both triangles), then 64 fixed power-iteration rounds with

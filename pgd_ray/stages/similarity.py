@@ -405,3 +405,93 @@ def mmr_rerank(
                       "score": float(top["score"])})
     return pd.DataFrame(ranks, columns=["rank", "vec_id", "score"]).astype(
         {"rank": np.int64, "vec_id": np.int64, "score": np.float64})
+
+
+def knn_edges(
+    emb: ray.data.Dataset,
+    k: int = 5,
+    batch_size: int = 4096,
+    concurrency=(1, 16),
+    dtype=np.float64,
+) -> pd.DataFrame:
+    """Directed exact k-nearest-neighbor edges (src, dst) by cosine,
+    self excluded, ties broken by vec_id — every vector is both query
+    and candidate.  The normalized corpus matrix is broadcast once
+    (`ray.put`) and the SAME dataset streams through a stateful scorer
+    as the query side, so the exchange is one matrix put + O(n·k)
+    edge rows.  Brute force is the exact baseline; at corpus sizes
+    where n² flops bite, route queries through the IVF bucketed path
+    (ivf_topk_cosine) instead."""
+    corpus = emb.select_columns(["vec_id", "embedding"]).to_pandas()
+    vid_all = corpus["vec_id"].to_numpy(np.int64)
+    m_all = _normalize(np.stack(corpus["embedding"].to_numpy()).astype(dtype))
+    ref = ray.put((vid_all, m_all))
+
+    class Scorer:
+        def __init__(self):
+            self.vid, self.m = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qid = b["vec_id"].to_numpy(zero_copy_only=False)
+            q = _normalize(_stack_embeddings(b["embedding"], dtype))
+            if len(q) == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            sims = q @ self.m.T
+            outs, outd = [], []
+            for i in range(len(qid)):
+                s = sims[i].copy()
+                s[self.vid == qid[i]] = -np.inf  # exclude self
+                kk = min(k, len(s) - 1)
+                if kk <= 0:
+                    continue  # singleton corpus: no neighbors
+                sel = _local_topk(s, self.vid, kk)
+                outs.append(np.full(len(sel), qid[i], np.int64))
+                outd.append(self.vid[sel].astype(np.int64))
+            if not outs:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            return pa.table({"src": pa.array(np.concatenate(outs)),
+                             "dst": pa.array(np.concatenate(outd))})
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        Scorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).to_pandas()
+
+
+def mutual_knn_clusters(emb: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
+    """Connected components of the MUTUAL k-NN graph (u and v link iff
+    each is in the other's top-k): the standard density-respecting
+    clustering for embedding corpora.  Components via min-label
+    propagation with pointer jumping over the thin mutual edge list
+    (O(n·k) rows — the same driver contract as the graph kernels; the
+    distributed alternative is the engine's hash-min CC program).
+    Returns (vec_id, cluster), cluster = min vec_id in component;
+    vectors with no mutual neighbor are singletons."""
+    ed = knn_edges(emb, k=k)
+    s = ed["src"].to_numpy(np.int64) if len(ed) else np.array([], np.int64)
+    d = ed["dst"].to_numpy(np.int64) if len(ed) else np.array([], np.int64)
+    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"]
+    # mutual: the canonical (min,max) pair occurs in both directions —
+    # directed pairs are unique, so pair-count == 2 identifies it
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    pk = np.stack([lo, hi], axis=1)
+    upairs, cnt = np.unique(pk, axis=0, return_counts=True) if len(pk) else (
+        np.empty((0, 2), np.int64), np.array([], np.int64))
+    ma, mb = upairs[cnt == 2, 0], upairs[cnt == 2, 1]
+    verts = np.unique(ids.to_numpy(np.int64))
+    lab = verts.astype(np.int64).copy()
+    if len(ma):
+        pa_ = np.searchsorted(verts, ma)
+        pb = np.searchsorted(verts, mb)
+        while True:
+            before = lab.copy()
+            np.minimum.at(lab, pa_, lab[pb])
+            np.minimum.at(lab, pb, lab[pa_])
+            idx = np.searchsorted(verts, lab)
+            lab = np.minimum(lab, lab[idx])
+            if np.array_equal(lab, before):
+                break
+    return pd.DataFrame({"vec_id": verts, "cluster": lab}).sort_values(
+        "vec_id", ignore_index=True)
