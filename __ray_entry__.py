@@ -903,6 +903,15 @@ def _q_ewma_daily(sf_dir):
     return ewma_daily(sf_dir, alpha=0.3)
 
 
+def _q_acf_daily(sf_dir):
+    """Autocorrelation (lags 1..7) of the daily event count —
+    stages.windows.acf_daily (distributed day agg, O(days) driver
+    estimator over the observed-day sequence)."""
+    from pgd_ray.stages.windows import acf_daily
+
+    return acf_daily(sf_dir, max_lag=7)
+
+
 def _q_event_islands(sf_dir):
     """Gaps-and-islands over per-user event_id runs —
     stages.windows.event_islands (sorted blocks + boundary stitch)."""
@@ -1911,6 +1920,20 @@ def _q_grouped_quantiles(sf_dir):
     return grouped_quantiles(ev, "event_type", "value", [0.5, 0.9])
 
 
+def _q_mad_outliers(sf_dir):
+    """Per-event-type robust outlier screen — stages.robust
+    .mad_outliers (exact rank-rule median + MAD via the shared-pass
+    grouped-quantile refinement, strict |x-med| > 3*MAD flags; the
+    identical IEEE expression in the SQL mirror)."""
+    from pgd_ray.stages.robust import mad_outliers
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = mad_outliers(ev, "event_type", "value", thresh=3.0)
+    out["med"] = out["med"].round(9)
+    out["mad"] = out["mad"].round(9)
+    return out
+
+
 def _q_zipf_slope(sf_dir):
     """Zipf rank-frequency exponent over the top-100 vocabulary —
     text.analysis.zipf_slope (one vocab shuffle, closed-form OLS on n
@@ -2535,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_type_dow": _q_chi2_type_dow,
         "benford_prices": _q_benford_prices,
         "ewma_daily": _q_ewma_daily,
+        "acf_daily": _q_acf_daily,
         "grouped_ols": _q_grouped_ols,
         "fuzzy_names": _q_fuzzy_names,
         "value_quartiles": _q_value_quartiles,
@@ -2642,6 +2666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "hill_alpha": _q_hill_alpha,
         "grouped_quantiles": _q_grouped_quantiles,
+        "mad_outliers": _q_mad_outliers,
         "weighted_sample": _q_weighted_sample,
         "lexical_diversity": _q_lexical_diversity,
         "user_activity": _q_user_activity,
@@ -3201,6 +3226,34 @@ WITH v AS (SELECT event_type, value,
 qq AS (SELECT * FROM (VALUES (0.5), (0.9)) t(q))
 SELECT event_type, q, value FROM v, qq
 WHERE rk = CAST(floor(q * (n - 1)) AS BIGINT)""",
+        # mad_outliers: robust per-type screen — median and MAD under
+        # the engine's rank-(floor(q*(n-1))) rule (the
+        # grouped_quantiles window shape, twice), strict
+        # ABS(x-med) > 3*mad in the same IEEE doubles.
+        "mad_outliers": """
+WITH v AS (SELECT event_type, value,
+                  row_number() OVER (
+                    PARTITION BY event_type ORDER BY value) - 1 AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+med AS (SELECT event_type, value AS med FROM v
+        WHERE rk = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+a AS (SELECT e.event_type, e.value, ABS(e.value - m.med) AS av, m.med
+      FROM v e JOIN med m USING (event_type)),
+a2 AS (SELECT event_type, av,
+              row_number() OVER (
+                PARTITION BY event_type ORDER BY av) - 1 AS rk,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM a),
+mad AS (SELECT event_type, av AS mad FROM a2
+        WHERE rk = CAST(floor(0.5 * (n - 1)) AS BIGINT))
+SELECT a.event_type, ROUND(ANY_VALUE(a.med), 9) AS med,
+       ROUND(ANY_VALUE(mad.mad), 9) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN a.av > 3.0 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM a JOIN mad USING (event_type)
+GROUP BY a.event_type""",
         # text.analysis.zipf_slope: OLS of ln(count) on ln(rank)
         "zipf_slope": """
 WITH tok AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
@@ -4146,6 +4199,25 @@ SELECT d.degree, CAST(COUNT(*) AS BIGINT) AS n_vertices,
 FROM d JOIN vt ON vt.v = d.v GROUP BY d.degree""",
         # ewma_daily: observed-day EWMA recurrence, seed = first day;
         # (1 - CAST(0.3 AS DOUBLE)) mirrors the engine's 1.0 - alpha.
+        # acf_daily: textbook ACF estimator over the observed-day
+        # sequence (sequence index drives the lag, the ewma_daily
+        # contract); full-series mean and denominator.
+        "acf_daily": """
+WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+sq AS (SELECT row_number() OVER (ORDER BY day) AS rk, CAST(n AS DOUBLE) AS x
+       FROM dd),
+mu AS (SELECT AVG(x) AS m FROM sq),
+den AS (SELECT SUM((x - (SELECT m FROM mu)) * (x - (SELECT m FROM mu))) AS d
+        FROM sq),
+lg AS (SELECT CAST(lag AS BIGINT) AS lag FROM
+       (VALUES (1),(2),(3),(4),(5),(6),(7)) t(lag))
+SELECT lg.lag,
+       ROUND(SUM((a.x - (SELECT m FROM mu)) * (b.x - (SELECT m FROM mu)))
+             / (SELECT d FROM den), 9) AS acf
+FROM lg JOIN sq a ON 1 = 1 JOIN sq b ON b.rk = a.rk + lg.lag
+GROUP BY lg.lag""",
         "ewma_daily": """
 WITH RECURSIVE dd AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,

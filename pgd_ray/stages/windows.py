@@ -1033,3 +1033,41 @@ def ewma_daily(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     res["day"] = res["day"].astype(np.int64)
     res["n"] = res["n"].astype(np.int64)
     return res
+
+
+def acf_daily(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Autocorrelation of the daily total event count at lags
+    1..max_lag — the burstiness / weekly-seasonality screen.  One
+    distributed day aggregation (O(days) rows leave the workers), then
+    the textbook estimator r_k = Σ(x_t-x̄)(x_{t+k}-x̄) / Σ(x_t-x̄)²
+    over the OBSERVED-day sequence (rows ordered by day; the sequence
+    index, not calendar arithmetic, drives the lag — the ewma_daily
+    contract).  Columns (lag, acf)."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"day": day})
+
+    daily = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    x = daily.sort_values("day")["n"].to_numpy(np.float64)
+    lags = np.arange(1, max_lag + 1, dtype=np.int64)
+    if len(x) < 2:
+        return pd.DataFrame({"lag": lags,
+                             "acf": np.full(len(lags), np.nan)})
+    c = x - x.mean()
+    denom = float((c * c).sum())
+    acf = np.array([
+        float((c[:-k] * c[k:]).sum()) / denom if k < len(x) else np.nan
+        for k in lags])
+    return pd.DataFrame({"lag": lags, "acf": np.round(acf, 9)})
