@@ -903,6 +903,15 @@ def _q_ewma_daily(sf_dir):
     return ewma_daily(sf_dir, alpha=0.3)
 
 
+def _q_type_runs(sf_dir):
+    """Per-user maximal equal-type run stats (SCD-2 change tracking)
+    — stages.windows.type_runs (sorted-block change points +
+    boundary-user stitch, O(#users) driver aggregate)."""
+    from pgd_ray.stages.windows import type_runs
+
+    return type_runs(sf_dir)
+
+
 def _q_acf_daily(sf_dir):
     """Autocorrelation (lags 1..7) of the daily event count —
     stages.windows.acf_daily (distributed day agg, O(days) driver
@@ -1003,6 +1012,18 @@ def _q_embedding_covariance(sf_dir):
 
     ds = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     return embedding_covariance(ds)
+
+
+def _q_jl_ratios(sf_dir):
+    """Per-vector JL norm distortion ||Rx||²/||x||² under the
+    deterministic ±1/√16 Rademacher matrix (signs = splitmix64 low
+    bit) — stages.vector_stats.jl_norm_ratios (stateless vectorized
+    map; the oracle rebuilds R bit-for-bit)."""
+    from pgd_ray.stages.vector_stats import jl_norm_ratios
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    return jl_norm_ratios(ds, p=16)
 
 
 def _q_knn_clusters(sf_dir):
@@ -2547,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "pca_embeddings": _q_pca_embeddings,
         "knn_clusters": _q_knn_clusters,
+        "jl_ratios": _q_jl_ratios,
         "bloom_semi_orders": _q_bloom_semi_orders,
         "event_islands": _q_event_islands,
         "clustering_spectrum": _q_clustering_spectrum,
@@ -2559,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": _q_benford_prices,
         "ewma_daily": _q_ewma_daily,
         "acf_daily": _q_acf_daily,
+        "type_runs": _q_type_runs,
         "grouped_ols": _q_grouped_ols,
         "fuzzy_names": _q_fuzzy_names,
         "value_quartiles": _q_value_quartiles,
@@ -4199,6 +4222,20 @@ SELECT d.degree, CAST(COUNT(*) AS BIGINT) AS n_vertices,
 FROM d JOIN vt ON vt.v = d.v GROUP BY d.degree""",
         # ewma_daily: observed-day EWMA recurrence, seed = first day;
         # (1 - CAST(0.3 AS DOUBLE)) mirrors the engine's 1.0 - alpha.
+        # type_runs: runs = change points + 1 via LAG in the same
+        # (ts, event_id) per-user order the engine sorts by.
+        "type_runs": """
+WITH s0 AS (SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS prv
+            FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prv IS NOT NULL AND prv <> event_type
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) /
+             (SUM(CASE WHEN prv IS NOT NULL AND prv <> event_type
+                       THEN 1 ELSE 0 END) + 1), 6) AS avg_run_len
+FROM s0 GROUP BY user_id""",
         # acf_daily: textbook ACF estimator over the observed-day
         # sequence (sequence index drives the lag, the ewma_daily
         # contract); full-series mean and denominator.
@@ -4315,6 +4352,26 @@ xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
 SELECT xx.i, xx.j,
        ROUND(sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
 FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j""",
+        # jl_ratios: the identical Rademacher matrix from the
+        # splitmix64 low bit of (i<<32 | j), projection sums per
+        # output dim, norm ratio rounded 6.
+        "jl_ratios": f"""
+WITH x AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  unnest(range(len(embedding))) AS i
+           FROM embeddings),
+pp AS (SELECT unnest(range(16)) AS j),
+sg AS (SELECT di.i, pp.j,
+              CASE WHEN ({_splitmix_sql(
+                  "CAST(di.i AS UBIGINT) * 4294967296 + CAST(pp.j AS UBIGINT)",
+                  "0")}) % 2 = 1
+                   THEN 1.0 ELSE -1.0 END / sqrt(16.0) AS s
+       FROM (SELECT DISTINCT i FROM x) di CROSS JOIN pp),
+y AS (SELECT x.vec_id, sg.j, SUM(x.v * sg.s) AS yj
+      FROM x JOIN sg ON sg.i = x.i GROUP BY 1, 2),
+ny AS (SELECT vec_id, SUM(yj * yj) AS ny FROM y GROUP BY 1),
+nx AS (SELECT vec_id, SUM(v * v) AS nx FROM x GROUP BY 1)
+SELECT ny.vec_id, ROUND(ny.ny / nx.nx, 6) AS norm_ratio
+FROM ny JOIN nx ON nx.vec_id = ny.vec_id""",
         # knn_clusters: mutual-5-NN components — exact cosine ranks
         # (ties -> vec_id, the _TOPK_SQL convention), mutual = both
         # directions in each other's top-5, then the proven recursive

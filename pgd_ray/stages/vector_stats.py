@@ -218,3 +218,47 @@ def pca_project(
 
     return ds.select_columns([id_col, col]).map_batches(
         proj, batch_format="pyarrow")
+
+
+def jl_norm_ratios(
+    ds: ray.data.Dataset, col: str = "embedding", id_col: str = "vec_id",
+    p: int = 16, round_to: int = 6,
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss sketch quality per vector: project each
+    d-dim embedding to p dims with the deterministic Rademacher matrix
+    R[i, j] = ±1/√p (sign = low bit of splitmix64(i<<32 | j) — the
+    engine's standard content-hash coin, so the SQL oracle rebuilds
+    the identical matrix) and report ||Rx||²/||x||² — the norm
+    distortion the JL lemma bounds.  One stateless vectorized map; R
+    is built once per actor from (d, p) alone, nothing is broadcast.
+    Columns (id_col, norm_ratio)."""
+
+    class Proj:
+        def __init__(self):
+            self.R = None
+
+        def _build(self, d):
+            from pgd_ray.text.hashing import splitmix64
+
+            i = np.repeat(np.arange(d, dtype=np.uint64), p)
+            j = np.tile(np.arange(p, dtype=np.uint64), d)
+            bit = splitmix64((i << np.uint64(32)) | j) & np.uint64(1)
+            self.R = np.where(bit.reshape(d, p) == 1, 1.0, -1.0) / np.sqrt(p)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            c = t[col].combine_chunks()
+            if len(c) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "norm_ratio": pa.array([], pa.float64())})
+            d = len(c[0])
+            if self.R is None:
+                self._build(d)
+            m = (c.flatten().to_numpy(zero_copy_only=False)
+                 .astype(np.float64).reshape(-1, d))
+            y = m @ self.R
+            ratio = (y * y).sum(axis=1) / (m * m).sum(axis=1)
+            return pa.table({id_col: t[id_col],
+                             "norm_ratio": pa.array(np.round(ratio, round_to))})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        Proj, batch_format="pyarrow", concurrency=(1, 8))

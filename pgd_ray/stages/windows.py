@@ -1071,3 +1071,82 @@ def acf_daily(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
         float((c[:-k] * c[k:]).sum()) / denom if k < len(x) else np.nan
         for k in lags])
     return pd.DataFrame({"lag": lags, "acf": np.round(acf, 9)})
+
+
+def type_runs(sf_dir: str) -> pd.DataFrame:
+    """Per-user change tracking (the SCD-2 screen): number of maximal
+    runs of consecutive equal event_type in (ts, event_id) order, plus
+    n_events and the mean run length.  Same sorted-block + boundary-
+    user stitch as ``transition_counts`` — interior change points
+    count inside their block, the <= 2 edge users per block resolve on
+    the driver — then one per-user sum; the driver holds O(#users)
+    aggregate rows.  Columns (user_id, n_events, n_runs, avg_run_len).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _chg(uid: np.ndarray, et: np.ndarray) -> pd.DataFrame | None:
+        if len(uid) < 2:
+            return None
+        m = uid[1:] == uid[:-1]
+        if not m.any():
+            return None
+        return (
+            pd.DataFrame({"user_id": uid[1:][m],
+                          "c": (et[1:][m] != et[:-1][m]).astype(np.int64)})
+            .groupby("user_id", sort=False)["c"].sum().reset_index()
+        )
+
+    def _table(d: pd.DataFrame | None) -> pa.Table:
+        if d is None or d.empty:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"user_id": d["user_id"].to_numpy(np.int64),
+                         "c": d["c"].to_numpy(np.int64)})
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _table(None)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        return _table(_chg(uid[interior], et[interior]))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.select(cols).filter(
+            pa.array((uid == uid[0]) | (uid == uid[-1])))
+
+    chg = srt.map_batches(block, batch_format="pyarrow", batch_size=None)
+    bdf = srt.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None).to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        d = _chg(bdf["user_id"].to_numpy(), bdf["event_type"].to_numpy())
+        if d is not None and len(d):
+            chg = chg.union(ray.data.from_arrow(_table(d)))
+    changes = chg.groupby("user_id").aggregate(
+        Sum("c", alias_name="n_changes")).to_pandas()
+    counts = (
+        ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    out = counts.merge(changes, on="user_id", how="left")
+    out["n_changes"] = out["n_changes"].fillna(0).astype(np.int64)
+    out["n_runs"] = out["n_changes"] + 1
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["avg_run_len"] = np.round(
+        out["n_events"].to_numpy(np.float64)
+        / out["n_runs"].to_numpy(np.float64), 6)
+    return out[["user_id", "n_events", "n_runs", "avg_run_len"]].sort_values(
+        "user_id", ignore_index=True)
