@@ -1014,6 +1014,27 @@ def _q_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def _q_readability(sf_dir):
+    """Per-doc Flesch reading ease from exact regex-run counts —
+    text.analysis.readability (compiled patterns per actor, pandas C
+    counting; integer counts exact on both sides of the mirror)."""
+    from pgd_ray.text.analysis import readability
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return readability(docs)
+
+
+def _q_centroid_confusion(sf_dir):
+    """Nearest-centroid label confusion over embeddings —
+    stages.clustering.centroid_confusion (distributed per-label mean,
+    broadcast L×d matrix, cosine argmax with ties → smaller label)."""
+    from pgd_ray.stages.clustering import centroid_confusion
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"])
+    return centroid_confusion(emb)
+
+
 def _q_jl_ratios(sf_dir):
     """Per-vector JL norm distortion ||Rx||²/||x||² under the
     deterministic ±1/√16 Rademacher matrix (signs = splitmix64 low
@@ -2569,6 +2590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "knn_clusters": _q_knn_clusters,
         "jl_ratios": _q_jl_ratios,
+        "readability": _q_readability,
+        "centroid_confusion": _q_centroid_confusion,
         "bloom_semi_orders": _q_bloom_semi_orders,
         "event_islands": _q_event_islands,
         "clustering_spectrum": _q_clustering_spectrum,
@@ -4352,6 +4375,40 @@ xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
 SELECT xx.i, xx.j,
        ROUND(sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
 FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j""",
+        # readability: the same three regex-run counts (RE2 and
+        # re.ASCII agree on these byte classes), sentence count
+        # clamped >= 1, the identical left-associated double formula.
+        "readability": """
+WITH c AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                     - 84.6 * (CAST(y AS DOUBLE) / GREATEST(w, 1)), 6)
+         AS flesch
+FROM c""",
+        # centroid_confusion: per-label mean centroids (AVG per dim),
+        # cosine rank with ties -> smaller centroid label (the
+        # _TOPK_SQL convention), then confusion counts.
+        "centroid_confusion": """
+WITH x AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  unnest(range(len(embedding))) AS i
+           FROM embeddings),
+ct AS (SELECT label AS cl, i, AVG(v) AS cv FROM x GROUP BY 1, 2),
+sim AS (SELECT x.vec_id, ANY_VALUE(x.label) AS label_true, ct.cl,
+               SUM(x.v * ct.cv)
+                 / (sqrt(SUM(x.v * x.v)) * sqrt(SUM(ct.cv * ct.cv))) AS s
+        FROM x JOIN ct ON ct.i = x.i GROUP BY x.vec_id, ct.cl),
+pk AS (SELECT label_true, cl AS label_pred FROM (
+         SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY s DESC, cl) AS rn
+         FROM sim) WHERE rn = 1)
+SELECT CAST(label_true AS BIGINT) AS label_true,
+       CAST(label_pred AS BIGINT) AS label_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pk GROUP BY 1, 2""",
         # jl_ratios: the identical Rademacher matrix from the
         # splitmix64 low bit of (i<<32 | j), projection sums per
         # output dim, norm ratio rounded 6.

@@ -209,3 +209,88 @@ def silhouette_by_cluster(
             agg["ssum"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64),
             6),
     }).sort_values("cluster", ignore_index=True)
+
+
+def centroid_confusion(
+    emb: ray.data.Dataset, col: str = "embedding", label_col: str = "label",
+) -> pd.DataFrame:
+    """Nearest-centroid classifier confusion over labeled embeddings:
+    per-label mean centroid (one distributed sum/count aggregate —
+    d+1 rows per label leave the workers), then every vector is
+    assigned to the cosine-nearest centroid (ties -> smaller label)
+    by a stateless map against the broadcast L x d matrix, and the
+    (label_true, label_pred) pairs reduce to counts.  The standard
+    label-quality / cluster-separability audit for embedding tables.
+    Columns (label_true, label_pred, n)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        if len(c) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sxy": pa.array([], pa.float64())})
+        d = len(c[0])
+        m = (c.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, d))
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), d), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.float64)
+        # dim 0 row carries the count
+        return pa.table({
+            "label": np.concatenate([np.repeat(ul, d), ul]),
+            "dim": np.concatenate([np.tile(np.arange(1, d + 1), len(ul)),
+                                   np.zeros(len(ul), np.int64)]),
+            "sxy": np.concatenate([sums.ravel(), cnt]),
+        })
+
+    agg = (
+        emb.select_columns([label_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"label_true": pd.Series([], dtype=np.int64),
+                             "label_pred": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    labels = np.sort(agg["label"].unique())
+    d = int(agg["dim"].max())
+    cnts = agg[agg["dim"] == 0].set_index("label")["sxy"]
+    cent = np.zeros((len(labels), d), np.float64)
+    for li, lb in enumerate(labels):
+        g = agg[(agg["label"] == lb) & (agg["dim"] > 0)].sort_values("dim")
+        cent[li] = g["sxy"].to_numpy(np.float64) / float(cnts[lb])
+    cn = cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((labels, cn))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        col_ = t[col].combine_chunks()
+        if len(col_) == 0:
+            return pa.table({"label_true": pa.array([], pa.int64()),
+                             "label_pred": pa.array([], pa.int64())})
+        m = (col_.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(-1, c.shape[1]))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ c.T
+        pred = labs[np.argmax(sims, axis=1)]  # first max -> smaller label
+        return pa.table({
+            "label_true": t[label_col].cast(pa.int64()),
+            "label_pred": pa.array(pred, pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    out = (
+        emb.select_columns([label_col, col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["label_true", "label_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["label_true", "label_pred"], ignore_index=True)

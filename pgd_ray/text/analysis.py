@@ -292,3 +292,43 @@ def zipf_slope(
     return pd.DataFrame({"n_terms": [np.int64(len(top))],
                          "slope": [round(float(slope), 6)],
                          "intercept": [round(float(ym - slope * xm), 6)]})
+
+
+class Readability:
+    """Flesch reading-ease per document from three exact regex-run
+    counts (words = [A-Za-z]+ runs, sentences = [.!?]+ runs clamped to
+    >= 1, syllable proxy = vowel-group runs): 206.835 - 1.015·w/s -
+    84.6·syl/w.  Integer counts are exact on both sides of the SQL
+    mirror, the score is the identical IEEE-double expression.
+    Patterns compile once per actor; counting is the pandas C string
+    kernel."""
+
+    def __init__(self):
+        import re
+
+        self.words = re.compile(r"[A-Za-z]+", re.ASCII)
+        self.sents = re.compile(r"[.!?]+", re.ASCII)
+        self.syls = re.compile(r"[aeiouyAEIOUY]+", re.ASCII)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("")
+        w = text.str.count(self.words).to_numpy(np.float64)
+        s = np.maximum(text.str.count(self.sents).to_numpy(np.float64), 1.0)
+        y = text.str.count(self.syls).to_numpy(np.float64)
+        wc = np.maximum(w, 1.0)  # empty docs: score defined, counts 0
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (y / wc)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_words": w.astype(np.int64),
+            "n_sentences": s.astype(np.int64),
+            "n_syllables": y.astype(np.int64),
+            "flesch": np.round(score, 6),
+        })
+
+
+def readability(docs: ray.data.Dataset, concurrency=(1, 16)) -> ray.data.Dataset:
+    """Per-doc Flesch reading ease — (doc_id, n_words, n_sentences,
+    n_syllables, flesch)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        Readability, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency)
