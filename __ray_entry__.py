@@ -692,6 +692,15 @@ def _q_mis_copurchase(sf_dir):
     return pd.DataFrame({"v": vids, "in_mis": m})
 
 
+def _q_monthly_graph(sf_dir):
+    """Per-month co-purchase subgraph stats — graph.temporal
+    .monthly_graph_stats (two native hash joins carry the order month
+    onto the pair expansion; months are the parallel kernel axis)."""
+    from pgd_ray.graph.temporal import monthly_graph_stats
+
+    return monthly_graph_stats(sf_dir)
+
+
 def _q_msf_copurchase(sf_dir):
     """Maximum spanning forest of the co-occurrence-weighted
     copurchase graph — graph.mst.max_spanning_forest (Borůvka over the
@@ -715,6 +724,19 @@ def _q_matching_copurchase(sf_dir):
     vid_arr = np.asarray(vids)
     mate_raw = np.where(mate >= 0, vid_arr[np.where(mate >= 0, mate, 0)], -1)
     return pd.DataFrame({"v": vid_arr, "mate": mate_raw})
+
+
+def _q_fiedler_copurchase(sf_dir):
+    """Fiedler (spectral-bisection) vector — graph.iterative
+    .fiedler_vector (fixed 64 deflated power-iteration rounds on
+    (Δ+1)I − L from the ramp start; centering each round removes the
+    constant kernel).  Pure function of the graph; the oracle replays
+    the identical per-element expressions."""
+    from pgd_ray.graph.iterative import fiedler_vector
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    x = fiedler_vector(csr, iters=64)
+    return pd.DataFrame({"v": vids, "score": np.round(x, 9)})
 
 
 def _q_eigencen_copurchase(sf_dir):
@@ -2622,6 +2644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_copurchase": _q_mis_copurchase,
         "matching_copurchase": _q_matching_copurchase,
         "msf_copurchase": _q_msf_copurchase,
+        "fiedler_copurchase": _q_fiedler_copurchase,
+        "monthly_graph": _q_monthly_graph,
         "coloring_copurchase": _q_coloring_copurchase,
         "anf_copurchase": _q_anf_copurchase,
         "neighborhood_function": _q_neighborhood_function,
@@ -4037,6 +4061,35 @@ st(it, v, dv, code) AS (
   ) nb ON nb.v = st.v AND nb.it = st.it
   WHERE st.it < 64)
 SELECT v, code = -2 AS in_mis FROM st WHERE it = 64""",
+        # monthly_graph: month-sliced edges (orders carry the month),
+        # triangles per month via the correlated common-neighbor join
+        # (per-edge counts sum to 3T).
+        "monthly_graph": """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+om AS (SELECT o_orderkey,
+              CAST(date_part('year', o_orderdate) * 100
+                   + date_part('month', o_orderdate) AS BIGINT) AS month
+       FROM orders),
+e AS (SELECT DISTINCT om.month, a.l_partkey AS src, b.l_partkey AS dst
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN om ON om.o_orderkey = a.l_orderkey),
+s AS (SELECT month, src, dst FROM e
+      UNION ALL SELECT month, dst, src FROM e),
+tri AS (SELECT e.month, COUNT(s2.dst) AS t3
+        FROM e JOIN s s1 ON s1.month = e.month AND s1.src = e.src
+               JOIN s s2 ON s2.month = e.month AND s2.src = e.dst
+                        AND s2.dst = s1.dst
+        GROUP BY e.month),
+nv AS (SELECT month, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vertices
+       FROM (SELECT month, src AS v FROM e
+             UNION ALL SELECT month, dst FROM e) GROUP BY month),
+ne AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+       GROUP BY month)
+SELECT nv.month, nv.n_vertices, ne.n_edges,
+       CAST(COALESCE(tri.t3, 0) // 3 AS BIGINT) AS n_triangles
+FROM nv JOIN ne ON ne.month = nv.month
+LEFT JOIN tri ON tri.month = nv.month""",
         # msf_copurchase: see _msf_sql — unrolled Borůvka, unique
         # forest under the strict (w DESC, a, b) key.
         "msf_copurchase": _msf_sql(),
@@ -4085,6 +4138,39 @@ SELECT did.v AS v, COALESCE(m2.v, -1) AS mate
 FROM (SELECT dv, mate FROM st WHERE it = 64) f
 JOIN did ON did.dv = f.dv
 LEFT JOIN did m2 ON m2.dv = f.mate""",
+        # fiedler_copurchase: 64 deflated power-iteration rounds on
+        # (Δ+1)I - L from the ramp start — per round the working
+        # state y is centered and unit-normalized IN the same
+        # per-element expression the engine evaluates (subtract
+        # window-mean, divide by sqrt(Σy² - n·μ²)), then
+        # y' = (c - deg)·z + Σ_nbr z.
+        "fiedler_copurchase": (lambda zq: f"""
+WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+cv AS (SELECT CAST(MAX(degree) + 1 AS DOUBLE) AS c FROM d),
+fd(it, v, y) AS (
+  SELECT 0, v, CAST(dv AS DOUBLE) FROM did
+  UNION ALL
+  SELECT z.it, z.v, ((SELECT c FROM cv) - d.degree) * z.z + nb.sz
+  FROM ({zq}) z
+  JOIN d ON d.v = z.v
+  JOIN (SELECT s.src AS v, zi.it, SUM(zi.z) AS sz
+        FROM s JOIN ({zq}) zi ON zi.v = s.dst
+        GROUP BY 1, 2) nb
+    ON nb.v = z.v AND nb.it = z.it)
+SELECT f.v,
+       ROUND((f.y - AVG(f.y) OVER ())
+             / sqrt(SUM(f.y * f.y) OVER ()
+                    - (SELECT n FROM nn) * AVG(f.y) OVER ()
+                      * AVG(f.y) OVER ()), 9) AS score
+FROM (SELECT v, y FROM fd WHERE it = 64) f""")(
+            """SELECT fd.it + 1 AS it, fd.v,
+       (fd.y - AVG(fd.y) OVER ())
+         / sqrt(SUM(fd.y * fd.y) OVER ()
+                - (SELECT n FROM nn) * AVG(fd.y) OVER ()
+                  * AVG(fd.y) OVER ()) AS z
+FROM fd WHERE fd.it < 64"""),
         # eigencen_copurchase: eigenvector centrality as 64 fixed
         # power-iteration rounds with per-round 2-norm normalization
         # (the window over the grouped step result), exactly the

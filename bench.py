@@ -168,6 +168,7 @@ def run_bench() -> dict:
     r3ops = _round3_ops(dense, csr, nw)
     r3bops = _round3b_ops(dense, csr, nw)
     r3cops = _round3c_ops(dense, csr, vids, nw)
+    r3dops = _round3d_ops(dense, csr, vids, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -189,6 +190,7 @@ def run_bench() -> dict:
         "round3_ops_sec": r3ops,
         "round3b_ops_sec": r3bops,
         "round3c_ops_sec": r3cops,
+        "round3d_ops_sec": r3dops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -431,6 +433,79 @@ def _round3c_ops(dense, csr, vids, nw: int) -> dict:
     t0 = time.perf_counter()
     embedding_covariance(emb)
     out["embedding_covariance"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _round3d_ops(dense, csr, vids, nw: int) -> dict:
+    """Wall time of the session-4 operators (auxiliary): maximal
+    matching, Borůvka spanning forest, the Fiedler vector, PCA
+    projection + JL distortion, mutual-kNN clustering, the MAD
+    outlier screen, per-user type runs, monthly graph slices, Flesch
+    readability and the centroid confusion audit."""
+    import numpy as np
+
+    from pgd_ray.graph.iterative import fiedler_vector
+    from pgd_ray.graph.matching import maximal_matching
+    from pgd_ray.graph.mst import max_spanning_forest
+    from pgd_ray.graph.temporal import monthly_graph_stats
+    from pgd_ray.stages.clustering import centroid_confusion
+    from pgd_ray.stages.robust import mad_outliers
+    from pgd_ray.stages.similarity import mutual_knn_clusters
+    from pgd_ray.stages.vector_stats import (jl_norm_ratios, pca_project,
+                                             pca_top_component)
+    from pgd_ray.stages.windows import acf_daily, type_runs
+    from pgd_ray.text.analysis import readability
+    from pgd_ray.util import read_parquet_clean
+
+    out = {}
+    t0 = time.perf_counter()
+    maximal_matching(csr)
+    out["maximal_matching"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    max_spanning_forest(SF_DIR)
+    out["spanning_forest"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    fiedler_vector(csr, iters=64, n_workers=nw)
+    out["fiedler_64it"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    monthly_graph_stats(SF_DIR, num_partitions=nw)
+    out["monthly_graph"] = round(time.perf_counter() - t0, 3)
+
+    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).materialize()
+    t0 = time.perf_counter()
+    mu, v, _ = pca_top_component(emb)
+    pca_project(emb, mu, v).materialize()
+    out["pca_project"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    jl_norm_ratios(emb, p=16).materialize()
+    out["jl_ratios"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    mutual_knn_clusters(emb, k=5)
+    out["knn_clusters"] = round(time.perf_counter() - t0, 3)
+    emb_l = read_parquet_clean(
+        f"{SF_DIR}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).materialize()
+    t0 = time.perf_counter()
+    centroid_confusion(emb_l)
+    out["centroid_confusion"] = round(time.perf_counter() - t0, 3)
+
+    ev = read_parquet_clean(f"{SF_DIR}/events.parquet",
+                            columns=["event_type", "value"])
+    t0 = time.perf_counter()
+    mad_outliers(ev, "event_type", "value")
+    out["mad_outliers"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    type_runs(SF_DIR)
+    out["type_runs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    acf_daily(SF_DIR)
+    out["acf_daily"] = round(time.perf_counter() - t0, 3)
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    readability(docs).materialize()
+    out["readability"] = round(time.perf_counter() - t0, 3)
     return out
 
 

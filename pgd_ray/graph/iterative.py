@@ -185,6 +185,24 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         # state (no degree scaling), constant extras — works unchanged
         # on both the broadcast and the sharded executor.
         return extras["beta"] + extras["alpha"] * _seg_sum(vals, idx)
+    if program == "fiedler":
+        # one deflated power-iteration round on M = cI - L (c = Δ+1
+        # keeps M PSD; L = D - A): the stored state is the
+        # un-normalized y_t, extras carry the global mean / centered
+        # inv-norm of y_{t-1} (centering deflates the constant
+        # eigenvector, so the iteration converges to the Fiedler
+        # direction).  With z = (y - mu)·inv_norm the update is
+        # (c - deg)·z_own + Σ_{u∈N(v)} z_u, and Σ z_u folds the affine
+        # shift through the plain neighbor sum.
+        nrm = extras["nrm"]
+        mu = extras["mu"]
+        deg = np.diff(idx).astype(np.float64)
+        # element-wise centering/scaling BEFORE the gather-sum — the
+        # exact expression shape the SQL mirror evaluates, so parity
+        # is ulp-level, not just algebraic
+        zown = (own - mu) / nrm if nrm > 0 else np.zeros_like(own)
+        zv = (vals - mu) / nrm if nrm > 0 else np.zeros_like(vals)
+        return (extras["c"] - deg) * zown + _seg_sum(zv, idx)
     if program == "cc":
         return np.minimum(own, _seg_min(vals, idx, own))
     if program == "bfs":
@@ -454,9 +472,11 @@ class _ShardWorker:
         if self.state.dtype.kind == "f":
             dang = float(self.state[self.deg_own == 0].sum())
             sumsq = float(self.state.astype(np.float64) @ self.state.astype(np.float64))
+            ssum = float(self.state.astype(np.float64).sum())
         else:
-            dang = sumsq = 0.0
-        return {"delta": float(delta), "dangling": dang, "sumsq": sumsq}
+            dang = sumsq = ssum = 0.0
+        return {"delta": float(delta), "dangling": dang, "sumsq": sumsq,
+                "sum": ssum}
 
     @ray.method(num_returns=2)
     def step(self, program, extras, *bundles):
@@ -978,6 +998,52 @@ def eigenvector_centrality(
     )
     nrm = float(np.linalg.norm(y))
     return y / nrm if nrm > 0 else y
+
+
+def fiedler_vector(
+    csr: CSRGraph,
+    iters: int = 64,
+    n_workers: int = 8,
+    engine: str = "actors",
+    workers: list | None = None,
+) -> np.ndarray:
+    """Fiedler vector (algebraic-connectivity eigenvector, the
+    spectral-bisection score) by FIXED-horizon deflated power
+    iteration on M = (Δ+1)·I - L from the centered ramp start y_0[v]
+    = v: each round normalizes and centers the previous state (the
+    centering projects out L's constant kernel, so the iteration
+    converges to the λ2 eigenvector), then applies M (the "fiedler"
+    program — one neighbor-sum gather, degrees local from the CSR
+    slice).  A pure function of (graph, iters), so the recursive-CTE
+    oracle replays it; like eigencen the scalar mean/norm summation
+    order is engine-specific, so cross-checks are round-9 level.
+    Returns the centered unit vector (sign = whatever the
+    deterministic iteration yields)."""
+    n = csr.n
+    if n == 0:
+        return np.array([])
+    c = float(int(csr.degrees().max()) + 1) if csr.m else 1.0
+
+    def ext_of(ssum: float, sumsq: float) -> dict:
+        mu = ssum / n
+        css = sumsq - n * mu * mu
+        return {"c": c, "mu": mu,
+                "nrm": float(np.sqrt(css)) if css > 0 else 0.0}
+
+    eng = IterativeEngine(csr, "fiedler", n_workers=n_workers,
+                          engine=engine, workers=workers)
+    y, _ = eng.run(
+        np.arange(n, dtype=np.float64),
+        lambda s: ext_of(float(s.astype(np.float64).sum()),
+                         float(s.astype(np.float64) @ s.astype(np.float64))),
+        lambda d: False,
+        iters,
+        extras_from_stats=lambda stats: ext_of(
+            sum(s["sum"] for s in stats), sum(s["sumsq"] for s in stats)),
+    )
+    mu = float(y.sum()) / n
+    css = float(y @ y) - n * mu * mu
+    return (y - mu) / np.sqrt(css) if css > 0 else y - mu
 
 
 def katz_centrality(
