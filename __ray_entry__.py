@@ -1036,6 +1036,16 @@ def _q_embedding_covariance(sf_dir):
     return embedding_covariance(ds)
 
 
+def _q_source_overlap(sf_dir):
+    """Cross-source 5-word-shingle Jaccard matrix — text.analysis
+    .source_shingle_overlap (two hash aggregations + bitmask
+    popcounts, no pairwise shuffle)."""
+    from pgd_ray.text.analysis import source_shingle_overlap
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_shingle_overlap(docs, k=5)
+
+
 def _q_readability(sf_dir):
     """Per-doc Flesch reading ease from exact regex-run counts —
     text.analysis.readability (compiled patterns per actor, pandas C
@@ -1055,6 +1065,17 @@ def _q_centroid_confusion(sf_dir):
     emb = _read(f"{sf_dir}/embeddings.parquet",
                 columns=["vec_id", "embedding", "label"])
     return centroid_confusion(emb)
+
+
+def _q_intrinsic_dim(sf_dir):
+    """TwoNN intrinsic-dimension MLE over the embedding cloud —
+    stages.vector_stats.intrinsic_dimension (broadcast corpus,
+    2-float partial per batch)."""
+    from pgd_ray.stages.vector_stats import intrinsic_dimension
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    return intrinsic_dimension(ds)
 
 
 def _q_jl_ratios(sf_dir):
@@ -2612,6 +2633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "knn_clusters": _q_knn_clusters,
         "jl_ratios": _q_jl_ratios,
+        "intrinsic_dim": _q_intrinsic_dim,
+        "source_overlap": _q_source_overlap,
         "readability": _q_readability,
         "centroid_confusion": _q_centroid_confusion,
         "bloom_semi_orders": _q_bloom_semi_orders,
@@ -4461,6 +4484,45 @@ xx AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
 SELECT xx.i, xx.j,
        ROUND(sxy / (SELECT n FROM nn) - ma.m * mb.m, 6) AS cov
 FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j""",
+        # source_overlap: identical string_split(' ') word semantics
+        # as segment_dedup, sliding 5-shingles, distinct per source,
+        # pair counts by equality join (the engine's bitmask popcount
+        # computes the same distinct-pair cardinalities).
+        "source_overlap": """
+WITH w AS (SELECT source, string_split(trim(text), ' ') AS words
+           FROM documents),
+sh AS (SELECT DISTINCT source,
+              array_to_string(words[t.i+1 : t.i+5], ' ') AS s
+       FROM w, UNNEST(range(CAST(GREATEST(len(words) - 4, 0) AS BIGINT)))
+              AS t(i)),
+cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY source),
+bt AS (SELECT a.source AS sa, b.source AS sb,
+              CAST(COUNT(*) AS BIGINT) AS nb
+       FROM sh a JOIN sh b ON b.s = a.s AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT ca.source AS source_a, cb.source AS source_b,
+       ca.c AS n_a, cb.c AS n_b, COALESCE(bt.nb, 0) AS n_both,
+       ROUND(COALESCE(bt.nb, 0)
+             / CAST(ca.c + cb.c - COALESCE(bt.nb, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+LEFT JOIN bt ON bt.sa = ca.source AND bt.sb = cb.source""",
+        # intrinsic_dim: TwoNN — two smallest euclidean distances per
+        # vector (ties -> smaller vec_id), MLE n / Σ ln(r2/r1).
+        "intrinsic_dim": """
+WITH pd_ AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                    list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS d
+             FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+rk AS (SELECT src, d,
+              row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+       FROM pd_),
+tw AS (SELECT src, MAX(CASE WHEN rn = 1 THEN d END) AS r1,
+              MAX(CASE WHEN rn = 2 THEN d END) AS r2
+       FROM rk WHERE rn <= 2 GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       ROUND(COUNT(*) / SUM(ln(r2 / r1)), 6) AS id_mle
+FROM tw WHERE r1 > 0""",
         # readability: the same three regex-run counts (RE2 and
         # re.ASCII agree on these byte classes), sentence count
         # clamped >= 1, the identical left-associated double formula.

@@ -262,3 +262,53 @@ def jl_norm_ratios(
 
     return ds.select_columns([id_col, col]).map_batches(
         Proj, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def intrinsic_dimension(
+    ds: ray.data.Dataset, col: str = "embedding", id_col: str = "vec_id",
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """TwoNN intrinsic-dimension MLE (Facco et al. 2017): per vector
+    the euclidean distances r1 <= r2 to its two nearest neighbors
+    (ties -> smaller vec_id), d̂ = n / Σ ln(r2/r1) over vectors with
+    r1 > 0.  The corpus matrix is broadcast once; each batch emits a
+    2-float partial (Σ ln μ, count) — nothing proportional to n²
+    leaves the workers.  Returns one row (n_used, id_mle)."""
+    corpus = ds.select_columns([id_col, col]).to_pandas()
+    vid_all = corpus[id_col].to_numpy(np.int64)
+    m_all = np.stack(corpus[col].to_numpy()).astype(np.float64)
+    ref = ray.put((vid_all, m_all))
+
+    def partial(t: pa.Table) -> pa.Table:
+        vid, m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        q = t[col].combine_chunks()
+        if len(q) == 0:
+            return pa.table({"s": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        qm = (q.flatten().to_numpy(zero_copy_only=False)
+              .astype(np.float64).reshape(-1, m.shape[1]))
+        qid = t[id_col].to_numpy(zero_copy_only=False)
+        d2 = (np.maximum(
+            (qm * qm).sum(1)[:, None] + (m * m).sum(1)[None, :]
+            - 2.0 * (qm @ m.T), 0.0))
+        s = 0.0
+        c = 0
+        for i in range(len(qid)):
+            row = d2[i].copy()
+            row[vid == qid[i]] = np.inf  # exclude self
+            # two smallest by (distance, vec_id)
+            order = np.lexsort((vid, row))[:2]
+            r1 = float(np.sqrt(row[order[0]]))
+            r2 = float(np.sqrt(row[order[1]]))
+            if r1 > 0.0:
+                s += float(np.log(r2 / r1))
+                c += 1
+        return pa.table({"s": pa.array([s]), "c": pa.array([c], pa.int64())})
+
+    agg = ds.select_columns([id_col, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    total_s = float(agg["s"].sum())
+    n_used = int(agg["c"].sum())
+    mle = n_used / total_s if total_s > 0 else float("nan")
+    return pd.DataFrame({"n_used": [np.int64(n_used)],
+                         "id_mle": [np.round(mle, 6)]})

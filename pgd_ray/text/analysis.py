@@ -332,3 +332,97 @@ def readability(docs: ray.data.Dataset, concurrency=(1, 16)) -> ray.data.Dataset
     return docs.select_columns(["doc_id", "text"]).map_batches(
         Readability, batch_format="pandas", batch_size=4096,
         concurrency=concurrency)
+
+
+def source_shingle_overlap(
+    docs: ray.data.Dataset, k: int = 5,
+) -> pd.DataFrame:
+    """Cross-source contamination matrix: Jaccard overlap of the
+    k-word-shingle sets of every source pair.  Shingles use the exact
+    ``string_split(trim(text), ' ')`` word semantics of segment_dedup
+    (empties kept), sliding window of k.  Two hash aggregations, no
+    join: distinct (source, shingle) pairs reduce once, then a
+    per-shingle source BITMASK (sources indexed into <= 63 bits)
+    reduces again and per-batch popcount partials produce the pair
+    counts — nothing pairwise ever shuffles.  Columns (source_a,
+    source_b, n_a, n_b, n_both, jaccard)."""
+    from ray.data.aggregate import Count, Sum
+
+    srcs = sorted(
+        docs.select_columns(["source"]).unique("source"))
+    if len(srcs) > 63:
+        raise ValueError("source bitmask supports <= 63 sources")
+    sidx = {s: i for i, s in enumerate(srcs)}
+    sref = ray.put(sidx)
+
+    def shingles(b: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_g = [], []
+        for src, text in zip(b["source"], b["text"].fillna("")):
+            words = text.strip().split(" ")
+            n = len(words) - (k - 1)
+            if n <= 0:
+                continue
+            seen = {" ".join(words[i:i + k]) for i in range(n)}
+            out_s.extend([src] * len(seen))
+            out_g.extend(seen)
+        return pd.DataFrame({"source": out_s, "sh": out_g})
+
+    dis = (
+        docs.select_columns(["source", "text"])
+        .map_batches(shingles, batch_format="pandas")
+        .groupby(["source", "sh"])
+        .aggregate(Count())
+        .select_columns(["source", "sh"])
+    )
+
+    def to_bit(b: pd.DataFrame) -> pd.DataFrame:
+        si = ray.get(sref) if isinstance(sref, ray.ObjectRef) else sref
+        return pd.DataFrame({
+            "sh": b["sh"],
+            "bit": b["source"].map(si).to_numpy(np.int64),
+        })
+
+    masks = (
+        dis.map_batches(to_bit, batch_format="pandas")
+        .map_batches(lambda b: pd.DataFrame(
+            {"sh": b["sh"], "m": np.left_shift(np.int64(1), b["bit"])}),
+            batch_format="pandas")
+        .groupby("sh")
+        .aggregate(Sum("m", alias_name="mask"))
+    )
+    ns = len(srcs)
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["mask"].to_numpy(np.int64)
+        rows = []
+        for i in range(ns):
+            bi = (m >> i) & 1
+            ni = int(bi.sum())
+            if ni:
+                rows.append((i, i, ni))
+            for j in range(i + 1, ns):
+                nb = int((bi & ((m >> j) & 1)).sum())
+                if nb:
+                    rows.append((i, j, nb))
+        return pd.DataFrame(rows, columns=["i", "j", "n"]).astype(np.int64)
+
+    pc = (
+        masks.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["i", "j"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    single = {int(r.i): int(r.n) for r in pc[pc.i == pc.j].itertuples()}
+    both = {(int(r.i), int(r.j)): int(r.n)
+            for r in pc[pc.i < pc.j].itertuples()}
+    rows = []
+    for i in range(ns):
+        for j in range(i + 1, ns):
+            na, nb_ = single.get(i, 0), single.get(j, 0)
+            nb = both.get((i, j), 0)
+            un = na + nb_ - nb
+            rows.append((srcs[i], srcs[j], na, nb_, nb,
+                         round(nb / un, 6) if un else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "source_a", "source_b", "n_a", "n_b", "n_both", "jaccard"]).astype(
+        {"n_a": np.int64, "n_b": np.int64, "n_both": np.int64})
