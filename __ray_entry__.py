@@ -1851,6 +1851,39 @@ def _q_tpch_q17(sf_dir):
     return q17(sf_dir, brand="Brand#1")
 
 
+def _q_tpch_q19(sf_dir):
+    """TPC-H Q19 disjunctive brand/size/quantity revenue (slim schema:
+    no container/shipmode) — pipelines.tpch.q19 (broadcast part
+    attribute arrays, vectorized OR-of-ANDs mask, zero shuffles)."""
+    from pgd_ray.pipelines.tpch import q19
+
+    return q19(sf_dir)
+
+
+def _q_tpch_q22(sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no
+    high-value order, grouped by cntrycode = c_custkey % 10 —
+    pipelines.tpch.q22 (scalar-subquery aggregate + broadcast
+    anti-join + tiny group agg)."""
+    from pgd_ray.pipelines.tpch import q22
+
+    return q22(sf_dir)
+
+
+def _q_textrank(sf_dir):
+    """TextRank keywords: engine PageRank over the adjacent-token
+    co-occurrence graph of the top-200 vocabulary —
+    text.textrank.textrank_keywords (vocab_topk shuffle + one distinct
+    pair groupby + the iterative engine at its float64 fixpoint)."""
+    import ray.data
+
+    from pgd_ray.text.textrank import textrank_keywords
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return textrank_keywords(docs, vocab_size=200)
+
+
 def _q_bigram_lm(sf_dir):
     """Self-trained bigram-LM quality score per document —
     text.lm.bigram_lm_score (pass 1: partial-combined bigram counts,
@@ -2770,6 +2803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        "textrank_keywords": _q_textrank,
     }
 
 
@@ -3724,6 +3760,62 @@ GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
 HAVING SUM(l_quantity) > 250
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100""",
+        # pipelines.tpch.q19: disjunctive predicates, broadcast part dims
+        "tpch_q19": """
+SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0), 2)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40
+       AND l_quantity BETWEEN 20 AND 30)""",
+        # pipelines.tpch.q22: scalar subquery + NOT EXISTS anti-join;
+        # cntrycode = c_custkey % 10 (slim schema has no c_phone)
+        "tpch_q22": """
+SELECT CAST(c_custkey % 10 AS BIGINT) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 450000.0)
+GROUP BY 1
+ORDER BY cntrycode""",
+        # text.textrank.textrank_keywords: PageRank (300 fixed rounds,
+        # the pagerank_copurchase contract) over distinct adjacent
+        # [A-Za-z]+ co-occurrence pairs within the top-200 vocabulary;
+        # bigrams via the zipped-unnest (lst, lst[2:]) trick
+        "textrank_keywords": """
+WITH RECURSIVE
+lst AS (SELECT regexp_extract_all(text, '[A-Za-z]+') AS l
+        FROM documents WHERE text IS NOT NULL),
+tokc AS (SELECT unnest(l) AS tok FROM lst),
+vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM tokc GROUP BY 1)
+          ORDER BY n DESC, tok LIMIT 200),
+bi AS (SELECT a, b FROM (SELECT unnest(l) AS a, unnest(l[2:]) AS b FROM lst)
+       WHERE b IS NOT NULL),
+e0 AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi FROM bi
+       WHERE a <> b AND a IN (SELECT tok FROM vocab)
+         AND b IN (SELECT tok FROM vocab)
+       GROUP BY 1, 2),
+s AS (SELECT lo AS src, hi AS dst FROM e0
+      UNION ALL SELECT hi, lo FROM e0),
+d AS (SELECT src AS w FROM s GROUP BY 1),
+deg AS (SELECT src AS w, CAST(COUNT(*) AS DOUBLE) AS degree
+        FROM s GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+pr(it, w, score) AS (
+  SELECT 0, w, 1.0/(SELECT n FROM nn) FROM d
+  UNION ALL
+  SELECT it+1, s.dst, 0.15/(SELECT n FROM nn) + 0.85*SUM(pr.score/deg.degree)
+  FROM pr JOIN s ON s.src = pr.w JOIN deg ON deg.w = pr.w
+  WHERE it < 300 GROUP BY it+1, s.dst)
+SELECT w AS word, ROUND(score, 9) AS score FROM pr WHERE it = 300
+ORDER BY score DESC, word""",
         # pipelines.tpch.q12: conditional agg over a big-big hash join
         "tpch_q12": """
 SELECT l_returnflag,

@@ -991,3 +991,126 @@ def q17(
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
     return pd.DataFrame({"avg_yearly": [round(float(total) / 7.0, 2)]})
+
+
+def q19(
+    sf_dir: str,
+    disjuncts: list[tuple[str, int, int, float, float]] = (
+        ("Brand#12", 1, 25, 1.0, 11.0),
+        ("Brand#23", 1, 30, 10.0, 20.0),
+        ("Brand#34", 1, 40, 20.0, 30.0),
+    ),
+) -> pd.DataFrame:
+    """Discounted-revenue for disjunctive brand/size/quantity
+    predicates (TPC-H Q19 shape; the slim schema carries no
+    container / shipmode / shipinstruct columns, so each disjunct is
+    (brand, size_lo, size_hi, qty_lo, qty_hi)).
+
+    NO shuffle at all: part's (brand-id, size) become two broadcast
+    arrays indexed by p_partkey (``ray.put`` once, zero-copy view per
+    worker); each lineitem batch evaluates the whole OR-of-ANDs as a
+    vectorized mask and emits one partial revenue sum — the driver
+    adds a handful of scalars.  One row (revenue)."""
+    import pyarrow.parquet as pq_mod
+
+    from pgd_ray.util import read_parquet_clean
+
+    prt = pq_mod.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    brands = sorted({d[0] for d in disjuncts})
+    bid = {b: i for i, b in enumerate(brands)}
+    n_slot = int(prt["p_partkey"].max()) + 1 if len(prt) else 1
+    # -1 = brand not referenced by any disjunct -> never matches
+    part_bid = np.full(n_slot, -1, np.int64)
+    part_bid[prt["p_partkey"].to_numpy()] = (
+        prt["p_brand"].map(bid).fillna(-1).to_numpy(np.int64))
+    part_size = np.zeros(n_slot, np.int64)
+    part_size[prt["p_partkey"].to_numpy()] = prt["p_size"].to_numpy(np.int64)
+    dims = ray.put((part_bid, part_size,
+                    [(bid[b], slo, shi, qlo, qhi)
+                     for b, slo, shi, qlo, qhi in disjuncts]))
+
+    def part_rev(t: pa.Table, dims) -> pa.Table:
+        part_bid, part_size, dj = _dim_arrays(dims)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        b = part_bid[pk]
+        s = part_size[pk]
+        m = np.zeros(len(pk), bool)
+        for dbid, slo, shi, qlo, qhi in dj:
+            m |= (b == dbid) & (s >= slo) & (s <= shi) \
+                 & (qty >= qlo) & (qty <= qhi)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"p": pa.array(
+            [float((price * (1.0 - disc)).sum())], pa.float64())})
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    total = sum(
+        b["p"].to_numpy(zero_copy_only=False).sum()
+        for b in li.map_batches(part_rev, fn_kwargs={"dims": dims},
+                                batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+
+
+def q22(
+    sf_dir: str,
+    totalprice_above: float = 450_000.0,
+) -> pd.DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape on the slim schema:
+    no c_phone, so the country code is the deterministic
+    ``c_custkey % 10``, and the "has placed no orders" predicate
+    becomes "has placed no order with o_totalprice > threshold" —
+    every sf>0 customer here has orders, which would make the
+    canonical anti-join vacuously empty).
+
+    Shape preserved end to end: scalar subquery (avg positive
+    acctbal, one aggregate pass) -> anti-join of customers against
+    the qualifying-order custkey set (``stages.joins.anti_join``
+    broadcast strategy: the distinct-key array is ∝ high-price
+    customers, shipped once) -> tiny group-aggregate.  Columns
+    (cntrycode, numcust, totacctbal), ordered by cntrycode."""
+    from pgd_ray.stages.joins import anti_join
+    from pgd_ray.util import read_parquet_clean
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    pos = cust.filter(expr="c_acctbal > 0.0").aggregate(
+        Sum("c_acctbal", alias_name="s"), Count(alias_name="n"))
+    if not pos["n"]:
+        return pd.DataFrame({
+            "cntrycode": pd.Series([], dtype=np.int64),
+            "numcust": pd.Series([], dtype=np.int64),
+            "totacctbal": pd.Series([], dtype=np.float64)})
+    avg_bal = float(pos["s"]) / int(pos["n"])
+
+    big_orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {totalprice_above!r}")
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+    kept = anti_join(rich, big_orders,
+                     left_key="c_custkey", right_key="o_custkey")
+
+    def code(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cntrycode": pa.array(ck % 10, pa.int64()),
+            "c_acctbal": t["c_acctbal"],
+        })
+
+    out = (
+        kept.map_batches(code, batch_format="pyarrow")
+        .groupby("cntrycode")
+        .aggregate(Count(alias_name="numcust"),
+                   Sum("c_acctbal", alias_name="totacctbal"))
+        .to_pandas()
+    )
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["totacctbal"] = np.round(out["totacctbal"].to_numpy(np.float64), 2)
+    return out.sort_values("cntrycode", ignore_index=True)

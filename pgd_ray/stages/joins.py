@@ -475,28 +475,32 @@ def _distinct_keys_array(right: ray.data.Dataset, right_key: str) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-class _KeyFilter:
-    """Actor-pool stage: fetch the broadcast sorted key set once per
-    worker, filter each left batch with a vectorized searchsorted
-    membership test (np.isin on a sorted array)."""
+_KEYS_CACHE: dict = {}
 
-    def __init__(self, keys_ref, key: str, keep_matching: bool):
-        self.keys = ray.get(keys_ref) if isinstance(
-            keys_ref, ray.ObjectRef) else keys_ref
-        self.key = key
-        self.keep = keep_matching
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        k = t[self.key].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(self.keys):
-            pos = np.searchsorted(self.keys, k)
-            pos[pos == len(self.keys)] = 0
-            hit = self.keys[pos] == k
-        else:
-            hit = np.zeros(len(k), dtype=bool)
-        return t.filter(pa.array(hit if self.keep else ~hit))
+def _key_filter(t: pa.Table, keys_ref, key: str,
+                keep_matching: bool) -> pa.Table:
+    """Task stage (no actor, no constructor args in the object store —
+    the ray#53727 restart hazard): the broadcast sorted key set is
+    fetched once per worker PROCESS via a module cache, then each left
+    batch is filtered with a vectorized searchsorted membership test."""
+    ck = keys_ref.hex() if isinstance(keys_ref, ray.ObjectRef) else None
+    keys = _KEYS_CACHE.get(ck)
+    if keys is None:
+        keys = ray.get(keys_ref) if ck is not None else keys_ref
+        if ck is not None:
+            _KEYS_CACHE.clear()
+            _KEYS_CACHE[ck] = keys
+    if t.num_rows == 0:
+        return t
+    k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(keys):
+        pos = np.searchsorted(keys, k)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == k
+    else:
+        hit = np.zeros(len(k), dtype=bool)
+    return t.filter(pa.array(hit if keep_matching else ~hit))
 
 
 def _semi_anti(
@@ -512,11 +516,13 @@ def _semi_anti(
     if strategy == "broadcast":
         keys = _distinct_keys_array(right, right_key)
         ref = ray.put(keys)
+        cap = concurrency[-1] if isinstance(
+            concurrency, (tuple, list)) else concurrency
         return left.map_batches(
-            _KeyFilter, batch_format="pyarrow", batch_size=65536,
-            concurrency=concurrency,
-            fn_constructor_kwargs={"keys_ref": ref, "key": left_key,
-                                   "keep_matching": keep_matching},
+            _key_filter, batch_format="pyarrow", batch_size=65536,
+            concurrency=cap,
+            fn_kwargs={"keys_ref": ref, "key": left_key,
+                       "keep_matching": keep_matching},
         )
     if strategy != "partitioned":
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -6,7 +6,8 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]:
+    for t in ["region", "nation", "customer", "supplier", "orders",
+              "lineitem", "part"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -158,3 +159,26 @@ def test_q15_empty_window_and_q17_unknown_brand():
 
     assert len(q15(SF, date_lo_us=0, date_hi_us=1)) == 0
     assert len(q17(SF, brand="Brand#none")) == 0
+
+
+def test_q19_q22_match_duckdb():
+    import __ray_entry__ as E
+
+    con = _con()
+    got19 = E.queries()["tpch_q19"](SF)
+    exp19 = con.execute(E.oracle_sql()["tpch_q19"]).df()
+    assert abs(float(got19["revenue"][0]) - float(exp19["revenue"][0])) <= 0.011
+
+    got22 = E.queries()["tpch_q22"](SF).reset_index(drop=True)
+    exp22 = con.execute(E.oracle_sql()["tpch_q22"]).df()
+    assert got22["cntrycode"].tolist() == exp22["cntrycode"].tolist()
+    assert got22["numcust"].tolist() == exp22["numcust"].tolist()
+    assert np.allclose(got22["totacctbal"], exp22["totacctbal"], atol=0.011)
+    assert len(got22) > 0  # the adapted predicate must not be vacuous
+
+
+def test_q19_no_matching_disjunct_is_zero():
+    from pgd_ray.pipelines.tpch import q19
+
+    out = q19(SF, disjuncts=[("Brand#12", 60, 70, 1.0, 2.0)])
+    assert float(out["revenue"][0]) == 0.0
