@@ -601,6 +601,37 @@ def _q_edge_triangles(sf_dir):
     return tri[["src", "dst", "triangle"]]
 
 
+def _q_edge_clustering(sf_dir):
+    """Per-edge Radicchi clustering coefficient (tri+1)/(min deg −1)
+    — graph.graphlets.edge_clustering (sorted-intersection triangle
+    kernel + one broadcast degree decorate; task stage, module-cache
+    broadcast)."""
+    from pgd_ray.graph.graphlets import edge_clustering
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    out = edge_clustering(dense, csr.range_csr or csr).to_pandas()
+    out["src"] = vids[out["src"].to_numpy()]
+    out["dst"] = vids[out["dst"].to_numpy()]
+    return out[["src", "dst", "triangle", "ecc"]]
+
+
+def _q_cusum_daily(sf_dir):
+    """Two-sided CUSUM changepoint screen over standardized daily
+    event counts — stages.windows.cusum_daily (distributed day agg,
+    O(days) driver recurrence)."""
+    from pgd_ray.stages.windows import cusum_daily
+
+    return cusum_daily(sf_dir, k=0.5, h=4.0)
+
+
+def _q_dow_seasonality(sf_dir):
+    """Day-of-week seasonality indices of the daily event count —
+    stages.windows.dow_seasonality."""
+    from pgd_ray.stages.windows import dow_seasonality
+
+    return dow_seasonality(sf_dir)
+
+
 def _q_wedges_cc(sf_dir):
     from pgd_ray.graph.degrees import degree_array
     from pgd_ray.graph.graphlets import edge_triangles
@@ -2648,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "triangle_count": _q_triangle_count,
         "edge_triangles": _q_edge_triangles,
+        "edge_clustering": _q_edge_clustering,
         "wedges_cc": _q_wedges_cc,
         "macro_tool_graph": _q_macro_tool_graph,
         "cc_copurchase": _q_cc_copurchase,
@@ -2682,6 +2714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": _q_benford_prices,
         "ewma_daily": _q_ewma_daily,
         "acf_daily": _q_acf_daily,
+        "cusum_daily": _q_cusum_daily,
+        "dow_seasonality": _q_dow_seasonality,
         "type_runs": _q_type_runs,
         "grouped_ols": _q_grouped_ols,
         "fuzzy_names": _q_fuzzy_names,
@@ -3090,6 +3124,20 @@ SELECT e.src, e.dst,
 FROM e LEFT JOIN s s1 ON s1.src = e.src
        LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
 GROUP BY e.src, e.dst""",
+        # graph.graphlets.edge_clustering: Radicchi (tri+1)/(min deg-1),
+        # degenerate min(deg)=1 pinned to 0.0 on both sides
+        "edge_clustering": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+tri AS (SELECT e.src, e.dst, CAST(COUNT(s2.dst) AS BIGINT) AS triangle
+        FROM e LEFT JOIN s s1 ON s1.src = e.src
+               LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+        GROUP BY e.src, e.dst)
+SELECT t.src, t.dst, t.triangle,
+       ROUND(CASE WHEN least(d1.degree, d2.degree) > 1
+                  THEN (t.triangle + 1.0)
+                       / (least(d1.degree, d2.degree) - 1)
+                  ELSE 0.0 END, 9) AS ecc
+FROM tri t JOIN d d1 ON d1.v = t.src JOIN d d2 ON d2.v = t.dst""",
         "wedges_cc": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
 tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e ab
@@ -4479,6 +4527,47 @@ SELECT lg.lag,
              / (SELECT d FROM den), 9) AS acf
 FROM lg JOIN sq a ON 1 = 1 JOIN sq b ON b.rk = a.rk + lg.lag
 GROUP BY lg.lag""",
+        # stages.windows.cusum_daily: two-sided CUSUM (k=0.5, h=4.0)
+        # over standardized daily counts; the recurrence is the
+        # recursive CTE walking days in order
+        "cusum_daily": """
+WITH RECURSIVE dd AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+stat AS (SELECT AVG(CAST(n AS DOUBLE)) AS mu,
+                stddev_pop(CAST(n AS DOUBLE)) AS sd FROM dd),
+idx AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i,
+               CASE WHEN (SELECT sd FROM stat) > 0
+                    THEN (CAST(n AS DOUBLE) - (SELECT mu FROM stat))
+                         / (SELECT sd FROM stat)
+                    ELSE 0.0 END AS z
+        FROM dd),
+cs(i, s_pos, s_neg) AS (
+  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT idx.i,
+         greatest(0.0, cs.s_pos + idx.z - 0.5),
+         greatest(0.0, cs.s_neg - idx.z - 0.5)
+  FROM cs JOIN idx ON idx.i = cs.i + 1)
+SELECT idx.day, idx.n, ROUND(idx.z, 9) AS z,
+       ROUND(cs.s_pos, 9) AS s_pos, ROUND(cs.s_neg, 9) AS s_neg,
+       CAST(cs.s_pos > 4.0 OR cs.s_neg > 4.0 AS BIGINT) AS flagged
+FROM cs JOIN idx ON idx.i = cs.i
+ORDER BY idx.day""",
+        # stages.windows.dow_seasonality: dow 0 = Monday
+        "dow_seasonality": """
+WITH dd AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+ov AS (SELECT AVG(CAST(n AS DOUBLE)) AS m FROM dd)
+SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(CAST(n AS DOUBLE)), 9) AS mean_count,
+       ROUND(AVG(CAST(n AS DOUBLE)) / (SELECT m FROM ov), 9)
+         AS seasonal_index
+FROM dd GROUP BY 1 ORDER BY dow""",
         "ewma_daily": """
 WITH RECURSIVE dd AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,

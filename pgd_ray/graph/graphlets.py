@@ -1016,3 +1016,51 @@ def gfd(mac: MacroCounts, kind: str = "all") -> np.ndarray:
     vals = np.array([float(mac[k]) for k in keys])
     tot = vals.sum()
     return vals / tot if tot > 0 else vals
+
+
+_ECC_DEG_CACHE: dict = {}
+
+
+def _ecc_batch(t, deg_ref):
+    """Task stage: per-edge Radicchi clustering coefficient
+    (triangle+1)/(min(deg)-1) with the degenerate min(deg)=1 case
+    pinned to 0.0 (not NULL/NaN — keeps the SQL-mirror hash exact)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    ck = deg_ref.hex() if isinstance(deg_ref, _ray.ObjectRef) else None
+    deg = _ECC_DEG_CACHE.get(ck)
+    if deg is None:
+        deg = _ray.get(deg_ref) if ck is not None else deg_ref
+        if ck is not None:
+            _ECC_DEG_CACHE.clear()
+            _ECC_DEG_CACHE[ck] = deg
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    tri = t["triangle"].to_numpy(zero_copy_only=False).astype(np.float64)
+    md = np.minimum(deg[src], deg[dst]).astype(np.float64) - 1.0
+    ecc = np.where(md > 0.0, (tri + 1.0) / np.maximum(md, 1.0), 0.0)
+    return t.append_column("ecc", pa.array(np.round(ecc, 9), pa.float64()))
+
+
+def edge_clustering(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    batch_size: int = 8192,
+    concurrency=(1, 32),
+) -> ray.data.Dataset:
+    """Per-edge clustering coefficient (Radicchi et al. 2004):
+    C(u,v) = (triangles(u,v) + 1) / (min(deg u, deg v) - 1), the
+    weak-tie screen used for community-edge removal.  Reuses the
+    signature sorted-intersection triangle kernel and decorates each
+    batch with one broadcast degree-array lookup (task stage +
+    per-worker module cache — no actor restart hazard).  Columns
+    (src, dst, triangle, ecc); ecc = 0.0 where min(deg) = 1."""
+    deg_ref = ray.put(csr.degrees().astype(np.int64))
+    return edge_triangles(
+        canonical_ds, csr, batch_size=batch_size, concurrency=concurrency
+    ).map_batches(
+        _ecc_batch, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"deg_ref": deg_ref},
+        concurrency=_task_cap(concurrency),
+    )

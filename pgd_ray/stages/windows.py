@@ -1150,3 +1150,90 @@ def type_runs(sf_dir: str) -> pd.DataFrame:
         / out["n_runs"].to_numpy(np.float64), 6)
     return out[["user_id", "n_events", "n_runs", "avg_run_len"]].sort_values(
         "user_id", ignore_index=True)
+
+
+def _daily_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed day aggregation shared by the daily-series screens:
+    O(days) rows leave the workers (the acf_daily contract)."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"day": day})
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+
+
+def cusum_daily(sf_dir: str, k: float = 0.5, h: float = 4.0) -> pd.DataFrame:
+    """Two-sided CUSUM changepoint screen over the standardized daily
+    event count: z_t = (x_t - x̄)/s (population s, ddof 0), then
+    s⁺_t = max(0, s⁺_{t-1} + z_t - k) and s⁻_t = max(0, s⁻_{t-1} -
+    z_t - k); a day is flagged when either side exceeds ``h``.  One
+    distributed day aggregation; the recurrence is the O(days) driver
+    tail (days ≪ events by construction — the acf_daily shape).
+    Columns (day, n, z, s_pos, s_neg, flagged)."""
+    daily = _daily_counts(sf_dir)
+    x = daily["n"].to_numpy(np.float64)
+    if len(x) == 0:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "z": pd.Series([], dtype=np.float64),
+            "s_pos": pd.Series([], dtype=np.float64),
+            "s_neg": pd.Series([], dtype=np.float64),
+            "flagged": pd.Series([], dtype=np.int64)})
+    sd = float(x.std())  # ddof=0; constant series -> z = 0 everywhere
+    z = (x - x.mean()) / sd if sd > 0 else np.zeros(len(x))
+    s_pos = np.zeros(len(x))
+    s_neg = np.zeros(len(x))
+    sp = sn = 0.0
+    for i in range(len(x)):
+        sp = max(0.0, sp + z[i] - k)
+        sn = max(0.0, sn - z[i] - k)
+        s_pos[i], s_neg[i] = sp, sn
+    return pd.DataFrame({
+        "day": daily["day"].to_numpy(np.int64),
+        "n": daily["n"].to_numpy(np.int64),
+        "z": np.round(z, 9),
+        "s_pos": np.round(s_pos, 9),
+        "s_neg": np.round(s_neg, 9),
+        "flagged": ((s_pos > h) | (s_neg > h)).astype(np.int64)})
+
+
+def dow_seasonality(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality profile of the daily event count:
+    per-dow mean daily count and its ratio to the overall mean daily
+    count (the seasonal index; 1.0 = flat).  dow = (epoch_day + 4) %
+    7 (0 = Monday — 1970-01-01 was a Thursday).  Same O(days) driver
+    tail over the distributed day aggregation.  Columns
+    (dow, n_days, mean_count, seasonal_index), ordered by dow."""
+    daily = _daily_counts(sf_dir)
+    if daily.empty:
+        return pd.DataFrame({
+            "dow": pd.Series([], dtype=np.int64),
+            "n_days": pd.Series([], dtype=np.int64),
+            "mean_count": pd.Series([], dtype=np.float64),
+            "seasonal_index": pd.Series([], dtype=np.float64)})
+    day = daily["day"].to_numpy(np.int64)
+    n = daily["n"].to_numpy(np.float64)
+    dow = (day + 4) % 7
+    overall = float(n.mean())
+    rows = []
+    for d in np.unique(dow):
+        m = dow == d
+        mc = float(n[m].mean())
+        rows.append((int(d), int(m.sum()), round(mc, 9),
+                     round(mc / overall, 9)))
+    return pd.DataFrame(rows, columns=["dow", "n_days", "mean_count",
+                                       "seasonal_index"])
