@@ -1915,6 +1915,29 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_rake(sf_dir):
+    """RAKE keyphrases (deg/freq word scores over stopword-delimited
+    candidate phrases) — text.rake.rake_keyphrases (one corpus scan
+    emitting tagged word/phrase partials; vocab-sized driver tail)."""
+    import ray.data
+
+    from pgd_ray.text.rake import rake_keyphrases
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return rake_keyphrases(docs, top_k=100)
+
+
+def _q_degree_gini(sf_dir):
+    """Exact Gini coefficient of the degree distribution from the
+    degree HISTOGRAM (O(#distinct degrees) driver rows, no global
+    sort) — graph.degrees.degree_gini."""
+    from pgd_ray.graph.degrees import degree_gini
+    from pgd_ray.sources.edges import edges_copurchase
+
+    return degree_gini(edges_copurchase(sf_dir))
+
+
 def _q_bigram_lm(sf_dir):
     """Self-trained bigram-LM quality score per document —
     text.lm.bigram_lm_score (pass 1: partial-combined bigram counts,
@@ -2840,6 +2863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
         "textrank_keywords": _q_textrank,
+        "rake_keyphrases": _q_rake,
+        "degree_gini": _q_degree_gini,
     }
 
 
@@ -3864,6 +3889,58 @@ pr(it, w, score) AS (
   WHERE it < 300 GROUP BY it+1, s.dst)
 SELECT w AS word, ROUND(score, 9) AS score FROM pr WHERE it = 300
 ORDER BY score DESC, word""",
+        # text.rake.rake_keyphrases: islands of non-stopword [a-z]+
+        # tokens (gaps-and-islands over positions from the zipped
+        # range-unnest), word deg/freq, phrase = sum of member scores
+        "rake_keyphrases": """
+WITH tk AS (
+  SELECT rid, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT row_number() OVER () AS rid,
+               regexp_extract_all(lower(text), '[a-z]+') AS l
+        FROM documents WHERE text IS NOT NULL)),
+nw AS (SELECT rid, tok, pos,
+              CAST(pos AS BIGINT)
+                - row_number() OVER (PARTITION BY rid ORDER BY pos) AS isl
+       FROM tk
+       WHERE tok NOT IN ('the','a','an','and','or','of','to','in','on',
+                         'for','with','is','are','was','were','be',
+                         'been','as','at','by','from','it','this',
+                         'that','these','those')),
+ph AS (SELECT rid, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+              CAST(COUNT(*) AS BIGINT) AS plen
+       FROM nw GROUP BY rid, isl),
+wrd AS (SELECT nw.tok, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(ph.plen) AS BIGINT) AS deg
+        FROM nw JOIN ph ON ph.rid = nw.rid AND ph.isl = nw.isl
+        GROUP BY nw.tok),
+occ AS (SELECT ph.phrase, ph.plen, nw.rid, nw.isl,
+               SUM(CAST(w.deg AS DOUBLE) / w.freq) AS s
+        FROM nw JOIN ph ON ph.rid = nw.rid AND ph.isl = nw.isl
+        JOIN wrd w ON w.tok = nw.tok
+        GROUP BY 1, 2, 3, 4)
+SELECT phrase, CAST(plen AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS freq,
+       ROUND(MAX(s), 9) AS score
+FROM occ GROUP BY phrase, plen
+ORDER BY score DESC, phrase LIMIT 100""",
+        # graph.degrees.degree_gini: exact Gini from the degree
+        # histogram via integer group rank sums
+        "degree_gini": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+h AS (SELECT degree AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+w AS (SELECT v, c,
+             COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM h),
+agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(v * c) AS BIGINT) AS sx,
+               CAST(SUM(v * (c * cum + c * (c + 1) // 2)) AS BIGINT) AS sr
+        FROM w)
+SELECT n AS n_vertices,
+       ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_degree,
+       ROUND(2.0 * sr / (n * CAST(sx AS DOUBLE)) - (n + 1.0) / n, 9)
+         AS gini
+FROM agg""",
         # pipelines.tpch.q12: conditional agg over a big-big hash join
         "tpch_q12": """
 SELECT l_returnflag,

@@ -207,3 +207,37 @@ def hill_alpha(deg_ds: ray.data.Dataset, d_min: int) -> pd.DataFrame:
     alpha = 1.0 + k / denom if denom > 0 else float("nan")
     return pd.DataFrame({"d_min": [np.int64(d_min)], "k_tail": [np.int64(k)],
                          "alpha": [round(alpha, 6)]})
+
+
+def degree_gini(canonical_ds: ray.data.Dataset) -> pd.DataFrame:
+    """Exact Gini coefficient of the degree distribution — the
+    inequality/hub-concentration screen (0 = regular graph, →1 =
+    star-like).  Computed from the degree HISTOGRAM, never a global
+    sort: degree_table → ``groupby("degree").count()`` leaves
+    O(#distinct degrees) rows (≪ n always), and the driver applies the
+    exact rank-sum closed form
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with integer group rank sums
+    Σ_{i∈k} i = c_k·cum_{k-1} + c_k(c_k+1)/2.  One row
+    (n_vertices, mean_degree, gini)."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        degree_table(canonical_ds)
+        .groupby("degree")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("degree", ignore_index=True)
+    )
+    if hist.empty:
+        return pd.DataFrame({"n_vertices": [np.int64(0)],
+                             "mean_degree": [np.nan], "gini": [np.nan]})
+    v = hist["degree"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    sx = int((v * c).sum())
+    cum = np.concatenate(([0], np.cumsum(c)[:-1]))
+    sr = int((v * (c * cum + c * (c + 1) // 2)).sum())
+    gini = 2.0 * sr / (n * float(sx)) - (n + 1.0) / n
+    return pd.DataFrame({"n_vertices": [np.int64(n)],
+                         "mean_degree": [round(sx / n, 9)],
+                         "gini": [round(gini, 9)]})
