@@ -1915,6 +1915,19 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_hopkins(sf_dir):
+    """Hopkins clusterability statistic over the embedding table —
+    stages.vector_stats.hopkins_statistic (broadcast 2m probes,
+    per-batch local-min partials, #batches×2m driver min-combine)."""
+    import ray.data
+
+    from pgd_ray.stages.vector_stats import hopkins_statistic
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return hopkins_statistic(ds, m=20)
+
+
 def _q_rake(sf_dir):
     """RAKE keyphrases (deg/freq word scores over stopword-delimited
     candidate phrases) — text.rake.rake_keyphrases (one corpus scan
@@ -2865,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank,
         "rake_keyphrases": _q_rake,
         "degree_gini": _q_degree_gini,
+        "hopkins": _q_hopkins,
     }
 
 
@@ -3923,6 +3937,39 @@ SELECT phrase, CAST(plen AS BIGINT) AS n_words,
        ROUND(MAX(s), 9) AS score
 FROM occ GROUP BY phrase, plen
 ORDER BY score DESC, phrase LIMIT 100""",
+        # stages.vector_stats.hopkins_statistic: m=20 real probes by
+        # smallest (splitmix64(vec_id), vec_id); synthetic coord (j,k)
+        # from u = ((splitmix64(j·1000003+k) >> 11)+1)·2⁻⁵³ in the
+        # per-dim [min,max] box; distances rounded to 9 before sums
+        "hopkins": f"""
+WITH ed AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   CAST(unnest(range(0, len(embedding))) AS BIGINT) AS k
+            FROM embeddings),
+bounds AS (SELECT k, MIN(x) AS lo, MAX(x) AS hi FROM ed GROUP BY 1),
+probes AS (SELECT vec_id FROM
+           (SELECT vec_id, {_splitmix_sql('vec_id', '0')} AS h
+            FROM embeddings)
+           ORDER BY h, vec_id LIMIT 20),
+js AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS j),
+sy AS (SELECT js.j, b.k,
+              b.lo + ((CAST(({_splitmix_sql('js.j*1000003 + b.k', '0')}
+                             >> 11) AS DOUBLE) + 1.0)
+                      / 9007199254740992.0) * (b.hi - b.lo) AS val
+       FROM js, bounds b),
+ud AS (SELECT sy.j, ed.vec_id, SUM((sy.val - ed.x) ^ 2) AS d2
+       FROM sy JOIN ed ON ed.k = sy.k GROUP BY 1, 2),
+umin AS (SELECT j, ROUND(MIN(sqrt(d2)), 9) AS d FROM ud GROUP BY 1),
+pd AS (SELECT p.vec_id AS pid, e2.vec_id,
+              SUM((pe.x - e2.x) ^ 2) AS d2
+       FROM probes p JOIN ed pe ON pe.vec_id = p.vec_id
+       JOIN ed e2 ON e2.k = pe.k AND e2.vec_id <> p.vec_id
+       GROUP BY 1, 2),
+wmin AS (SELECT pid, ROUND(MIN(sqrt(d2)), 9) AS d FROM pd GROUP BY 1),
+agg AS (SELECT (SELECT SUM(d) FROM umin) AS su,
+               (SELECT SUM(d) FROM wmin) AS sw)
+SELECT CAST(20 AS BIGINT) AS m, ROUND(su, 9) AS sum_u,
+       ROUND(sw, 9) AS sum_w, ROUND(su / (su + sw), 9) AS hopkins
+FROM agg""",
         # graph.degrees.degree_gini: exact Gini from the degree
         # histogram via integer group rank sums
         "degree_gini": f"""

@@ -312,3 +312,158 @@ def intrinsic_dimension(
     mle = n_used / total_s if total_s > 0 else float("nan")
     return pd.DataFrame({"n_used": [np.int64(n_used)],
                          "id_mle": [np.round(mle, 6)]})
+
+
+def hopkins_statistic(
+    ds: ray.data.Dataset,
+    m: int = 20,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Hopkins clusterability statistic H = Σu / (Σu + Σw) over the
+    embedding table (H → 1 clustered, ≈ 0.5 uniform, → 0 regular).
+
+    Deterministic and SQL-mirrorable end to end:
+    * the m REAL probes are the rows with the smallest
+      (splitmix64(vec_id), vec_id) — a reproducible uniform draw,
+      the ``sample_by_hash`` convention;
+    * the m SYNTHETIC probes are uniform in the per-dimension
+      [min, max] box with coordinate j,k drawn as
+      u = ((splitmix64(j·1000003 + k) >> 11) + 1) · 2⁻⁵³ —
+      the weighted_sample_topk u-draw;
+    * w_i = min distance from real probe i to any OTHER row (by id),
+      u_j = min distance from synthetic probe j to any row.
+
+    Distribution: dim bounds come from the existing d-row partial
+    moments; the 2m probes are broadcast; each batch emits one
+    (probe, local min distance) partial (2m rows per batch) and the
+    driver min-combines #batches × 2m rows — the topk_cosine shape,
+    nothing ∝ corpus size on the driver.  One row
+    (m, sum_u, sum_w, hopkins), distances rounded to 9 before the
+    sums."""
+    import ray as _ray
+
+    from pgd_ray.text.hashing import splitmix64
+
+    # exact per-dim bounds (embedding_dim_stats rounds vmin/vmax to 6
+    # for its own oracle — the box here must be bit-exact)
+    def bounds_part(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        if len(c) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dd = len(c[0])
+        mtx = flat.reshape(-1, dd)
+        return pa.table({"k": pa.array(np.arange(dd), pa.int64()),
+                         "cnt": pa.array(
+                             np.full(dd, len(mtx)), pa.int64()),
+                         "mn": pa.array(mtx.min(0), pa.float64()),
+                         "mx": pa.array(mtx.max(0), pa.float64())})
+
+    stats = (ds.select_columns([col])
+             .map_batches(bounds_part, batch_format="pyarrow")
+             .groupby("k")
+             .aggregate(Sum("cnt", alias_name="n"),
+                        Min("mn", alias_name="vmin"),
+                        Max("mx", alias_name="vmax"))
+             .to_pandas().sort_values("k"))
+    if stats.empty or int(stats["n"].iloc[0]) <= m:
+        return pd.DataFrame({"m": [np.int64(0)],
+                             "sum_u": [np.nan], "sum_w": [np.nan],
+                             "hopkins": [np.nan]})
+    lo = stats["vmin"].to_numpy(np.float64)
+    hi = stats["vmax"].to_numpy(np.float64)
+    d = len(lo)
+
+    # real probe ids: smallest m by (splitmix64(id), id)
+    parts = []
+    for b in ds.select_columns([id_col]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        if b.num_rows:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = splitmix64(ids)
+            k = min(m, len(ids))
+            top = np.lexsort((ids, h))[:k]
+            parts.append(np.stack([h[top].astype(np.int64), ids[top]], 1))
+    cand = np.concatenate(parts)
+    cand = cand[np.lexsort((cand[:, 1], cand[:, 0].astype(np.uint64)))][:m]
+    probe_ids = cand[:, 1]
+
+    # synthetic probes: uniform in the per-dim box
+    j = np.arange(m, dtype=np.int64)
+    jk = (j[:, None] * np.int64(1000003)) + np.arange(d, dtype=np.int64)[None, :]
+    u01 = ((splitmix64(jk.ravel()) >> np.uint64(11)).astype(np.float64) + 1.0) \
+        * 2.0 ** -53
+    synth = lo + u01.reshape(m, d) * (hi - lo)
+
+    # real probe vectors
+    id_set = set(int(i) for i in probe_ids)
+    vecs = {}
+    for b in ds.select_columns([id_col, col]).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hitm = np.isin(ids, probe_ids)
+        if hitm.any():
+            c = b[col].combine_chunks()
+            flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mtx = flat.reshape(-1, d)
+            for i in np.flatnonzero(hitm):
+                vecs[int(ids[i])] = mtx[i]
+    real = np.stack([vecs[int(i)] for i in probe_ids])
+
+    probes_ref = _ray.put((synth, real, probe_ids))
+
+    def local_min(t: pa.Table, probes_ref) -> pa.Table:
+        synth, real, probe_ids = _HOPKINS_CACHE_GET(probes_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t[col].combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(len(ids), -1)
+        out_kind, out_idx, out_d = [], [], []
+        for kind, probes in ((0, synth), (1, real)):
+            # direct (x - p)² per probe: the a²-2ab+b² BLAS form loses
+            # precision by cancellation exactly at SMALL distances —
+            # the minima this statistic keeps
+            for i in range(len(probes)):
+                d2 = ((x - probes[i]) ** 2).sum(1)
+                if kind == 1:
+                    d2[ids == probe_ids[i]] = np.inf
+                out_kind.append(kind)
+                out_idx.append(i)
+                out_d.append(float(np.sqrt(d2.min())))
+        return pa.table({"kind": pa.array(out_kind, pa.int64()),
+                         "idx": pa.array(out_idx, pa.int64()),
+                         "dmin": pa.array(out_d, pa.float64())})
+
+    partial = ds.select_columns([id_col, col]).map_batches(
+        local_min, batch_format="pyarrow", batch_size=8192,
+        fn_kwargs={"probes_ref": probes_ref})
+    best = (partial.groupby(["kind", "idx"])
+            .aggregate(Min("dmin", alias_name="d"))
+            .to_pandas())
+    du = np.round(np.sort(best.loc[best["kind"] == 0, "d"].to_numpy()), 9)
+    dw = np.round(np.sort(best.loc[best["kind"] == 1, "d"].to_numpy()), 9)
+    su, sw = float(du.sum()), float(dw.sum())
+    return pd.DataFrame({"m": [np.int64(m)],
+                         "sum_u": [round(su, 9)],
+                         "sum_w": [round(sw, 9)],
+                         "hopkins": [round(su / (su + sw), 9)]})
+
+
+_HOPKINS_CACHE: dict = {}
+
+
+def _HOPKINS_CACHE_GET(ref):
+    import ray as _ray
+
+    ck = ref.hex() if isinstance(ref, _ray.ObjectRef) else None
+    st = _HOPKINS_CACHE.get(ck)
+    if st is None:
+        st = _ray.get(ref) if ck is not None else ref
+        if ck is not None:
+            _HOPKINS_CACHE.clear()
+            _HOPKINS_CACHE[ck] = st
+    return st
