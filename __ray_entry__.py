@@ -1915,6 +1915,15 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_rfm(sf_dir):
+    """RFM customer segmentation with exact distributed NTILE(5) —
+    stages.rfm.rfm_segments (one per-customer groupby + three
+    global_ntile sort-and-offset passes)."""
+    from pgd_ray.stages.rfm import rfm_segments
+
+    return rfm_segments(sf_dir, k=5)
+
+
 def _q_hopkins(sf_dir):
     """Hopkins clusterability statistic over the embedding table —
     stages.vector_stats.hopkins_statistic (broadcast 2m probes,
@@ -2879,6 +2888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keyphrases": _q_rake,
         "degree_gini": _q_degree_gini,
         "hopkins": _q_hopkins,
+        "rfm_segments": _q_rfm,
     }
 
 
@@ -3937,6 +3947,28 @@ SELECT phrase, CAST(plen AS BIGINT) AS n_words,
        ROUND(MAX(s), 9) AS score
 FROM occ GROUP BY phrase, plen
 ORDER BY score DESC, phrase LIMIT 100""",
+        # stages.rfm.rfm_segments: exact NTILE(5) quintiles; monetary
+        # rounded to cents BEFORE ranking on both sides
+        "rfm_segments": """
+WITH pc AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary,
+         MAX(epoch_us(o_orderdate)) AS last_ts
+  FROM orders GROUP BY 1),
+mx AS (SELECT MAX(last_ts) AS m FROM pc),
+base AS (SELECT c_custkey, frequency, monetary,
+                CAST(((SELECT m FROM mx) - last_ts) // 86400000000
+                     AS BIGINT) AS recency_days
+         FROM pc)
+SELECT c_custkey, recency_days, frequency, monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, c_custkey)
+            AS BIGINT) AS r_q,
+       CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey)
+            AS BIGINT) AS f_q,
+       CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey)
+            AS BIGINT) AS m_q
+FROM base ORDER BY c_custkey""",
         # stages.vector_stats.hopkins_statistic: m=20 real probes by
         # smallest (splitmix64(vec_id), vec_id); synthetic coord (j,k)
         # from u = ((splitmix64(j·1000003+k) >> 11)+1)·2⁻⁵³ in the

@@ -1237,3 +1237,64 @@ def dow_seasonality(sf_dir: str) -> pd.DataFrame:
                      round(mc / overall, 9)))
     return pd.DataFrame(rows, columns=["dow", "n_days", "mean_count",
                                        "seasonal_index"])
+
+
+def global_ntile(
+    ds: ray.data.Dataset,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    out_col: str = "ntile",
+) -> ray.data.Dataset:
+    """SQL ``NTILE(k) OVER (ORDER BY order_col, tiebreak)`` as a
+    distributed program: one global sort, per-block (count, first-key)
+    summaries, O(#blocks) driver offsets, then a second stateless pass
+    assigns rank = block_offset + position and the exact NTILE bucket
+    (first n%k buckets take ceil(n/k) rows).  ``tiebreak`` must be
+    unique — it identifies each sorted block by its first row.  Adds
+    ``out_col`` (1-based bucket)."""
+    srt = ds.sort([order_col, tiebreak]).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "first_ord": t[order_col].combine_chunks().slice(0, 0),
+                "first_tb": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64())})
+        tb = t[tiebreak].to_numpy(zero_copy_only=False)
+        return pa.table({
+            # native dtype — a float cast could collapse distinct
+            # order values and mis-order the block offsets
+            "first_ord": t[order_col].combine_chunks().slice(0, 1),
+            "first_tb": pa.array([int(tb[0])], pa.int64()),
+            "cnt": pa.array([t.num_rows], pa.int64())})
+
+    sm = (srt.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    if sm.empty:
+        return srt
+    # blocks are re-ordered by their FIRST row's sort key — never by
+    # Dataset block arrival order (which is not contractual)
+    sm = sm.sort_values(["first_ord", "first_tb"], ignore_index=True)
+    n = int(sm["cnt"].sum())
+    if len(sm["first_tb"].unique()) != len(sm):
+        raise ValueError("global_ntile requires a unique tiebreak column")
+    offs = np.concatenate(([0], np.cumsum(sm["cnt"].to_numpy())[:-1]))
+    off_by_first = dict(zip(sm["first_tb"].astype(np.int64), offs.astype(int)))
+    q, r = divmod(n, k)
+
+    def assign(t: pa.Table, off_by_first=off_by_first, q=q, r=r) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        tb = t[tiebreak].to_numpy(zero_copy_only=False)
+        rank0 = off_by_first[int(tb[0])] + np.arange(t.num_rows)
+        if q == 0:
+            bucket = rank0  # n < k: row i lands in bucket i
+        else:
+            head = r * (q + 1)
+            bucket = np.where(
+                rank0 < head, rank0 // (q + 1),
+                r + (np.maximum(rank0 - head, 0) // q))
+        return t.append_column(out_col, pa.array(bucket + 1, pa.int64()))
+
+    return srt.map_batches(assign, batch_format="pyarrow", batch_size=None)
