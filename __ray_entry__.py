@@ -1915,6 +1915,29 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_boilerplate(sf_dir):
+    """Per-document boilerplate-line fraction (corpus-duplicated
+    lines) — text.boilerplate.boilerplate_lines (distinct-pair
+    partials, one line groupby, broadcast dup set)."""
+    import ray.data
+
+    from pgd_ray.text.boilerplate import boilerplate_lines
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return boilerplate_lines(docs, min_docs=2)
+
+
+def _q_motif_significance(sf_dir):
+    """Triangle significance vs the configuration-model null —
+    graph.graphlets.motif_significance (degree-moment closed form +
+    the signature triangle kernel)."""
+    from pgd_ray.graph.graphlets import motif_significance
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    return motif_significance(dense, csr.range_csr or csr)
+
+
 def _q_rfm(sf_dir):
     """RFM customer segmentation with exact distributed NTILE(5) —
     stages.rfm.rfm_segments (one per-customer groupby + three
@@ -2889,6 +2912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_gini": _q_degree_gini,
         "hopkins": _q_hopkins,
         "rfm_segments": _q_rfm,
+        "boilerplate_lines": _q_boilerplate,
+        "motif_significance": _q_motif_significance,
     }
 
 
@@ -3947,6 +3972,53 @@ SELECT phrase, CAST(plen AS BIGINT) AS n_words,
        ROUND(MAX(s), 9) AS score
 FROM occ GROUP BY phrase, plen
 ORDER BY score DESC, phrase LIMIT 100""",
+        # text.boilerplate.boilerplate_lines: chr(10) split, pinned
+        # ASCII-whitespace trim, per-doc distinct, dup = >= 2 docs
+        "boilerplate_lines": """
+WITH dl AS (
+  SELECT DISTINCT doc_id,
+         trim(unnest(string_split(text, chr(10))),
+              ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12))
+           AS line
+  FROM documents WHERE text IS NOT NULL),
+dl2 AS (SELECT doc_id, line FROM dl WHERE line <> ''),
+cnt AS (SELECT line, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM dl2 GROUP BY 1),
+per AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+        FROM dl2 d JOIN cnt c USING (line) GROUP BY 1)
+SELECT doc.doc_id, COALESCE(per.n_lines, 0) AS n_lines,
+       COALESCE(per.n_boiler, 0) AS n_boiler,
+       ROUND(COALESCE(CAST(per.n_boiler AS DOUBLE) / per.n_lines, 0), 6)
+         AS boiler_frac
+FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+ORDER BY doc.doc_id""",
+        # graph.graphlets.motif_significance: configuration-model
+        # expected triangles S2³/(6·S1³) via HUGEINT cubes
+        "motif_significance": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e ab
+       JOIN e bc ON ab.dst = bc.src
+       JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+              CAST(SUM(degree) AS HUGEINT) AS s1,
+              CAST(SUM(degree * (degree - 1)) AS HUGEINT) AS s2
+       FROM d)
+SELECT nv AS n_vertices, CAST(s1 // 2 AS BIGINT) AS m_edges,
+       (SELECT t FROM tr) AS triangles,
+       CAST(s2 // 2 AS BIGINT) AS wedges,
+       ROUND(CAST(s2 * s2 * s2 AS DOUBLE)
+             / (6.0 * CAST(s1 * s1 * s1 AS DOUBLE)), 9)
+         AS expected_tri_cfg,
+       ROUND(CAST((SELECT t FROM tr) AS DOUBLE)
+             / (CAST(s2 * s2 * s2 AS DOUBLE)
+                / (6.0 * CAST(s1 * s1 * s1 AS DOUBLE))), 9) AS tri_ratio,
+       ROUND(3.0 * (SELECT t FROM tr) / CAST(s2 // 2 AS DOUBLE), 9)
+         AS global_cc,
+       ROUND(CAST(s2 * s2 AS DOUBLE) / CAST(s1 * s1 * s1 AS DOUBLE), 9)
+         AS expected_cc_cfg
+FROM mm""",
         # stages.rfm.rfm_segments: exact NTILE(5) quintiles; monetary
         # rounded to cents BEFORE ranking on both sides
         "rfm_segments": """

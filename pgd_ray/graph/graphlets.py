@@ -1064,3 +1064,52 @@ def edge_clustering(
         fn_kwargs={"deg_ref": deg_ref},
         concurrency=_task_cap(concurrency),
     )
+
+
+def motif_significance(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    batch_size: int = 8192,
+    concurrency=(1, 32),
+) -> "pd.DataFrame":
+    """Triangle significance against the degree-preserving null
+    (configuration model): E[T]_cfg = S₂³ / (6·S₁³) with S₁ = Σd,
+    S₂ = Σd(d−1) (Newman), expected clustering C_cfg = S₂²/S₁³.
+    Observed counts come from the signature sorted-intersection
+    kernel; the moments from ONE streamed pass over the degree table
+    (exact integers).  One row (n_vertices, m_edges, triangles,
+    wedges, expected_tri_cfg, tri_ratio, global_cc, expected_cc_cfg);
+    ratios/cc rounded to 9, NaN-free (0-wedge graphs report 0)."""
+    import pandas as pd
+
+    from pgd_ray.graph.degrees import degree_table
+
+    s1 = s2 = nv = 0
+    for b in degree_table(canonical_ds).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        if b.num_rows:
+            d = b["degree"].to_numpy(zero_copy_only=False).astype(object)
+            nv += b.num_rows
+            s1 += int(sum(d))
+            s2 += int(sum(d * (d - 1)))
+    tris = 0
+    for b in edge_triangles(canonical_ds, csr, batch_size=batch_size,
+                            concurrency=concurrency).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"):
+        if b.num_rows:
+            tris += int(b["triangle"].to_numpy(zero_copy_only=False).sum())
+    tris //= 3
+    wedges = s2 // 2
+    et = (s2 ** 3) / (6.0 * s1 ** 3) if s1 else 0.0
+    cc = 3.0 * tris / wedges if wedges else 0.0
+    ecc = (s2 ** 2) / float(s1 ** 3) if s1 else 0.0
+    return pd.DataFrame({
+        "n_vertices": [np.int64(nv)],
+        "m_edges": [np.int64(s1 // 2)],
+        "triangles": [np.int64(tris)],
+        "wedges": [np.int64(wedges)],
+        "expected_tri_cfg": [round(et, 9)],
+        "tri_ratio": [round(tris / et, 9) if et > 0 else 0.0],
+        "global_cc": [round(cc, 9)],
+        "expected_cc_cfg": [round(ecc, 9)],
+    })

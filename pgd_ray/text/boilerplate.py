@@ -1,0 +1,111 @@
+"""Boilerplate-line screen (the C4 / RefinedWeb cleaning family):
+a LINE that recurs across many documents (nav chrome, cookie banners,
+license footers) marks its occurrences as boilerplate; documents are
+scored by the fraction of their lines that are corpus-duplicated.
+
+Distribution shape: docs → per-batch (doc_id, distinct line) pairs
+(vectorized split/explode/strip, in-batch dedup) → one hash groupby
+for global line-document counts → the duplicated-line KEY SET is
+broadcast back (∝ #duplicated distinct lines; raise min_docs for
+adversarial corpora) → a second stateless pass scores each document.
+No driver state ∝ corpus besides the per-doc result itself.
+
+Line contract (mirrored in SQL): split on '\\n', strip whitespace,
+drop empty lines, count each line once per document (in-doc repetition
+doesn't self-flag); a line is boilerplate when it occurs in ≥
+``min_docs`` documents.  The reference has no text surface
+(SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _doc_lines(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, line) pairs, lines stripped/non-empty, per-doc
+    distinct — all pandas C kernels."""
+    s = b["text"].fillna("").str.split("\n")
+    d = pd.DataFrame({
+        "doc_id": np.repeat(b["doc_id"].to_numpy(np.int64),
+                            s.str.len().to_numpy(np.int64)),
+        "line": np.concatenate(s.to_numpy()) if len(s) else
+        np.array([], object),
+    })
+    # pinned ASCII whitespace set — Python's default strip() is
+    # unicode-aware, DuckDB's trim charlist is explicit
+    d["line"] = d["line"].str.strip(" \t\r\n\x0b\x0c")
+    d = d[d["line"] != ""]
+    return d.drop_duplicates(["doc_id", "line"], ignore_index=True)
+
+
+def boilerplate_lines(
+    docs: ray.data.Dataset,
+    min_docs: int = 2,
+    concurrency=(1, 16),
+) -> pd.DataFrame:
+    """Per-document boilerplate profile: columns (doc_id, n_lines,
+    n_boiler, boiler_frac), ordered by doc_id; n_lines counts DISTINCT
+    non-empty stripped lines, n_boiler those appearing in ≥ min_docs
+    documents, boiler_frac their ratio rounded to 6 (0.0 for line-less
+    docs)."""
+    cap = concurrency[-1] if isinstance(
+        concurrency, (tuple, list)) else concurrency
+
+    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _doc_lines, batch_format="pandas", batch_size=4096,
+        concurrency=cap,
+    ).materialize()
+
+    dup = (pairs.groupby("line")
+           .aggregate(Count(alias_name="n_docs"))
+           .filter(expr=f"n_docs >= {int(min_docs)}"))
+    dup_set = frozenset(
+        ln for b in dup.select_columns(["line"]).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow")
+        for ln in b["line"].to_pylist())
+    dup_ref = ray.put(dup_set)
+
+    def score(b: pd.DataFrame, dup_ref) -> pd.DataFrame:
+        ds_ = _BOILER_CACHE_GET(dup_ref)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "is_b": b["line"].isin(ds_).to_numpy(np.int64)})
+
+    per_doc = (
+        pairs.map_batches(score, batch_format="pandas",
+                          batch_size=65536, fn_kwargs={"dup_ref": dup_ref})
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_lines"),
+                   Sum("is_b", alias_name="n_boiler"))
+        .to_pandas()
+    )
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()
+    out = all_ids.merge(per_doc, on="doc_id", how="left").fillna(0)
+    n = out["n_lines"].to_numpy(np.float64)
+    nb = out["n_boiler"].to_numpy(np.float64)
+    frac = np.where(n > 0, nb / np.maximum(n, 1.0), 0.0)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "n_lines": out["n_lines"].to_numpy(np.int64),
+        "n_boiler": out["n_boiler"].to_numpy(np.int64),
+        "boiler_frac": np.round(frac, 6),
+    }).sort_values("doc_id", ignore_index=True)
+
+
+_BOILER_CACHE: dict = {}
+
+
+def _BOILER_CACHE_GET(ref):
+    import ray as _ray
+
+    ck = ref.hex() if isinstance(ref, _ray.ObjectRef) else None
+    st = _BOILER_CACHE.get(ck)
+    if st is None:
+        st = _ray.get(ref) if ck is not None else ref
+        if ck is not None:
+            _BOILER_CACHE.clear()
+            _BOILER_CACHE[ck] = st
+    return st
