@@ -1915,6 +1915,24 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_conv_profile(sf_dir):
+    """Per-conversation shape stats over the transcript table —
+    stages.conv_stats.conv_profile (three hash aggregations, exact
+    two-step distincts; driver holds O(#conversations) = the output)."""
+    from pgd_ray.stages.conv_stats import conv_profile
+
+    return conv_profile(_transcripts_ds(sf_dir))
+
+
+def _q_response_latency(sf_dir):
+    """Mean inter-turn gap by responding role —
+    stages.conv_stats.response_latency (one (conv, turn) sort,
+    per-block pairs, ≤1 boundary pair per block stitched)."""
+    from pgd_ray.stages.conv_stats import response_latency
+
+    return response_latency(_transcripts_ds(sf_dir))
+
+
 def _q_boilerplate(sf_dir):
     """Per-document boilerplate-line fraction (corpus-duplicated
     lines) — text.boilerplate.boilerplate_lines (distinct-pair
@@ -2914,6 +2932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm,
         "boilerplate_lines": _q_boilerplate,
         "motif_significance": _q_motif_significance,
+        "conv_profile": _q_conv_profile,
+        "response_latency": _q_response_latency,
     }
 
 
@@ -3972,6 +3992,32 @@ SELECT phrase, CAST(plen AS BIGINT) AS n_words,
        ROUND(MAX(s), 9) AS score
 FROM occ GROUP BY phrase, plen
 ORDER BY score DESC, phrase LIMIT 100""",
+        # stages.conv_stats.conv_profile over the derived transcripts
+        "conv_profile": f"""
+WITH {_T_CTE},
+base AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles,
+                CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+                CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                  AS n_chars,
+                MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+         FROM t GROUP BY 1)
+SELECT conv_id, n_turns, n_roles, n_tools, n_chars,
+       ROUND(CAST(n_chars AS DOUBLE) / n_turns, 6) AS avg_chars,
+       CAST((t1 - t0) // 1000000 AS BIGINT) AS span_s
+FROM base ORDER BY conv_id""",
+        # stages.conv_stats.response_latency: gap to the previous turn
+        # attributed to the LATER turn's role
+        "response_latency": f"""
+WITH {_T_CTE},
+g AS (SELECT role,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+      FROM t)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS mean_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY role""",
         # text.boilerplate.boilerplate_lines: chr(10) split, pinned
         # ASCII-whitespace trim, per-doc distinct, dup = >= 2 docs
         "boilerplate_lines": """

@@ -1,0 +1,151 @@
+"""Conversation-level analytics over the transcript table — the
+engine's north-star input shape (conv_id, turn_idx, role, text, tool,
+ts).  Two programs:
+
+* ``conv_profile`` — per-conversation shape stats: turn count,
+  distinct roles/tools (exact two-step distinct —
+  ``stages.distinct.grouped_distinct_count``, hot-conversation-safe),
+  total/mean text chars, wall-clock span.  Three hash aggregations,
+  merged on the driver over O(#conversations) rows (the query's own
+  output size).
+* ``response_latency`` — mean seconds between consecutive turns,
+  grouped by the RESPONDING role (the agent-latency profile): one
+  global (conv_id, turn_idx) sort, per-block vectorized adjacent
+  pairs, ≤ 1 boundary pair per block stitched from a tiny per-block
+  (first/last row) summary on the driver.
+
+The reference has no transcript surface beyond edge derivation
+(SURVEY.md S7); these close the loop on transcripts as a first-class
+analytics table, not just a graph source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def conv_profile(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Columns (conv_id, n_turns, n_roles, n_tools, n_chars,
+    avg_chars, span_s), ordered by conv_id; avg_chars rounded to 6,
+    span_s = whole seconds floor((max ts − min ts)/1s)."""
+    from pgd_ray.stages.distinct import grouped_distinct_count
+
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        nch = pa.compute.utf8_length(txt.fill_null(""))
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"conv_id": t["conv_id"],
+                         "nch": pa.array(
+                             nch.to_numpy(zero_copy_only=False)
+                             .astype(np.int64), pa.int64()),
+                         "tus": pa.array(ts, pa.int64())})
+
+    base = (
+        transcripts.map_batches(keyed, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n_turns"),
+                   Sum("nch", alias_name="n_chars"),
+                   Min("tus", alias_name="t0"),
+                   Max("tus", alias_name="t1"))
+        .to_pandas()
+    )
+    roles = grouped_distinct_count(
+        transcripts, "conv_id", "role", alias="n_roles").to_pandas()
+    tools = grouped_distinct_count(
+        transcripts, "conv_id", "tool", alias="n_tools").to_pandas()
+    out = base.merge(roles, on="conv_id").merge(tools, on="conv_id")
+    n = out["n_turns"].to_numpy(np.int64)
+    nch = out["n_chars"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "conv_id": out["conv_id"],
+        "n_turns": n,
+        "n_roles": out["n_roles"].to_numpy(np.int64),
+        "n_tools": out["n_tools"].to_numpy(np.int64),
+        "n_chars": nch,
+        "avg_chars": np.round(nch / n, 6),
+        "span_s": (out["t1"].to_numpy(np.int64)
+                   - out["t0"].to_numpy(np.int64)) // 1_000_000,
+    }).sort_values("conv_id", ignore_index=True)
+
+
+def response_latency(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Mean gap (seconds, rounded 6) between consecutive turns of a
+    conversation, grouped by the LATER turn's role — "how long does
+    each role take to respond".  Columns (role, n_gaps, mean_gap_s),
+    ordered by role."""
+    srt = transcripts.select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]
+    ).sort(["conv_id", "turn_idx"]).materialize()
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        # interior pairs + this block's first/last rows for the stitch
+        if t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.string()),
+                             "conv": pa.array([], pa.string()),
+                             "tidx": pa.array([], pa.int64()),
+                             "gap": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        same = conv[1:] == conv[:-1]
+        gaps = ts[1:] - ts[:-1]
+        kinds, roles_, convs, tidxs, gvals, ns = [], [], [], [], [], []
+        # per-role interior partials (kind 0): sum + count
+        rl = role[1:][same]
+        gv = gaps[same]
+        if len(rl):
+            for r in np.unique(rl):
+                m = rl == r
+                kinds.append(0); roles_.append(str(r)); convs.append("")
+                tidxs.append(0); gvals.append(int(gv[m].sum()))
+                ns.append(int(m.sum()))
+        # boundary rows (kind 1 = first row, kind 2 = last row)
+        for kind, i in ((1, 0), (2, t.num_rows - 1)):
+            kinds.append(kind); roles_.append(str(role[i]))
+            convs.append(str(conv[i])); tidxs.append(int(tidx[i]))
+            gvals.append(int(ts[i])); ns.append(0)
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "role": pa.array(roles_, pa.string()),
+                         "conv": pa.array(convs, pa.string()),
+                         "tidx": pa.array(tidxs, pa.int64()),
+                         "gap": pa.array(gvals, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    parts = srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    agg: dict = {}
+    if not parts.empty:
+        for r, g, n in zip(parts.loc[parts["kind"] == 0, "role"],
+                           parts.loc[parts["kind"] == 0, "gap"],
+                           parts.loc[parts["kind"] == 0, "n"]):
+            s, c = agg.get(r, (0, 0))
+            agg[r] = (s + int(g), c + int(n))
+        # stitch: last row of block i pairs with first row of block
+        # i+1 when they share a conversation (blocks in sorted order)
+        firsts = parts[parts["kind"] == 1].reset_index(drop=True)
+        lasts = parts[parts["kind"] == 2].reset_index(drop=True)
+        order = np.lexsort((firsts["tidx"].to_numpy(),
+                            firsts["conv"].to_numpy()))
+        firsts = firsts.iloc[order].reset_index(drop=True)
+        lasts = lasts.iloc[order].reset_index(drop=True)
+        for i in range(1, len(firsts)):
+            if lasts.loc[i - 1, "conv"] == firsts.loc[i, "conv"]:
+                r = firsts.loc[i, "role"]
+                s, c = agg.get(r, (0, 0))
+                agg[r] = (s + int(firsts.loc[i, "gap"]
+                                  - lasts.loc[i - 1, "gap"]), c + 1)
+    rows = [(r, np.int64(c), round(s / 1e6 / c, 6))
+            for r, (s, c) in sorted(agg.items()) if c]
+    return pd.DataFrame(rows, columns=["role", "n_gaps", "mean_gap_s"]) \
+        if rows else pd.DataFrame({"role": pd.Series([], dtype=object),
+                                   "n_gaps": pd.Series([], dtype=np.int64),
+                                   "mean_gap_s": pd.Series([], dtype=np.float64)})

@@ -1,0 +1,61 @@
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name):
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS FROM '{SF}/events.parquet'")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def test_conv_profile_matches_oracle():
+    import __ray_entry__ as E
+
+    got = E.queries()["conv_profile"](SF).reset_index(drop=True)
+    exp = _oracle("conv_profile")
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    for c in ("n_turns", "n_roles", "n_tools", "n_chars", "span_s"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert np.allclose(got["avg_chars"], exp["avg_chars"],
+                       rtol=0, atol=1e-9)
+    assert (got["n_roles"] <= 3).all()
+
+
+def test_response_latency_matches_oracle():
+    import __ray_entry__ as E
+
+    got = E.queries()["response_latency"](SF).reset_index(drop=True)
+    exp = _oracle("response_latency")
+    assert got["role"].tolist() == exp["role"].tolist()
+    assert got["n_gaps"].tolist() == exp["n_gaps"].tolist()
+    assert np.allclose(got["mean_gap_s"], exp["mean_gap_s"],
+                       rtol=0, atol=1e-9)
+    # every turn except each conversation's first contributes a gap
+    prof = E.queries()["conv_profile"](SF)
+    assert int(got["n_gaps"].sum()) == int(
+        (prof["n_turns"] - 1).sum())
+
+
+def test_response_latency_boundary_stitch():
+    from pgd_ray.stages.conv_stats import response_latency
+
+    # one conversation split across many tiny blocks: every gap must
+    # still be found exactly once
+    n = 30
+    rows = [{"conv_id": "c1", "turn_idx": np.int32(i),
+             "role": ["user", "assistant"][i % 2], "text": "x",
+             "tool": "t",
+             "ts": np.datetime64(1_000_000_000_000 + i * 7_000_000, "us")}
+            for i in range(n)]
+    ds = ray.data.from_items(rows).repartition(10)
+    out = response_latency(ds)
+    assert int(out["n_gaps"].sum()) == n - 1
+    # constant 7s gaps regardless of role
+    assert np.allclose(out["mean_gap_s"], 7.0)
