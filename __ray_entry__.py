@@ -1915,6 +1915,18 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_vertex_orbits3(sf_dir):
+    """Per-vertex 3-node graphlet orbit vector (GDV k=3) —
+    graph.graphlets.vertex_orbits3 (signature triangle kernel +
+    one neighbor-degree-sum pass)."""
+    from pgd_ray.graph.graphlets import vertex_orbits3
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    df = vertex_orbits3(dense, csr.range_csr or csr).to_pandas()
+    df["v"] = vids[df["v"].to_numpy()]
+    return df.sort_values("v", ignore_index=True)
+
+
 def _q_conv_profile(sf_dir):
     """Per-conversation shape stats over the transcript table —
     stages.conv_stats.conv_profile (three hash aggregations, exact
@@ -2934,6 +2946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_significance": _q_motif_significance,
         "conv_profile": _q_conv_profile,
         "response_latency": _q_response_latency,
+        "vertex_orbits3": _q_vertex_orbits3,
     }
 
 
@@ -3323,6 +3336,30 @@ et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
        GROUP BY e.src, e.dst),
 up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et)
 SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
+        # graph.graphlets.vertex_orbits3: k=3 GDV —
+        # orbit1 = Σ_{{u∈N(v)}}(deg u − 1) − 2·tri,
+        # orbit2 = C(deg,2) − tri, orbit3 = tri
+        "vertex_orbits3": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst),
+up AS (SELECT src AS v, triangle FROM et
+       UNION ALL SELECT dst AS v, triangle FROM et),
+vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS tri
+       FROM up GROUP BY v),
+sn AS (SELECT s.src AS v, CAST(SUM(d2.degree) AS BIGINT) AS snbr
+       FROM s JOIN d d2 ON d2.v = s.dst GROUP BY 1)
+SELECT d.v,
+       CAST(d.degree AS BIGINT) AS orbit0_degree,
+       CAST(sn.snbr - d.degree - 2 * vt.tri AS BIGINT)
+         AS orbit1_path_end,
+       CAST(d.degree * (d.degree - 1) // 2 - vt.tri AS BIGINT)
+         AS orbit2_wedge_center,
+       vt.tri AS orbit3_triangle
+FROM d JOIN vt ON vt.v = d.v JOIN sn ON sn.v = d.v
+ORDER BY d.v""",
         "tpch_q1": f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

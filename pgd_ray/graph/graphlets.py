@@ -1113,3 +1113,87 @@ def motif_significance(
         "global_cc": [round(cc, 9)],
         "expected_cc_cfg": [round(ecc, 9)],
     })
+
+
+_ORBIT_CACHE: dict = {}
+
+
+def _orbit_decorate(t, ref):
+    import pyarrow as pa
+    import ray as _ray
+
+    ck = ref.hex() if isinstance(ref, _ray.ObjectRef) else None
+    st = _ORBIT_CACHE.get(ck)
+    if st is None:
+        st = _ray.get(ref) if ck is not None else ref
+        if ck is not None:
+            _ORBIT_CACHE.clear()
+            _ORBIT_CACHE[ck] = st
+    deg, snbr = st
+    v = t["v"].to_numpy(zero_copy_only=False)
+    tri = t["triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = deg[v]
+    return pa.table({
+        "v": pa.array(v, pa.int64()),
+        "orbit0_degree": pa.array(d, pa.int64()),
+        "orbit1_path_end": pa.array(snbr[v] - d - 2 * tri, pa.int64()),
+        "orbit2_wedge_center": pa.array(d * (d - 1) // 2 - tri, pa.int64()),
+        "orbit3_triangle": pa.array(tri, pa.int64()),
+    })
+
+
+def vertex_orbits3(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    batch_size: int = 8192,
+    concurrency=(1, 32),
+) -> ray.data.Dataset:
+    """Per-vertex 3-node graphlet ORBIT vector (the GDV restricted to
+    k=3; orbit numbering follows the graphlet literature):
+    orbit0 = degree, orbit1 = open-path endpoints
+    (Σ_{u∈N(v)}(deg u − 1) − 2·tri), orbit2 = open-wedge centers
+    (C(deg,2) − tri), orbit3 = triangle memberships.
+
+    tri comes from the signature sorted-intersection kernel
+    (``vertex_triangles``); the neighbor-degree sums from ONE
+    map_batches pass over the canonical edges with the broadcast
+    degree vector (per-batch bincount partials, O(n) driver combine —
+    the degree-array convention used by every iterative engine).
+    Columns (v, orbit0_degree, orbit1_path_end, orbit2_wedge_center,
+    orbit3_triangle)."""
+    from ray.data.aggregate import Sum as RaySum
+
+    deg = csr.degrees().astype(np.int64)
+    deg_ref = ray.put(deg)
+
+    def snbr_partial(t: pa.Table, deg_ref) -> pa.Table:
+        dd = _ECC_DEG_CACHE.get(deg_ref.hex())
+        if dd is None:
+            dd = ray.get(deg_ref)
+            _ECC_DEG_CACHE.clear()
+            _ECC_DEG_CACHE[deg_ref.hex()] = dd
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        vals = np.concatenate([src, dst])
+        wts = np.concatenate([dd[dst], dd[src]])
+        v, inv = np.unique(vals, return_inverse=True)
+        s = np.bincount(inv, weights=wts.astype(np.float64)).astype(np.int64)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "p": pa.array(s, pa.int64())})
+
+    snbr = np.zeros(csr.n, np.int64)
+    agg = (canonical_ds.map_batches(
+        snbr_partial, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"deg_ref": deg_ref},
+        concurrency=_task_cap(concurrency))
+        .groupby("v").aggregate(RaySum("p", alias_name="s")))
+    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        if b.num_rows:
+            snbr[b["v"].to_numpy(zero_copy_only=False)] = \
+                b["s"].to_numpy(zero_copy_only=False)
+    ref = ray.put((deg, snbr))
+    vt = vertex_triangles(canonical_ds, csr, batch_size=batch_size,
+                          concurrency=concurrency)
+    return vt.map_batches(_orbit_decorate, batch_format="pyarrow",
+                          batch_size=batch_size, fn_kwargs={"ref": ref},
+                          concurrency=_task_cap(concurrency))
