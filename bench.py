@@ -169,6 +169,7 @@ def run_bench() -> dict:
     r3bops = _round3b_ops(dense, csr, nw)
     r3cops = _round3c_ops(dense, csr, vids, nw)
     r3dops = _round3d_ops(dense, csr, vids, nw)
+    r3eops = _round3e_ops(dense, csr, vids, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -191,6 +192,7 @@ def run_bench() -> dict:
         "round3b_ops_sec": r3bops,
         "round3c_ops_sec": r3cops,
         "round3d_ops_sec": r3dops,
+        "round3e_ops_sec": r3eops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -889,3 +891,84 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
+
+
+def _round3e_ops(dense, csr, vids, nw: int) -> dict:
+    """Wall time of the session-5 operators (auxiliary): TPC-H
+    Q19/Q22, TextRank, RAKE, the boilerplate-line screen, edge
+    clustering coefficients, the CUSUM/DOW daily screens, degree
+    Gini, Hopkins statistic, RFM segmentation, conversation profile /
+    response latency, 3-node orbit vectors and triangle significance."""
+    import ray.data
+
+    from pgd_ray.graph.degrees import degree_gini
+    from pgd_ray.graph.graphlets import (edge_clustering,
+                                         motif_significance,
+                                         vertex_orbits3)
+    from pgd_ray.pipelines.tpch import q19, q22
+    from pgd_ray.stages.conv_stats import conv_profile, response_latency
+    from pgd_ray.stages.rfm import rfm_segments
+    from pgd_ray.stages.vector_stats import hopkins_statistic
+    from pgd_ray.stages.windows import cusum_daily, dow_seasonality
+    from pgd_ray.text.boilerplate import boilerplate_lines
+    from pgd_ray.text.rake import rake_keyphrases
+    from pgd_ray.text.textrank import textrank_keywords
+    from pgd_ray.util import read_parquet_clean
+
+    out = {}
+    t0 = time.perf_counter()
+    q19(SF_DIR)
+    out["tpch_q19"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    q22(SF_DIR)
+    out["tpch_q22"] = round(time.perf_counter() - t0, 3)
+
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"]).materialize()
+    t0 = time.perf_counter()
+    textrank_keywords(docs, vocab_size=200)
+    out["textrank"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rake_keyphrases(docs, top_k=100)
+    out["rake"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    boilerplate_lines(docs, min_docs=2)
+    out["boilerplate"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    edge_clustering(dense, csr).materialize()
+    out["edge_clustering"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    vertex_orbits3(dense, csr).materialize()
+    out["vertex_orbits3"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    motif_significance(dense, csr)
+    out["motif_significance"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    degree_gini(dense)
+    out["degree_gini"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cusum_daily(SF_DIR)
+    dow_seasonality(SF_DIR)
+    out["cusum_dow"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rfm_segments(SF_DIR)
+    out["rfm"] = round(time.perf_counter() - t0, 3)
+
+    emb = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).materialize()
+    t0 = time.perf_counter()
+    hopkins_statistic(emb, m=20)
+    out["hopkins"] = round(time.perf_counter() - t0, 3)
+
+    from pgd_ray.sources.transcripts import derive_transcripts
+
+    tr = derive_transcripts(SF_DIR).materialize()
+    t0 = time.perf_counter()
+    conv_profile(tr)
+    out["conv_profile"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    response_latency(tr)
+    out["response_latency"] = round(time.perf_counter() - t0, 3)
+    return out
