@@ -1915,6 +1915,15 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_orbit_spearman(sf_dir):
+    """Graphlet correlation matrix (k=3 orbits, Spearman) —
+    graph.graphlets.orbit_spearman (exact integer 2·rank moments)."""
+    from pgd_ray.graph.graphlets import orbit_spearman
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    return orbit_spearman(dense, csr.range_csr or csr)
+
+
 def _q_vertex_orbits3(sf_dir):
     """Per-vertex 3-node graphlet orbit vector (GDV k=3) —
     graph.graphlets.vertex_orbits3 (signature triangle kernel +
@@ -2947,7 +2956,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_profile": _q_conv_profile,
         "response_latency": _q_response_latency,
         "vertex_orbits3": _q_vertex_orbits3,
+        "orbit_spearman": _q_orbit_spearman,
     }
+
+
+def _orbit_spearman_sql() -> str:
+    """Spearman GCM over the k=3 orbits — integer 2·avg-rank
+    (2·cnt_less + cnt_eq + 1) per column, HUGEINT moments, the exact
+    division mirrored from graph.graphlets.orbit_spearman."""
+    cols = ["orbit0_degree", "orbit1_path_end",
+            "orbit2_wedge_center", "orbit3_triangle"]
+    rank_ctes, joins = [], []
+    for i in range(4):
+        rank_ctes.append(f"""
+h{i} AS (SELECT o{i} AS val, CAST(COUNT(*) AS BIGINT) AS c
+         FROM o GROUP BY 1),
+w{i} AS (SELECT val,
+                CAST(2 * COALESCE(SUM(c) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + c + 1 AS BIGINT) AS r2
+         FROM h{i})""")
+        joins.append(f"JOIN w{i} ON w{i}.val = o.o{i}")
+    sums = ",\n             ".join(
+        [f"CAST(SUM(w{i}.r2) AS HUGEINT) AS s{i}" for i in range(4)]
+        + [f"CAST(SUM(w{i}.r2 * w{i}.r2) AS HUGEINT) AS s{i}{i}"
+           for i in range(4)]
+        + [f"CAST(SUM(w{i}.r2 * w{j}.r2) AS HUGEINT) AS s{i}{j}"
+           for i in range(4) for j in range(i + 1, 4)])
+    pair_sel = "\nUNION ALL\n".join(f"""
+SELECT '{cols[i]}' AS orbit_a, '{cols[j]}' AS orbit_b,
+       ROUND(CASE WHEN (n*s{i}{i} - s{i}*s{i}) > 0
+                   AND (n*s{j}{j} - s{j}*s{j}) > 0
+                  THEN CAST(n*s{i}{j} - s{i}*s{j} AS DOUBLE)
+                       / sqrt(CAST(n*s{i}{i} - s{i}*s{i} AS DOUBLE)
+                              * CAST(n*s{j}{j} - s{j}*s{j} AS DOUBLE))
+                  ELSE 0.0 END, 9) AS rho
+FROM m""" for i in range(4) for j in range(i + 1, 4))
+    return f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst),
+up AS (SELECT src AS v, triangle FROM et
+       UNION ALL SELECT dst AS v, triangle FROM et),
+vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS tri
+       FROM up GROUP BY v),
+sn AS (SELECT s.src AS v, CAST(SUM(d2.degree) AS BIGINT) AS snbr
+       FROM s JOIN d d2 ON d2.v = s.dst GROUP BY 1),
+o AS (SELECT d.v,
+             CAST(d.degree AS BIGINT) AS o0,
+             CAST(sn.snbr - d.degree - 2 * vt.tri AS BIGINT) AS o1,
+             CAST(d.degree * (d.degree - 1) // 2 - vt.tri AS BIGINT)
+               AS o2,
+             vt.tri AS o3
+      FROM d JOIN vt ON vt.v = d.v JOIN sn ON sn.v = d.v),
+{",".join(rank_ctes)},
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             {sums}
+      FROM o {" ".join(joins)})
+{pair_sel}"""
 
 
 def _betweenness_sql(max_level: int = 16) -> str:
@@ -3339,6 +3407,8 @@ SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
         # graph.graphlets.vertex_orbits3: k=3 GDV —
         # orbit1 = Σ_{{u∈N(v)}}(deg u − 1) − 2·tri,
         # orbit2 = C(deg,2) − tri, orbit3 = tri
+        # graph.graphlets.orbit_spearman — see _orbit_spearman_sql
+        "orbit_spearman": _orbit_spearman_sql(),
         "vertex_orbits3": f"""
 WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
 et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle

@@ -886,13 +886,6 @@ def run_scaling() -> dict:
     }
 
 
-if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
-
-
 def _round3e_ops(dense, csr, vids, nw: int) -> dict:
     """Wall time of the session-5 operators (auxiliary): TPC-H
     Q19/Q22, TextRank, RAKE, the boilerplate-line screen, edge
@@ -972,3 +965,12 @@ def _round3e_ops(dense, csr, vids, nw: int) -> dict:
     response_latency(tr)
     out["response_latency"] = round(time.perf_counter() - t0, 3)
     return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
+
+

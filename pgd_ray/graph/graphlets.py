@@ -1197,3 +1197,52 @@ def vertex_orbits3(
     return vt.map_batches(_orbit_decorate, batch_format="pyarrow",
                           batch_size=batch_size, fn_kwargs={"ref": ref},
                           concurrency=_task_cap(concurrency))
+
+
+def orbit_spearman(
+    canonical_ds: ray.data.Dataset,
+    csr: CSRGraph,
+    batch_size: int = 8192,
+    concurrency=(1, 32),
+) -> "pd.DataFrame":
+    """Graphlet correlation matrix (Yaveroğlu et al. 2014) restricted
+    to the k=3 orbits: Spearman rank correlation between every pair of
+    ``vertex_orbits3`` columns across vertices — the topology
+    fingerprint used to compare networks.
+
+    Exactness contract: average ranks are half-integers, so the
+    moments are computed over 2·rank (exact integers) and the final
+    r = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²)) divides two
+    exact integers — bit-identical to the SQL mirror.  The rank pass
+    is a driver tail over the O(n) orbit table (the query's own output
+    scale).  Columns (orbit_a, orbit_b, rho), the 6 unordered pairs,
+    rho rounded to 9 (0.0 when either column is constant)."""
+    import math
+
+    import pandas as pd
+
+    orb = vertex_orbits3(canonical_ds, csr, batch_size=batch_size,
+                         concurrency=concurrency).to_pandas()
+    cols = ["orbit0_degree", "orbit1_path_end",
+            "orbit2_wedge_center", "orbit3_triangle"]
+    n = len(orb)
+    if n == 0:
+        return pd.DataFrame({"orbit_a": pd.Series([], dtype=object),
+                             "orbit_b": pd.Series([], dtype=object),
+                             "rho": pd.Series([], dtype=np.float64)})
+    r2 = {c: (2 * orb[c].rank(method="average")).astype(np.int64)
+          .to_numpy(dtype=object) for c in cols}
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = r2[cols[i]], r2[cols[j]]
+            sx, sy = int(sum(x)), int(sum(y))
+            sxx = int(sum(x * x)); syy = int(sum(y * y))
+            sxy = int(sum(x * y))
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            num = n * sxy - sx * sy
+            rho = (float(num) / math.sqrt(float(vx) * float(vy))
+                   if vx > 0 and vy > 0 else 0.0)
+            rows.append((cols[i], cols[j], round(rho, 9)))
+    return pd.DataFrame(rows, columns=["orbit_a", "orbit_b", "rho"])
