@@ -1915,6 +1915,28 @@ def _q_textrank(sf_dir):
     return textrank_keywords(docs, vocab_size=200)
 
 
+def _q_vertex_orbits4_tool(sf_dir):
+    """Per-vertex 4-clique / 4-cycle membership counts on the tool
+    graph, aggregated from the reference's per-edge micro counts with
+    the automorphism multiplicities (a vertex lies on 3 incident
+    edges of each of its 4-cliques, 2 of each of its 4-cycles) —
+    graph.graphlets.graphlet_micro + one vectorized vertex fold."""
+    from pgd_ray.graph.graphlets import graphlet_micro
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    mi = graphlet_micro(eds, csr).to_pandas()
+    up = pd.concat([
+        mi[["src", "clique4", "cycle4"]].rename(columns={"src": "v"}),
+        mi[["dst", "clique4", "cycle4"]].rename(columns={"dst": "v"}),
+    ])
+    agg = up.groupby("v", sort=True).sum()
+    return pd.DataFrame({
+        "v": agg.index.to_numpy(np.int64),
+        "clique4": (agg["clique4"].to_numpy(np.int64) // 3),
+        "cycle4": (agg["cycle4"].to_numpy(np.int64) // 2),
+    })
+
+
 def _q_orbit_spearman(sf_dir):
     """Graphlet correlation matrix (k=3 orbits, Spearman) —
     graph.graphlets.orbit_spearman (exact integer 2·rank moments)."""
@@ -2957,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_latency": _q_response_latency,
         "vertex_orbits3": _q_vertex_orbits3,
         "orbit_spearman": _q_orbit_spearman,
+        "vertex_orbits4_tool": _q_vertex_orbits4_tool,
     }
 
 
@@ -3407,6 +3430,34 @@ SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v""",
         # graph.graphlets.vertex_orbits3: k=3 GDV —
         # orbit1 = Σ_{{u∈N(v)}}(deg u − 1) − 2·tri,
         # orbit2 = C(deg,2) − tri, orbit3 = tri
+        # per-vertex 4-clique / 4-cycle orbits on the tool graph:
+        # per-edge micro counts (clique = common-neighbor edge pairs,
+        # cycle = induced N(u)\N(v) × N(v)\N(u) edge pairs) folded to
+        # vertices with automorphism multiplicities 3 / 2
+        "vertex_orbits4_tool": f"""
+WITH {_TE_CTE}, {_S_CTE},
+pe AS (
+  SELECT e.src, e.dst,
+    (SELECT COUNT(*) FROM e wx
+      WHERE EXISTS (SELECT 1 FROM s WHERE s.src = e.src AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.src AND s.dst = wx.dst)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.dst AND s.dst = wx.src)
+        AND EXISTS (SELECT 1 FROM s WHERE s.src = e.dst AND s.dst = wx.dst))
+      AS clq,
+    (SELECT COUNT(*) FROM s sw, s sx, s wx
+      WHERE sw.src = e.dst AND sx.src = e.src
+        AND wx.src = sw.dst AND wx.dst = sx.dst
+        AND sw.dst <> e.src AND sx.dst <> e.dst
+        AND NOT EXISTS (SELECT 1 FROM s q
+                        WHERE q.src = e.src AND q.dst = sw.dst)
+        AND NOT EXISTS (SELECT 1 FROM s q
+                        WHERE q.src = e.dst AND q.dst = sx.dst)) AS cyc
+  FROM e),
+up AS (SELECT src AS v, clq, cyc FROM pe
+       UNION ALL SELECT dst AS v, clq, cyc FROM pe)
+SELECT v, CAST(SUM(clq) // 3 AS BIGINT) AS clique4,
+       CAST(SUM(cyc) // 2 AS BIGINT) AS cycle4
+FROM up GROUP BY v ORDER BY v""",
         # graph.graphlets.orbit_spearman — see _orbit_spearman_sql
         "orbit_spearman": _orbit_spearman_sql(),
         "vertex_orbits3": f"""
