@@ -2021,6 +2021,17 @@ def _q_hopkins(sf_dir):
     return hopkins_statistic(ds, m=20)
 
 
+def _q_hard_negatives(sf_dir):
+    """Deterministic hard-negative mining (per-probe top-k nearest
+    with a different label) — stages.vector_stats.hard_negatives."""
+    import ray.data
+
+    from pgd_ray.stages.vector_stats import hard_negatives
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(ds, m=10, k=5)
+
+
 def _q_rake(sf_dir):
     """RAKE keyphrases (deg/freq word scores over stopword-delimited
     candidate phrases) — text.rake.rake_keyphrases (one corpus scan
@@ -2972,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keyphrases": _q_rake,
         "degree_gini": _q_degree_gini,
         "hopkins": _q_hopkins,
+        "hard_negatives": _q_hard_negatives,
         "rfm_segments": _q_rfm,
         "boilerplate_lines": _q_boilerplate,
         "motif_significance": _q_motif_significance,
@@ -4278,6 +4290,34 @@ agg AS (SELECT (SELECT SUM(d) FROM umin) AS su,
 SELECT CAST(20 AS BIGINT) AS m, ROUND(su, 9) AS sum_u,
        ROUND(sw, 9) AS sum_w, ROUND(su / (su + sw), 9) AS hopkins
 FROM agg""",
+        # stages.vector_stats.hard_negatives: same probe draw and
+        # explicit (x−p)² distance contract as `hopkins`
+        "hard_negatives": f"""
+WITH probes AS (SELECT vec_id FROM
+                (SELECT vec_id, {_splitmix_sql('vec_id', '0')} AS h
+                 FROM embeddings)
+                ORDER BY h, vec_id LIMIT 10),
+ed AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              CAST(unnest(range(0, len(embedding))) AS BIGINT) AS k
+       FROM embeddings),
+pl AS (SELECT e.vec_id AS pid, e.label AS plab
+       FROM embeddings e JOIN probes p ON p.vec_id = e.vec_id),
+pd AS (SELECT p.vec_id AS pid, e2.vec_id AS nid,
+              SUM((pe.x - e2.x) ^ 2) AS d2
+       FROM probes p JOIN ed pe ON pe.vec_id = p.vec_id
+       JOIN ed e2 ON e2.k = pe.k
+       GROUP BY 1, 2),
+flt AS (SELECT pd.pid, pl.plab, pd.nid, l2.label AS nlab,
+               sqrt(pd.d2) AS d
+        FROM pd JOIN pl ON pl.pid = pd.pid
+        JOIN embeddings l2 ON l2.vec_id = pd.nid
+        WHERE l2.label <> pl.plab AND pd.nid <> pd.pid),
+rk AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY d, nid)
+         AS rnk FROM flt)
+SELECT pid AS probe_id, CAST(plab AS BIGINT) AS probe_label,
+       CAST(rnk AS BIGINT) AS "rank", nid AS neighbor_id,
+       CAST(nlab AS BIGINT) AS neighbor_label, ROUND(d, 9) AS dist
+FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk""",
         # graph.degrees.degree_gini: exact Gini from the degree
         # histogram via integer group rank sums
         "degree_gini": f"""

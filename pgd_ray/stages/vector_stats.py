@@ -467,3 +467,107 @@ def _HOPKINS_CACHE_GET(ref):
             _HOPKINS_CACHE.clear()
             _HOPKINS_CACHE[ck] = st
     return st
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    m: int = 10,
+    k: int = 5,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Deterministic hard-negative mining for contrastive training:
+    for each of the ``m`` probe vectors (smallest
+    (splitmix64(vec_id), vec_id) — the reproducible uniform draw),
+    the ``k`` nearest corpus vectors with a DIFFERENT label
+    (euclidean, ties → min vec_id).
+
+    Distribution: probes broadcast once; each batch emits its local
+    top-k per probe (≤ #batches·m·k driver rows — the topk_cosine
+    merge shape); distances use the direct (x−p)² form (the Hopkins
+    precision note).  Columns (probe_id, probe_label, rank,
+    neighbor_id, neighbor_label, dist), rank 1-based, dist rounded
+    to 9, ordered (probe_id, rank)."""
+    import ray as _ray
+
+    from pgd_ray.text.hashing import splitmix64
+
+    parts = []
+    for b in ds.select_columns([id_col]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        if b.num_rows:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = splitmix64(ids)
+            kk = min(m, len(ids))
+            top = np.lexsort((ids, h))[:kk]
+            parts.append(np.stack([h[top].astype(np.int64), ids[top]], 1))
+    if not parts:
+        return pd.DataFrame({
+            "probe_id": pd.Series([], dtype=np.int64),
+            "probe_label": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "neighbor_id": pd.Series([], dtype=np.int64),
+            "neighbor_label": pd.Series([], dtype=np.int64),
+            "dist": pd.Series([], dtype=np.float64)})
+    cand = np.concatenate(parts)
+    cand = cand[np.lexsort((cand[:, 1], cand[:, 0].astype(np.uint64)))][:m]
+    probe_ids = cand[:, 1]
+
+    vecs, labs = {}, {}
+    for b in ds.select_columns([id_col, col, label_col]).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        hitm = np.isin(ids, probe_ids)
+        if hitm.any():
+            c = b[col].combine_chunks()
+            flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mtx = flat.reshape(len(ids), -1)
+            lab = b[label_col].to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(hitm):
+                vecs[int(ids[i])] = mtx[i]
+                labs[int(ids[i])] = int(lab[i])
+    probes = np.stack([vecs[int(i)] for i in probe_ids])
+    plabs = np.array([labs[int(i)] for i in probe_ids], np.int64)
+    ref = _ray.put((probes, probe_ids, plabs, k))
+
+    def local_top(t: pa.Table, ref) -> pa.Table:
+        probes, pids, plabs, k = _HOPKINS_CACHE_GET(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t[col].combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(len(ids), -1)
+        op, on, od, ol = [], [], [], []
+        for i in range(len(probes)):
+            mask = (lab != plabs[i]) & (ids != pids[i])
+            if not mask.any():
+                continue
+            d2 = ((x[mask] - probes[i]) ** 2).sum(1)
+            mi = ids[mask]
+            ml = lab[mask]
+            kk = min(k, len(d2))
+            sel = np.lexsort((mi, d2))[:kk]
+            op += [int(pids[i])] * kk
+            on += list(mi[sel])
+            ol += list(ml[sel])
+            od += list(np.sqrt(d2[sel]))
+        return pa.table({"pid": pa.array(op, pa.int64()),
+                         "nid": pa.array(on, pa.int64()),
+                         "nlab": pa.array(ol, pa.int64()),
+                         "d": pa.array(od, pa.float64())})
+
+    cands = ds.select_columns([id_col, col, label_col]).map_batches(
+        local_top, batch_format="pyarrow", batch_size=8192,
+        fn_kwargs={"ref": ref}).to_pandas()
+    rows = []
+    for i, pid in enumerate(probe_ids):
+        sub = cands[cands["pid"] == pid]
+        sub = sub.sort_values(["d", "nid"]).head(k)
+        for r, (_, row) in enumerate(sub.iterrows(), 1):
+            rows.append((int(pid), int(plabs[i]), r, int(row["nid"]),
+                         int(row["nlab"]), round(float(row["d"]), 9)))
+    return pd.DataFrame(rows, columns=["probe_id", "probe_label", "rank",
+                                       "neighbor_id", "neighbor_label",
+                                       "dist"]).sort_values(
+        ["probe_id", "rank"], ignore_index=True)

@@ -53,3 +53,39 @@ def test_hopkins_too_small_corpus():
         "embedding": pa.array([[0.0, 1.0]] * 5, pa.list_(pa.float32()))}))
     out = hopkins_statistic(ds, m=20)
     assert int(out["m"][0]) == 0 and np.isnan(float(out["hopkins"][0]))
+
+
+def test_hard_negatives_matches_oracle():
+    import __ray_entry__ as E
+
+    got = E.queries()["hard_negatives"](SF).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS FROM '{SF}/embeddings.parquet'")
+    exp = con.execute(E.oracle_sql()["hard_negatives"]).df()
+    assert len(got) == len(exp) > 0
+    for c in ("probe_id", "probe_label", "rank",
+              "neighbor_id", "neighbor_label"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert np.allclose(got["dist"], exp["dist"], rtol=0, atol=2e-9)
+    # the mined negatives genuinely cross labels
+    assert (got["probe_label"] != got["neighbor_label"]).all()
+
+
+def test_hard_negatives_semantics_tiny():
+    from pgd_ray.stages.vector_stats import hard_negatives
+
+    # two tight clusters with different labels: every probe's top
+    # negatives are the other cluster, nearest first
+    pts = np.concatenate([np.zeros((4, 3)), np.ones((4, 3))])
+    pts[4:] += np.arange(4)[:, None] * 0.01
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(8, dtype=np.int64),
+        "embedding": pa.array([r for r in pts.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 4 + [1] * 4, pa.int32())}))
+    out = hard_negatives(ds, m=2, k=3)
+    assert (out["probe_label"] != out["neighbor_label"]).all()
+    # ranks increase with distance per probe
+    for pid, grp in out.groupby("probe_id"):
+        d = grp.sort_values("rank")["dist"].to_numpy()
+        assert (np.diff(d) >= 0).all()
