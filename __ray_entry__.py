@@ -615,6 +615,37 @@ def _q_edge_clustering(sf_dir):
     return out[["src", "dst", "triangle", "ecc"]]
 
 
+def _q_trending_daily(sf_dir):
+    """Top-3 event types per day ("trending"): one (day, type) hash
+    aggregate → stages.topn.grouped_topk per day (sorted blocks +
+    O(k·#blocks) stitch, never a per-day map_groups)."""
+    import pyarrow as pa
+
+    from pgd_ray.stages.topn import grouped_topk
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "event_type": t["event_type"]})
+
+    from ray.data.aggregate import Count
+
+    counts = (ev.map_batches(keyed, batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Count(alias_name="n")))
+    top = grouped_topk(counts, "day", ["n", "event_type"],
+                       [True, False], k=3).to_pandas()
+    top["n"] = top["n"].astype(np.int64)
+    top["rnk"] = top["rnk"].astype(np.int64)
+    return top[["day", "event_type", "n", "rnk"]].sort_values(
+        ["day", "rnk"], ignore_index=True)
+
+
 def _q_cusum_daily(sf_dir):
     """Two-sided CUSUM changepoint screen over standardized daily
     event counts — stages.windows.cusum_daily (distributed day agg,
@@ -2855,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": _q_ewma_daily,
         "acf_daily": _q_acf_daily,
         "cusum_daily": _q_cusum_daily,
+        "trending_daily": _q_trending_daily,
         "dow_seasonality": _q_dow_seasonality,
         "type_runs": _q_type_runs,
         "grouped_ols": _q_grouped_ols,
@@ -5027,6 +5059,18 @@ SELECT idx.day, idx.n, ROUND(idx.z, 9) AS z,
        CAST(cs.s_pos > 4.0 OR cs.s_neg > 4.0 AS BIGINT) AS flagged
 FROM cs JOIN idx ON idx.i = cs.i
 ORDER BY idx.day""",
+        # grouped_topk per day: trending event types
+        "trending_daily": """
+WITH dd AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+rk AS (SELECT day, event_type, n,
+              row_number() OVER (PARTITION BY day
+                                 ORDER BY n DESC, event_type) AS rnk
+       FROM dd)
+SELECT day, event_type, n, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3 ORDER BY day, rnk""",
         # stages.windows.dow_seasonality: dow 0 = Monday
         "dow_seasonality": """
 WITH dd AS (

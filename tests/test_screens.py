@@ -84,3 +84,15 @@ def test_dow_seasonality_matches_oracle():
     w = got["n_days"].to_numpy(np.float64)
     idx = got["seasonal_index"].to_numpy(np.float64)
     assert abs((w * idx).sum() / w.sum() - 1.0) < 1e-6
+
+
+def test_trending_daily_matches_oracle():
+    import __ray_entry__ as E
+
+    got = E.queries()["trending_daily"](SF).reset_index(drop=True)
+    exp = _oracle("trending_daily", ["events"])
+    for c in got.columns:
+        assert got[c].tolist() == exp[c].tolist(), c
+    # at most 3 per day, ranks 1..k
+    per = got.groupby("day")["rnk"].agg(["count", "min", "max"])
+    assert (per["count"] <= 3).all() and (per["min"] == 1).all()
