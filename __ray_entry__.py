@@ -2007,6 +2007,15 @@ def _q_response_latency(sf_dir):
     return response_latency(_transcripts_ds(sf_dir))
 
 
+def _q_tool_transitions(sf_dir):
+    """Tool-call transition matrix within conversations —
+    stages.conv_stats.tool_transitions (sorted blocks, ≤1 boundary
+    pair per block stitched)."""
+    from pgd_ray.stages.conv_stats import tool_transitions
+
+    return tool_transitions(_transcripts_ds(sf_dir))
+
+
 def _q_boilerplate(sf_dir):
     """Per-document boilerplate-line fraction (corpus-duplicated
     lines) — text.boilerplate.boilerplate_lines (distinct-pair
@@ -3021,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_significance": _q_motif_significance,
         "conv_profile": _q_conv_profile,
         "response_latency": _q_response_latency,
+        "tool_transitions": _q_tool_transitions,
         "vertex_orbits3": _q_vertex_orbits3,
         "orbit_spearman": _q_orbit_spearman,
         "vertex_orbits4_tool": _q_vertex_orbits4_tool,
@@ -4220,6 +4230,16 @@ SELECT role, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        ROUND(CAST(SUM(gap) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
          AS mean_gap_s
 FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY role""",
+        # stages.conv_stats.tool_transitions: LEAD over (conv, turn)
+        "tool_transitions": f"""
+WITH {_T_CTE},
+g AS (SELECT tool AS tool_a,
+             LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS tool_b
+      FROM t)
+SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_trans
+FROM g WHERE tool_b IS NOT NULL
+GROUP BY 1, 2 ORDER BY tool_a, tool_b""",
         # text.boilerplate.boilerplate_lines: chr(10) split, pinned
         # ASCII-whitespace trim, per-doc distinct, dup = >= 2 docs
         "boilerplate_lines": """

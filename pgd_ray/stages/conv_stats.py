@@ -149,3 +149,70 @@ def response_latency(transcripts: ray.data.Dataset) -> pd.DataFrame:
         if rows else pd.DataFrame({"role": pd.Series([], dtype=object),
                                    "n_gaps": pd.Series([], dtype=np.int64),
                                    "mean_gap_s": pd.Series([], dtype=np.float64)})
+
+
+def tool_transitions(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Tool-call transition matrix within conversations: counts of
+    consecutive (tool_prev → tool_next) pairs in (conv_id, turn_idx)
+    order — the agent-behavior Markov screen over the north-star
+    table.  Same physical plan as ``response_latency``: one sort,
+    vectorized per-block adjacent pairs, ≤ 1 boundary pair per block
+    stitched on the driver.  Columns (tool_a, tool_b, n_trans),
+    ordered (tool_a, tool_b)."""
+    srt = transcripts.select_columns(
+        ["conv_id", "turn_idx", "tool"]
+    ).sort(["conv_id", "turn_idx"]).materialize()
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "conv": pa.array([], pa.string()),
+                             "tidx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = conv[1:] == conv[:-1]
+        kinds, tas, tbs, convs, tidxs, ns = [], [], [], [], [], []
+        if same.any():
+            df = pd.DataFrame({"a": tool[:-1][same], "b": tool[1:][same]})
+            g = df.groupby(["a", "b"], sort=False).size()
+            for (a, b), c in g.items():
+                kinds.append(0); tas.append(str(a)); tbs.append(str(b))
+                convs.append(""); tidxs.append(0); ns.append(int(c))
+        for kind, i in ((1, 0), (2, t.num_rows - 1)):
+            kinds.append(kind); tas.append(str(tool[i])); tbs.append("")
+            convs.append(str(conv[i])); tidxs.append(int(tidx[i]))
+            ns.append(0)
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "ta": pa.array(tas, pa.string()),
+                         "tb": pa.array(tbs, pa.string()),
+                         "conv": pa.array(convs, pa.string()),
+                         "tidx": pa.array(tidxs, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    parts = srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    agg: dict = {}
+    if not parts.empty:
+        for a, b, n in zip(parts.loc[parts["kind"] == 0, "ta"],
+                           parts.loc[parts["kind"] == 0, "tb"],
+                           parts.loc[parts["kind"] == 0, "n"]):
+            agg[(a, b)] = agg.get((a, b), 0) + int(n)
+        firsts = parts[parts["kind"] == 1].reset_index(drop=True)
+        lasts = parts[parts["kind"] == 2].reset_index(drop=True)
+        order = np.lexsort((firsts["tidx"].to_numpy(),
+                            firsts["conv"].to_numpy()))
+        firsts = firsts.iloc[order].reset_index(drop=True)
+        lasts = lasts.iloc[order].reset_index(drop=True)
+        for i in range(1, len(firsts)):
+            if lasts.loc[i - 1, "conv"] == firsts.loc[i, "conv"]:
+                key = (lasts.loc[i - 1, "ta"], firsts.loc[i, "ta"])
+                agg[key] = agg.get(key, 0) + 1
+    rows = [(a, b, np.int64(n)) for (a, b), n in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["tool_a", "tool_b", "n_trans"]) \
+        if rows else pd.DataFrame({"tool_a": pd.Series([], dtype=object),
+                                   "tool_b": pd.Series([], dtype=object),
+                                   "n_trans": pd.Series([], dtype=np.int64)})

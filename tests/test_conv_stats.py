@@ -59,3 +59,30 @@ def test_response_latency_boundary_stitch():
     assert int(out["n_gaps"].sum()) == n - 1
     # constant 7s gaps regardless of role
     assert np.allclose(out["mean_gap_s"], 7.0)
+
+
+def test_tool_transitions_matches_oracle():
+    import __ray_entry__ as E
+
+    got = E.queries()["tool_transitions"](SF).reset_index(drop=True)
+    exp = _oracle("tool_transitions")
+    for c in got.columns:
+        assert got[c].tolist() == exp[c].tolist(), c
+    # transitions conserve: sum = total turns - #conversations
+    prof = E.queries()["conv_profile"](SF)
+    assert int(got["n_trans"].sum()) == int((prof["n_turns"] - 1).sum())
+
+
+def test_tool_transitions_boundary_stitch():
+    from pgd_ray.stages.conv_stats import tool_transitions
+
+    rows = [{"conv_id": "c1", "turn_idx": np.int32(i),
+             "role": "user", "text": "x",
+             "tool": ["alpha", "beta"][i % 2],
+             "ts": np.datetime64(10 ** 12 + i, "us")}
+            for i in range(21)]
+    ds = ray.data.from_items(rows).repartition(7)
+    out = tool_transitions(ds).set_index(["tool_a", "tool_b"])
+    assert int(out.loc[("alpha", "beta"), "n_trans"]) == 10
+    assert int(out.loc[("beta", "alpha"), "n_trans"]) == 10
+    assert int(out["n_trans"].sum()) == 20
