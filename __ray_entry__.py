@@ -2007,6 +2007,19 @@ def _q_response_latency(sf_dir):
     return response_latency(_transcripts_ds(sf_dir))
 
 
+def _q_profile_events(sf_dir):
+    """Per-column data-quality audit of the events table —
+    stages.profile.table_profile (one null-count pass + the two-step
+    exact distinct per column)."""
+    import ray.data
+
+    from pgd_ray.stages.profile import table_profile
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return table_profile(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
 def _q_tool_transitions(sf_dir):
     """Tool-call transition matrix within conversations —
     stages.conv_stats.tool_transitions (sorted blocks, ≤1 boundary
@@ -3031,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_profile": _q_conv_profile,
         "response_latency": _q_response_latency,
         "tool_transitions": _q_tool_transitions,
+        "profile_events": _q_profile_events,
         "vertex_orbits3": _q_vertex_orbits3,
         "orbit_spearman": _q_orbit_spearman,
         "vertex_orbits4_tool": _q_vertex_orbits4_tool,
@@ -4230,6 +4244,35 @@ SELECT role, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        ROUND(CAST(SUM(gap) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
          AS mean_gap_s
 FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY role""",
+        # stages.profile.table_profile over events; column order fixed
+        "profile_events": """
+WITH p AS (
+  SELECT 1 AS ord, 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 2, 'ts', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+         CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 3, 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 4, 'event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 5, 'value', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(value) AS BIGINT),
+         CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 6, 'props', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(props) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT) FROM events)
+SELECT col AS "column", n_rows, n_null, n_distinct
+FROM p ORDER BY ord""",
         # stages.conv_stats.tool_transitions: LEAD over (conv, turn)
         "tool_transitions": f"""
 WITH {_T_CTE},
