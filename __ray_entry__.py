@@ -1922,6 +1922,16 @@ def _q_tpch_q19(sf_dir):
     return q19(sf_dir)
 
 
+def _q_tpch_q21(sf_dir):
+    """TPC-H Q21 shape (only supplier with a returned lineitem on a
+    multi-supplier order; slim schema has no commit/receipt dates) —
+    pipelines.tpch.q21 (distinct-pair + per-order hash aggregates,
+    broadcast qualifying-order key array)."""
+    from pgd_ray.pipelines.tpch import q21
+
+    return q21(sf_dir, top=20)
+
+
 def _q_tpch_q22(sf_dir):
     """TPC-H Q22 shape: above-average-balance customers with no
     high-value order, grouped by cntrycode = c_custkey % 10 —
@@ -3032,6 +3042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         "textrank_keywords": _q_textrank,
         "rake_keyphrases": _q_rake,
@@ -4139,6 +4150,25 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40
        AND l_quantity BETWEEN 20 AND 30)""",
+        # pipelines.tpch.q21: EXISTS + NOT-EXISTS shape on the slim
+        # schema (returned lineitem stands in for the late lineitem)
+        "tpch_q21": """
+WITH ps AS (
+  SELECT l_orderkey AS o, l_suppkey AS s,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_r
+  FROM lineitem GROUP BY 1, 2),
+po AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS n_supp,
+              CAST(SUM(CASE WHEN n_r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_supp_r
+       FROM ps GROUP BY 1),
+w AS (SELECT ps.s, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM ps JOIN po ON po.o = ps.o
+      WHERE ps.n_r > 0 AND po.n_supp > 1 AND po.n_supp_r = 1
+      GROUP BY 1)
+SELECT sup.s_name, w.numwait
+FROM w JOIN supplier sup ON sup.s_suppkey = w.s
+ORDER BY w.numwait DESC, sup.s_name LIMIT 20""",
         # pipelines.tpch.q22: scalar subquery + NOT EXISTS anti-join;
         # cntrycode = c_custkey % 10 (slim schema has no c_phone)
         "tpch_q22": """

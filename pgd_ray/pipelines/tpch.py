@@ -1114,3 +1114,90 @@ def q22(
     out["numcust"] = out["numcust"].astype(np.int64)
     out["totacctbal"] = np.round(out["totacctbal"].to_numpy(np.float64), 2)
     return out.sort_values("cntrycode", ignore_index=True)
+
+
+def q21(
+    sf_dir: str,
+    top: int = 20,
+) -> pd.DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape; the slim
+    schema has no commit/receipt dates, so "the only supplier whose
+    lineitems were late" becomes "the only supplier with a RETURNED
+    (l_returnflag = 'R') lineitem on a multi-supplier order" — the
+    EXISTS + NOT-EXISTS double-correlated structure is preserved).
+
+    Plan: ONE distinct (orderkey, suppkey, had_R) aggregate over
+    lineitem (per-batch combiners shrink the exchange), a per-order
+    aggregate of (#suppliers, #suppliers-with-R), then the qualifying
+    pairs filter — all hash aggregations; supplier names decorate via
+    a broadcast array.  Columns (s_name, numwait), ordered
+    (numwait desc, s_name) limit ``top``."""
+    import pyarrow.parquet as pq_mod
+
+    from pgd_ray.util import read_parquet_clean
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        r = pc.equal(t["l_returnflag"], "R")
+        return pa.table({
+            "o": t["l_orderkey"],
+            "s": t["l_suppkey"],
+            "r": pa.array(r.to_numpy(zero_copy_only=False)
+                          .astype(np.int64), pa.int64())})
+
+    pairs = (
+        li.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["o", "s"])
+        .aggregate(Sum("r", alias_name="n_r"))
+        .materialize()
+    )
+
+    def pair_flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o": t["o"],
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "has_r": pa.array(
+                (t["n_r"].to_numpy(zero_copy_only=False) > 0)
+                .astype(np.int64), pa.int64())})
+
+    per_order = (
+        pairs.map_batches(pair_flags, batch_format="pyarrow")
+        .groupby("o")
+        .aggregate(Sum("one", alias_name="n_supp"),
+                   Sum("has_r", alias_name="n_supp_r"))
+    )
+    qual = per_order.filter(expr="n_supp > 1 and n_supp_r == 1") \
+        .to_pandas()
+    qual_keys = np.sort(qual["o"].to_numpy(np.int64))
+    qref = ray.put(qual_keys)
+
+    def keep(t: pa.Table, qref) -> pa.Table:
+        qs = _dim_arrays(qref)  # sorted key array, searchsorted member
+        o = t["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["n_r"].to_numpy(zero_copy_only=False)
+        if len(qs):
+            pos = np.searchsorted(qs, o)
+            pos[pos == len(qs)] = 0
+            hit = qs[pos] == o
+        else:
+            hit = np.zeros(len(o), bool)
+        m = hit & (r > 0)
+        return pa.table({"s": t["s"].filter(pa.array(m))})
+
+    waits = (
+        pairs.map_batches(keep, fn_kwargs={"qref": qref},
+                          batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Count(alias_name="numwait"))
+        .to_pandas()
+    )
+    sup = pq_mod.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"]).to_pandas()
+    out = waits.merge(sup, left_on="s", right_on="s_suppkey")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True], ignore_index=True)
+            [["s_name", "numwait"]].head(top).reset_index(drop=True))

@@ -182,3 +182,13 @@ def test_q19_no_matching_disjunct_is_zero():
 
     out = q19(SF, disjuncts=[("Brand#12", 60, 70, 1.0, 2.0)])
     assert float(out["revenue"][0]) == 0.0
+
+
+def test_q21_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = E.queries()["tpch_q21"](SF).reset_index(drop=True)
+    exp = _con().execute(E.oracle_sql()["tpch_q21"]).df()
+    assert got["s_name"].tolist() == exp["s_name"].tolist()
+    assert got["numwait"].tolist() == exp["numwait"].tolist()
+    assert len(got) > 0
