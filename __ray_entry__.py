@@ -2017,6 +2017,70 @@ def _q_response_latency(sf_dir):
     return response_latency(_transcripts_ds(sf_dir))
 
 
+def _q_table_diff_events(sf_dir):
+    """Snapshot diff (added/removed/changed/unchanged) between the
+    events table and a deterministically mutated copy (drop
+    event_id%97==0, mutate props where %101==0, add shifted rows for
+    %103==0) — stages.diff.table_diff (per-side (key, md5) collapse +
+    ONE full-outer hash join)."""
+    import pyarrow as pa
+
+    import ray.data
+    from pgd_ray.stages.diff import table_diff
+    from pgd_ray.util import read_parquet_clean
+
+    cols = ["event_type", "props"]
+    old = read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_id", *cols])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = eid % 97 != 0
+        eidk = eid[keep]
+        et = t["event_type"].to_numpy(zero_copy_only=False)[keep]
+        pr = t["props"].to_numpy(zero_copy_only=False)[keep].astype(object)
+        pr = np.where(eidk % 101 == 0, "MUTATED", pr)
+        add = eidk % 103 == 0
+        return pa.table({
+            "event_id": pa.array(
+                np.concatenate([eidk, eidk[add] + 1_000_000_000]),
+                pa.int64()),
+            "event_type": pa.array(
+                np.concatenate([et, et[add]]), pa.string()),
+            "props": pa.array(
+                np.concatenate([pr, pr[add]]).astype(object), pa.string()),
+        })
+
+    new = old.map_batches(mutate, batch_format="pyarrow")
+    return table_diff(old, new, "event_id", cols)
+
+
+def _q_key_skew(sf_dir):
+    """Hash-bucket skew diagnostic over user_id (the shuffle-planning
+    signal): 64-bucket splitmix histogram, one hash aggregate."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from pgd_ray.text.hashing import splitmix64
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(u) % np.uint64(64)).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64())})
+
+    out = (ev.map_batches(keyed, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bucket", ignore_index=True)
+
+
 def _q_profile_events(sf_dir):
     """Per-column data-quality audit of the events table —
     stages.profile.table_profile (one null-count pass + the two-step
@@ -3056,6 +3120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_latency": _q_response_latency,
         "tool_transitions": _q_tool_transitions,
         "profile_events": _q_profile_events,
+        "table_diff_events": _q_table_diff_events,
+        "key_skew": _q_key_skew,
         "vertex_orbits3": _q_vertex_orbits3,
         "orbit_spearman": _q_orbit_spearman,
         "vertex_orbits4_tool": _q_vertex_orbits4_tool,
@@ -4274,6 +4340,44 @@ SELECT role, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        ROUND(CAST(SUM(gap) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
          AS mean_gap_s
 FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY role""",
+        # stages.diff.table_diff vs the deterministic mutation
+        "table_diff_events": """
+WITH olds AS (SELECT event_id, event_type, props FROM events),
+news AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 101 = 0 THEN 'MUTATED' ELSE props END
+           AS props
+  FROM events WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT event_id + 1000000000, event_type,
+         CASE WHEN event_id % 101 = 0 THEN 'MUTATED' ELSE props END
+  FROM events WHERE event_id % 97 <> 0 AND event_id % 103 = 0),
+ha AS (SELECT event_id AS k,
+              md5(COALESCE(event_type, '') || '|' || COALESCE(props, ''))
+                AS h FROM olds),
+hb AS (SELECT event_id AS k,
+              md5(COALESCE(event_type, '') || '|' || COALESCE(props, ''))
+                AS h FROM news),
+j AS (SELECT ha.k AS ka, hb.k AS kb, ha.h AS h_a, hb.h AS h_b
+      FROM ha FULL OUTER JOIN hb ON hb.k = ha.k)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM olds) AS n_old,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM news) AS n_new,
+       CAST(SUM(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                      AND h_a <> h_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                      AND h_a = h_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM j""",
+        # 64-bucket splitmix skew histogram over user_id
+        "key_skew": f"""
+SELECT CAST({_splitmix_sql('user_id', '0')} % 64 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY bucket""",
         # stages.profile.table_profile over events; column order fixed
         "profile_events": """
 WITH p AS (
