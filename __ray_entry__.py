@@ -2094,6 +2094,16 @@ def _q_profile_events(sf_dir):
         ev, ["event_id", "ts", "user_id", "event_type", "value", "props"])
 
 
+def _q_conv_docs(sf_dir):
+    """Conversation → training-document conversion (turn texts joined
+    in stable order) — stages.conv_stats.conversations_to_documents
+    (interior convs stay a Dataset; ≤2 boundary fragments per block
+    stitched)."""
+    from pgd_ray.stages.conv_stats import conversations_to_documents
+
+    return conversations_to_documents(_transcripts_ds(sf_dir))
+
+
 def _q_tool_transitions(sf_dir):
     """Tool-call transition matrix within conversations —
     stages.conv_stats.tool_transitions (sorted blocks, ≤1 boundary
@@ -3119,6 +3129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_profile": _q_conv_profile,
         "response_latency": _q_response_latency,
         "tool_transitions": _q_tool_transitions,
+        "conv_docs": _q_conv_docs,
         "profile_events": _q_profile_events,
         "table_diff_events": _q_table_diff_events,
         "key_skew": _q_key_skew,
@@ -4407,6 +4418,14 @@ WITH p AS (
          CAST(COUNT(DISTINCT props) AS BIGINT) FROM events)
 SELECT col AS "column", n_rows, n_null, n_distinct
 FROM p ORDER BY ord""",
+        # stages.conv_stats.conversations_to_documents
+        "conv_docs": f"""
+WITH {_T_CTE}
+SELECT conv_id,
+       string_agg(COALESCE(text, ''), chr(10) ORDER BY turn_idx)
+         AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM t GROUP BY conv_id ORDER BY conv_id""",
         # stages.conv_stats.tool_transitions: LEAD over (conv, turn)
         "tool_transitions": f"""
 WITH {_T_CTE},

@@ -216,3 +216,67 @@ def tool_transitions(transcripts: ray.data.Dataset) -> pd.DataFrame:
         if rows else pd.DataFrame({"tool_a": pd.Series([], dtype=object),
                                    "tool_b": pd.Series([], dtype=object),
                                    "n_trans": pd.Series([], dtype=np.int64)})
+
+
+def conversations_to_documents(
+    transcripts: ray.data.Dataset,
+    sep: str = "\n",
+) -> ray.data.Dataset:
+    """Doc-ify conversations for LLM training: one row per
+    conversation with its turns' texts joined by ``sep`` in
+    (conv_id, turn_idx) order — columns (conv_id, text, n_turns).
+
+    Streaming contract: conversations interior to a sorted block are
+    joined in-block and STAY a Dataset; only the ≤ 2 boundary
+    conversations per block ship fragments to the driver for the
+    stitch (total fragments ≤ 2 × #blocks, each carrying only its own
+    conversation's text).  The classic map_groups formulation would
+    pay an interpreter round-trip per conversation; this is the
+    sorted-block shape used across the engine (packing, sessionize,
+    response_latency)."""
+    srt = transcripts.select_columns(
+        ["conv_id", "turn_idx", "text"]
+    ).sort(["conv_id", "turn_idx"]).materialize()
+
+    def block_docs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.int64()),
+                          "conv_id": pa.array([], pa.string()),
+                          "text": pa.array([], pa.string()),
+                          "n_turns": pa.array([], pa.int64()),
+                          "first_tidx": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["text"] = df["text"].fillna("")
+        convs = df["conv_id"].to_numpy()
+        first_c, last_c = convs[0], convs[-1]
+        g = df.groupby("conv_id", sort=True)
+        joined = g["text"].agg(sep.join)
+        counts = g.size()
+        first_t = g["turn_idx"].min()
+        kind = np.where(np.isin(joined.index.to_numpy(object),
+                                [first_c, last_c]), 1, 0)
+        return pa.table({
+            "kind": pa.array(kind, pa.int64()),
+            "conv_id": pa.array(joined.index.to_numpy(object), pa.string()),
+            "text": pa.array(joined.to_numpy(object), pa.string()),
+            "n_turns": pa.array(counts.to_numpy(np.int64), pa.int64()),
+            "first_tidx": pa.array(first_t.to_numpy(np.int64), pa.int64()),
+        })
+
+    parts = srt.map_batches(block_docs, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    final = parts.filter(expr="kind == 0") \
+        .select_columns(["conv_id", "text", "n_turns"])
+    frags = parts.filter(expr="kind == 1").to_pandas()
+    if frags.empty:
+        return final
+    frags = frags.sort_values(["conv_id", "first_tidx"],
+                              ignore_index=True)
+    stitched = frags.groupby("conv_id", sort=True).agg(
+        text=("text", sep.join), n_turns=("n_turns", "sum"))
+    sdf = pd.DataFrame({"conv_id": stitched.index.to_numpy(object),
+                        "text": stitched["text"].to_numpy(object),
+                        "n_turns": stitched["n_turns"]
+                        .to_numpy(np.int64)})
+    return final.union(ray.data.from_pandas(sdf))

@@ -86,3 +86,34 @@ def test_tool_transitions_boundary_stitch():
     assert int(out.loc[("alpha", "beta"), "n_trans"]) == 10
     assert int(out.loc[("beta", "alpha"), "n_trans"]) == 10
     assert int(out["n_trans"].sum()) == 20
+
+
+def test_conv_docs_matches_oracle():
+    import __ray_entry__ as E
+
+    got = (E.queries()["conv_docs"](SF).to_pandas()
+           .sort_values("conv_id", ignore_index=True))
+    exp = _oracle("conv_docs")
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["n_turns"].tolist() == exp["n_turns"].tolist()
+    assert got["text"].tolist() == exp["text"].tolist()  # byte-exact
+
+
+def test_conv_docs_boundary_stitch_exact():
+    from pgd_ray.stages.conv_stats import conversations_to_documents
+
+    # one long conversation split over many blocks + tiny interiors
+    rows = []
+    for i in range(40):
+        rows.append({"conv_id": "cA", "turn_idx": np.int32(i),
+                     "role": "user", "text": f"t{i}", "tool": "x",
+                     "ts": np.datetime64(10 ** 12 + i, "us")})
+    rows.append({"conv_id": "cB", "turn_idx": np.int32(0),
+                 "role": "user", "text": "solo", "tool": "x",
+                 "ts": np.datetime64(10 ** 12, "us")})
+    ds = ray.data.from_items(rows).repartition(8)
+    out = (conversations_to_documents(ds).to_pandas()
+           .set_index("conv_id"))
+    assert out.loc["cA", "text"] == "\n".join(f"t{i}" for i in range(40))
+    assert int(out.loc["cA", "n_turns"]) == 40
+    assert out.loc["cB", "text"] == "solo"
