@@ -170,6 +170,7 @@ def run_bench() -> dict:
     r3cops = _round3c_ops(dense, csr, vids, nw)
     r3dops = _round3d_ops(dense, csr, vids, nw)
     r3eops = _round3e_ops(dense, csr, vids, nw)
+    r3fops = _round3f_ops(dense, csr, vids, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -193,6 +194,7 @@ def run_bench() -> dict:
         "round3c_ops_sec": r3cops,
         "round3d_ops_sec": r3dops,
         "round3e_ops_sec": r3eops,
+        "round3f_ops_sec": r3fops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -965,6 +967,34 @@ def _round3e_ops(dense, csr, vids, nw: int) -> dict:
     response_latency(tr)
     out["response_latency"] = round(time.perf_counter() - t0, 3)
     return out
+
+
+def _round3f_ops(dense, csr, vids, nw: int) -> dict:
+    """Wall time of the session-5 second-wave operators (auxiliary):
+    TPC-H Q21, per-vertex 3-orbit GCM, hard negatives, trending
+    top-k, tool transitions, conversation doc-ification, the table
+    profiler, snapshot diff and the key-skew histogram."""
+    import ray.data
+
+    import __ray_entry__ as E
+
+    out = {}
+    for name, key in [("tpch_q21", "tpch_q21"),
+                      ("orbit_spearman", "orbit_spearman"),
+                      ("hard_negatives", "hard_negatives"),
+                      ("trending_daily", "trending_daily"),
+                      ("tool_transitions", "tool_transitions"),
+                      ("conv_docs", "conv_docs"),
+                      ("profile_events", "profile_events"),
+                      ("table_diff", "table_diff_events"),
+                      ("key_skew", "key_skew")]:
+        t0 = time.perf_counter()
+        res = E.queries()[key](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
 
 
 if __name__ == "__main__":
