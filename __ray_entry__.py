@@ -1942,6 +1942,57 @@ def _q_tpch_q22(sf_dir):
     return q22(sf_dir)
 
 
+def _q_tpch_q2(sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per qualifying part
+    (lineitem distinct pairs stand in for partsupp; min extendedprice
+    is the supply cost) — pipelines.tpch.q2 (broadcast dimension
+    arrays, one lineitem scan with per-batch pair-min partials, tiny
+    two-key groupby, driver argmin over O(#pairs))."""
+    from pgd_ray.pipelines.tpch import q2
+
+    return q2(sf_dir)
+
+
+def _q_tpch_q9(sf_dir):
+    """TPC-H Q9 shape: discounted-revenue profit by supplier nation
+    and order year for name-matched parts — pipelines.tpch.q9
+    (broadcast part/supplier dims, one lineitem⋈orders shuffle join,
+    per-batch (nation, year) partials)."""
+    from pgd_ray.pipelines.tpch import q9
+
+    return q9(sf_dir)
+
+
+def _q_tpch_q11(sf_dir):
+    """TPC-H Q11 shape: per-part shipped-quantity value for one
+    nation's suppliers, kept above a fraction of the global total —
+    pipelines.tpch.q11 (broadcast supplier bool, per-part partial
+    sums, driver threshold over O(#parts))."""
+    from pgd_ray.pipelines.tpch import q11
+
+    return q11(sf_dir)
+
+
+def _q_tpch_q16(sf_dir):
+    """TPC-H Q16 shape: distinct-supplier count per (brand, type,
+    size) excluding one brand/type and mod-coded "complaint"
+    suppliers — pipelines.tpch.q16 (broadcast part attributes,
+    per-batch distinct pairs, global pair dedup groupby)."""
+    from pgd_ray.pipelines.tpch import q16
+
+    return q16(sf_dir)
+
+
+def _q_tpch_q20(sf_dir):
+    """TPC-H Q20 shape: suppliers of name-matched parts whose windowed
+    shipped quantity per pair exceeds a threshold, restricted to one
+    nation — pipelines.tpch.q20 (two broadcast bools, windowed scan
+    with pair partials, driver distinct + decorate)."""
+    from pgd_ray.pipelines.tpch import q20
+
+    return q20(sf_dir)
+
+
 def _q_textrank(sf_dir):
     """TextRank keywords: engine PageRank over the adjacent-token
     co-occurrence graph of the top-200 vocabulary —
@@ -3118,6 +3169,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
         "textrank_keywords": _q_textrank,
         "rake_keyphrases": _q_rake,
         "degree_gini": _q_degree_gini,
@@ -4260,6 +4316,73 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                     AND o_totalprice > 450000.0)
 GROUP BY 1
 ORDER BY cntrycode""",
+        # pipelines.tpch.q2: lineitem distinct (partkey, suppkey)
+        # pairs stand in for partsupp; supply cost = MIN(extendedprice)
+        "tpch_q2": """
+WITH cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, MIN(l_extendedprice) AS c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  GROUP BY 1, 2)
+SELECT s_acctbal, s_name, n_name,
+       CAST(cost.pk AS BIGINT) AS p_partkey, ROUND(cost.c, 2) AS cost
+FROM cost
+JOIN supplier ON cost.sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE cost.c = (SELECT MIN(c2.c) FROM cost c2 WHERE c2.pk = cost.pk)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+        # pipelines.tpch.q9: profit = discounted revenue (slim schema
+        # has no ps_supplycost); nation = supplier's nation
+        "tpch_q9": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+        # pipelines.tpch.q11: per-part value = shipped-quantity sum
+        # for NATION_3 suppliers (slim schema has no ps_availqty)
+        "tpch_q11": """
+WITH v AS (
+  SELECT l_partkey, SUM(l_quantity) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3' GROUP BY 1)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, ROUND(val, 2) AS value
+FROM v WHERE val > 0.0005 * (SELECT SUM(val) FROM v)
+ORDER BY value DESC, p_partkey""",
+        # pipelines.tpch.q16: distinct (pk, sk) lineitem pairs stand
+        # in for partsupp; complaint suppliers = suppkey % 4 == 0
+        "tpch_q16": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey % 4 <> 0
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        # pipelines.tpch.q20: excess stock = windowed per-(pk, sk)
+        # quantity sum above a constant (no ps_availqty to halve)
+        "tpch_q20": """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3' AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey HAVING SUM(l_quantity) > 20.0)
+ORDER BY s_name""",
         # text.textrank.textrank_keywords: PageRank (300 fixed rounds,
         # the pagerank_copurchase contract) over distinct adjacent
         # [A-Za-z]+ co-occurrence pairs within the top-200 vocabulary;

@@ -1201,3 +1201,401 @@ def q21(
     return (out.sort_values(["numwait", "s_name"],
                             ascending=[False, True], ignore_index=True)
             [["s_name", "numwait"]].head(top).reset_index(drop=True))
+
+
+def q2(
+    sf_dir: str,
+    p_type: str = "ECONOMY",
+    region: str = "ASIA",
+    top: int = 100,
+) -> pd.DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape on the slim schema: no
+    partsupp table, so the part-supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs observed in lineitem and the supply
+    cost is MIN(l_extendedprice) over those rows; no p_mfgr/s_address
+    output columns).
+
+    Star-schema plan: part/supplier/nation/region collapse into
+    broadcast arrays (selected-part bool by p_partkey; in-region bool,
+    acctbal, name, nation-name by s_suppkey) — ``ray.put`` once,
+    zero-copy view per worker.  ONE scan of lineitem emits per-batch
+    partial (pk, sk, min cost) rows; a tiny groupby finishes the min;
+    the per-part argmin + tie filter runs on the driver over the
+    O(#qualifying pairs) result.  Columns (s_acctbal, s_name, n_name,
+    p_partkey, cost) ordered by s_acctbal desc, n_name, s_name,
+    p_partkey; first ``top`` rows."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min
+
+    from pgd_ray.util import read_parquet_clean
+
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    sel = np.zeros(int(prt["p_partkey"].max()) + 1, dtype=bool)
+    sel[prt.loc[prt["p_type"] == p_type, "p_partkey"].to_numpy()] = True
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_name", "s_acctbal"],
+    ).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat_in = {int(r["n_nationkey"]): (r["n_regionkey"] in rkeys)
+              for _, r in nat.iterrows()}
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    n_slot = int(sup["s_suppkey"].max()) + 1 if len(sup) else 1
+    sup_in = np.zeros(n_slot, dtype=bool)
+    sup_in[sup["s_suppkey"].to_numpy()] = (
+        sup["s_nationkey"].map(nat_in).fillna(False).to_numpy(bool))
+    dims = ray.put((sel, sup_in))
+
+    def part_min(t: pa.Table, dims) -> pa.Table:
+        sel, sup_in = _dim_arrays(dims)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = sel[pk] & sup_in[sk]
+        df = pd.DataFrame({
+            "pk": pk[m], "sk": sk[m],
+            "c": t["l_extendedprice"].to_numpy(zero_copy_only=False)[m],
+        })
+        g = df.groupby(["pk", "sk"], as_index=False)["c"].min()
+        return pa.table({"pk": g["pk"].to_numpy(np.int64),
+                         "sk": g["sk"].to_numpy(np.int64),
+                         "c": g["c"].to_numpy(np.float64)})
+
+    cost = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(part_min, fn_kwargs={"dims": dims},
+                     batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(Min("c", alias_name="cost"))
+        .to_pandas()
+    )
+    cols = ["s_acctbal", "s_name", "n_name", "p_partkey", "cost"]
+    if cost.empty:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series([], dtype=np.float64),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "cost": pd.Series([], dtype=np.float64)})
+    best = cost[cost["cost"] == cost.groupby("pk")["cost"].transform("min")]
+    sup_ix = sup.set_index("s_suppkey")
+    out = pd.DataFrame({
+        "s_acctbal": best["sk"].map(sup_ix["s_acctbal"]).to_numpy(np.float64),
+        "s_name": best["sk"].map(sup_ix["s_name"]).to_numpy(),
+        "n_name": best["sk"].map(sup_ix["s_nationkey"]).map(nat_name).to_numpy(),
+        "p_partkey": best["pk"].astype(np.int64).to_numpy(),
+        "cost": best["cost"].round(2).to_numpy(np.float64),
+    })
+    return (out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], ignore_index=True)
+        [cols].head(top).reset_index(drop=True))
+
+
+def q9(
+    sf_dir: str,
+    name_like: str = "bolt",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape on the
+    slim schema: no partsupp, so profit is the discounted revenue
+    sum(l_extendedprice·(1−l_discount)) — the ps_supplycost·l_quantity
+    term has no source column).
+
+    Plan: part name-match and supplier→nation-name become broadcast
+    arrays; the lineitem scan filters to matching parts, then ONE
+    shuffle join against orders (the only other big table) attaches
+    o_orderdate; per-batch partials per (nation, year) collapse in a
+    tiny groupby.  Columns (nation, o_year, sum_profit) ordered by
+    nation asc, o_year desc."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    sel = np.zeros(int(prt["p_partkey"].max()) + 1, dtype=bool)
+    sel[prt.loc[prt["p_name"].str.contains(name_like, regex=False),
+                "p_partkey"].to_numpy()] = True
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    n_slot = int(sup["s_suppkey"].max()) + 1 if len(sup) else 1
+    sup_nat = np.empty(n_slot, dtype=object)
+    sup_nat[sup["s_suppkey"].to_numpy()] = (
+        sup["s_nationkey"].map(nat_name).to_numpy())
+    dims = ray.put((sel, sup_nat))
+
+    def keep(t: pa.Table, dims) -> pa.Table:
+        sel, _ = _dim_arrays(dims)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(sel[pk])).select(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(keep, fn_kwargs={"dims": dims}, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    j = li.join(
+        orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def part(t: pa.Table, dims) -> pa.Table:
+        _, sup_nat = _dim_arrays(dims)
+        year = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "nation": sup_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)],
+            "o_year": year,
+            "p": price * (1.0 - disc),
+        })
+        g = df.groupby(["nation", "o_year"], as_index=False)["p"].sum()
+        return pa.table({"nation": pa.array(g["nation"], pa.string()),
+                         "o_year": g["o_year"].to_numpy(np.int64),
+                         "p": g["p"].to_numpy(np.float64)})
+
+    out = (
+        j.map_batches(part, fn_kwargs={"dims": dims}, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("p", alias_name="sum_profit"))
+        .to_pandas()
+    )
+    out["sum_profit"] = out["sum_profit"].round(2)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out.sort_values(["nation", "o_year"], ascending=[True, False],
+                           ignore_index=True)
+
+
+def q11(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    fraction: float = 0.0005,
+) -> pd.DataFrame:
+    """Important-stock identification (TPC-H Q11 shape on the slim
+    schema: no partsupp, so the per-part "value" is SUM(l_quantity)
+    over lineitems supplied by the nation's suppliers — ps_availqty
+    has no source column).
+
+    Plan: supplier-in-nation bool broadcast by s_suppkey; one lineitem
+    scan with per-batch per-part partial sums; tiny groupby; the
+    global-total scalar and the threshold filter run on the driver
+    over the O(#parts) result.  Columns (p_partkey, value) ordered by
+    value desc, p_partkey."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nkeys = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    n_slot = int(sup["s_suppkey"].max()) + 1 if len(sup) else 1
+    sup_in = np.zeros(n_slot, dtype=bool)
+    sup_in[sup["s_suppkey"].to_numpy()] = (
+        sup["s_nationkey"].isin(nkeys).to_numpy())
+    sel_ref = ray.put(sup_in)
+
+    def part(t: pa.Table, sel_ref) -> pa.Table:
+        sup_in = _dim_arrays(sel_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = sup_in[sk]
+        df = pd.DataFrame({
+            "pk": t["l_partkey"].to_numpy(zero_copy_only=False)[m],
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)[m],
+        })
+        g = df.groupby("pk", as_index=False)["q"].sum()
+        return pa.table({"pk": g["pk"].to_numpy(np.int64),
+                         "q": g["q"].to_numpy(np.float64)})
+
+    v = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        )
+        .map_batches(part, fn_kwargs={"sel_ref": sel_ref},
+                     batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("q", alias_name="value"))
+        .to_pandas()
+    )
+    if v.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "value": pd.Series([], dtype=np.float64)})
+    thr = fraction * float(v["value"].sum())
+    keep = v[v["value"] > thr]
+    out = pd.DataFrame({
+        "p_partkey": keep["pk"].astype(np.int64).to_numpy(),
+        "value": keep["value"].round(2).to_numpy(np.float64),
+    })
+    return out.sort_values(["value", "p_partkey"],
+                           ascending=[False, True], ignore_index=True)
+
+
+def q16(
+    sf_dir: str,
+    exclude_brand: str = "Brand#13",
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+    supp_mod: int = 4,
+) -> pd.DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape on the slim
+    schema: the part-supplier relation is the distinct (l_partkey,
+    l_suppkey) pairs in lineitem; the "customer complaint" supplier
+    exclusion — canonical Q16 matches s_comment — is the deterministic
+    ``l_suppkey % supp_mod == 0``).
+
+    Plan: part attribute arrays broadcast by p_partkey; the lineitem
+    scan filters and emits per-batch DISTINCT (pk, sk) pairs; one
+    groupby dedups pairs globally; the distinct-supplier count per
+    (brand, type, size) is a second tiny groupby over the O(#pairs)
+    result decorated driver-side.  Columns (p_brand, p_type, p_size,
+    supplier_cnt) ordered by supplier_cnt desc, brand, type, size."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    keep_part = prt[(prt["p_brand"] != exclude_brand)
+                    & (prt["p_type"] != exclude_type)
+                    & (prt["p_size"].isin(sizes))]
+    n_slot = int(prt["p_partkey"].max()) + 1 if len(prt) else 1
+    sel = np.zeros(n_slot, dtype=bool)
+    sel[keep_part["p_partkey"].to_numpy()] = True
+    sel_ref = ray.put(sel)
+
+    def pairs(t: pa.Table, sel_ref) -> pa.Table:
+        sel = _dim_arrays(sel_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = sel[pk] & (sk % supp_mod != 0)
+        df = pd.DataFrame({"pk": pk[m], "sk": sk[m]}).drop_duplicates()
+        return pa.table({"pk": df["pk"].to_numpy(np.int64),
+                         "sk": df["sk"].to_numpy(np.int64)})
+
+    dp = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+        .map_batches(pairs, fn_kwargs={"sel_ref": sel_ref},
+                     batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    if dp.empty:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_type": pd.Series([], dtype=object),
+            "p_size": pd.Series([], dtype=np.int64),
+            "supplier_cnt": pd.Series([], dtype=np.int64)})
+    attrs = keep_part.set_index("p_partkey")
+    dp = dp.assign(
+        p_brand=dp["pk"].map(attrs["p_brand"]),
+        p_type=dp["pk"].map(attrs["p_type"]),
+        p_size=dp["pk"].map(attrs["p_size"]).astype(np.int64),
+    )
+    g = (dp.drop_duplicates(["p_brand", "p_type", "p_size", "sk"])
+         .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+         .agg(supplier_cnt=("sk", "size")))
+    g["supplier_cnt"] = g["supplier_cnt"].astype(np.int64)
+    return g.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], ignore_index=True)
+
+
+def q20(
+    sf_dir: str,
+    name_like: str = "widget",
+    date_lo_us: int = 788_918_400_000_000,   # 1995-01-01
+    date_hi_us: int = 852_076_800_000_000,   # 1997-01-01
+    qty_above: float = 20.0,
+    nation: str = "NATION_3",
+) -> pd.DataFrame:
+    """Potential part promotion (TPC-H Q20 shape on the slim schema:
+    no partsupp, so "excess stock" is a (l_partkey, l_suppkey) pair
+    whose shipped-quantity sum inside the window exceeds
+    ``qty_above`` — canonical Q20's 0.5·SUM threshold against
+    ps_availqty has no source column).
+
+    Plan: widget-part bool and supplier-in-nation bool broadcast; one
+    windowed lineitem scan with per-batch (pk, sk) partial quantity
+    sums; tiny groupby; threshold + distinct-supplier + name
+    decoration on the driver over the O(#pairs) result.  Columns
+    (s_suppkey, s_name) ordered by s_name."""
+    import pyarrow.parquet as pq
+
+    from pgd_ray.util import read_parquet_clean
+
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    seln = np.zeros(int(prt["p_partkey"].max()) + 1, dtype=bool)
+    seln[prt.loc[prt["p_name"].str.contains(name_like, regex=False),
+                 "p_partkey"].to_numpy()] = True
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nkeys = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_name"],
+    ).to_pandas()
+    n_slot = int(sup["s_suppkey"].max()) + 1 if len(sup) else 1
+    sup_in = np.zeros(n_slot, dtype=bool)
+    sup_in[sup["s_suppkey"].to_numpy()] = (
+        sup["s_nationkey"].isin(nkeys).to_numpy())
+    dims = ray.put((seln, sup_in))
+
+    def part(t: pa.Table, dims) -> pa.Table:
+        seln, sup_in = _dim_arrays(dims)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        ship = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        m = seln[pk] & sup_in[sk] & (ship >= date_lo_us) & (ship < date_hi_us)
+        df = pd.DataFrame({
+            "pk": pk[m], "sk": sk[m],
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)[m],
+        })
+        g = df.groupby(["pk", "sk"], as_index=False)["q"].sum()
+        return pa.table({"pk": g["pk"].to_numpy(np.int64),
+                         "sk": g["sk"].to_numpy(np.int64),
+                         "q": g["q"].to_numpy(np.float64)})
+
+    pq_sum = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(part, fn_kwargs={"dims": dims}, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(Sum("q", alias_name="qsum"))
+        .to_pandas()
+    )
+    if pq_sum.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object)})
+    sks = np.unique(
+        pq_sum.loc[pq_sum["qsum"] > qty_above, "sk"].to_numpy(np.int64))
+    names = sup.set_index("s_suppkey")["s_name"]
+    out = pd.DataFrame({"s_suppkey": sks,
+                        "s_name": pd.Series(sks).map(names).to_numpy()})
+    return out.sort_values("s_name", ignore_index=True)

@@ -192,3 +192,53 @@ def test_q21_matches_duckdb():
     assert got["s_name"].tolist() == exp["s_name"].tolist()
     assert got["numwait"].tolist() == exp["numwait"].tolist()
     assert len(got) > 0
+
+
+def test_q2_q11_q16_q20_match_duckdb():
+    import __ray_entry__ as E
+
+    con = _con()
+    Q, O = E.queries(), E.oracle_sql()
+
+    got2 = Q["tpch_q2"](SF).reset_index(drop=True)
+    exp2 = con.execute(O["tpch_q2"]).df()
+    assert got2["p_partkey"].tolist() == exp2["p_partkey"].tolist()
+    assert got2["s_name"].tolist() == exp2["s_name"].tolist()
+    assert np.allclose(got2["cost"], exp2["cost"], atol=0.011)
+    assert len(got2) > 0
+
+    got11 = Q["tpch_q11"](SF).reset_index(drop=True)
+    exp11 = con.execute(O["tpch_q11"]).df()
+    assert got11["p_partkey"].tolist() == exp11["p_partkey"].tolist()
+    assert np.allclose(got11["value"], exp11["value"], atol=0.011)
+    assert len(got11) > 0
+
+    got16 = Q["tpch_q16"](SF).reset_index(drop=True)
+    exp16 = con.execute(O["tpch_q16"]).df()
+    for c in ("p_brand", "p_type", "p_size", "supplier_cnt"):
+        assert got16[c].tolist() == exp16[c].tolist()
+    assert len(got16) > 0
+
+    got20 = Q["tpch_q20"](SF).reset_index(drop=True)
+    exp20 = con.execute(O["tpch_q20"]).df()
+    assert got20["s_suppkey"].tolist() == exp20["s_suppkey"].tolist()
+    assert got20["s_name"].tolist() == exp20["s_name"].tolist()
+    assert len(got20) > 0
+
+
+def test_q9_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = E.queries()["tpch_q9"](SF).reset_index(drop=True)
+    exp = _con().execute(E.oracle_sql()["tpch_q9"]).df()
+    assert got["nation"].tolist() == exp["nation"].tolist()
+    assert got["o_year"].tolist() == exp["o_year"].tolist()
+    assert np.allclose(got["sum_profit"], exp["sum_profit"], atol=0.011)
+    assert len(got) > 0
+
+
+def test_q2_unknown_type_and_q20_empty_window():
+    from pgd_ray.pipelines.tpch import q2, q20
+
+    assert len(q2(SF, p_type="NO_SUCH_TYPE")) == 0
+    assert len(q20(SF, date_lo_us=0, date_hi_us=1)) == 0
