@@ -41,6 +41,17 @@ def _read(path: str, columns=None):
 # shared SQL fragments (mirror pgd_ray.sources 1:1)
 # ---------------------------------------------------------------------------
 
+# event-time midpoint split — mirrors __ray_entry__._event_halves
+_EV_MID_CTE = """b AS (
+  SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid
+  FROM events)"""
+
+# (user_id, props.k, epoch µs) pair stream — same extraction contract
+_EV_PAIR_CTE = """pr AS (
+  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         epoch_us(ts) AS tu
+  FROM events)"""
+
 # transcripts derived from events — pgd_ray.sources.transcripts.derive_transcripts
 _T_CTE = """
 t AS (
@@ -2989,6 +3000,63 @@ def _q_embedding_dim_stats(sf_dir):
     return embedding_dim_stats(em_ds)
 
 
+def _event_halves(sf_dir):
+    """(user_id, props.k) pairs split at the midpoint of the event-time
+    range (µs int arithmetic so the boundary is bit-identical to the
+    SQL mirror); returns (first_half, second_half) lazy Datasets.  The
+    pair key is sparse in this corpus, so both INTERSECT and EXCEPT
+    are non-degenerate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["user_id", "ts", "props"]).materialize()
+
+    def to_pairs(t):
+        k = (t["props"].to_pandas()
+             .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .astype("int64"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "k": k.to_numpy(np.int64),
+            "tu": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    evu = ev.map_batches(to_pairs, batch_format="pyarrow")
+    lohi = evu.aggregate(Min("tu"), Max("tu"))
+    lo, hi = int(lohi["min(tu)"]), int(lohi["max(tu)"])
+    mid = lo + (hi - lo) // 2
+
+    def half(keep_lt):
+        def fn(t):
+            m = pc.less(t["tu"], mid) if keep_lt else \
+                pc.greater_equal(t["tu"], mid)
+            return t.filter(m).select(["user_id", "k"])
+        return evu.map_batches(fn, batch_format="pyarrow")
+
+    return half(True), half(False)
+
+
+def _q_users_retained(sf_dir):
+    """(user, props.k) combinations present in BOTH halves of the
+    event-time range — SQL INTERSECT (distinct set semantics) as one
+    tagged-union hash groupby (stages/setops.py)."""
+    from pgd_ray.stages.setops import intersect_distinct
+
+    first, second = _event_halves(sf_dir)
+    return intersect_distinct(first, second, ["user_id", "k"])
+
+
+def _q_users_churned(sf_dir):
+    """(user, props.k) combinations seen only in the FIRST half — SQL
+    EXCEPT via the same tagged-union shape."""
+    from pgd_ray.stages.setops import except_distinct
+
+    first, second = _event_halves(sf_dir)
+    return except_distinct(first, second, ["user_id", "k"])
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -3192,6 +3260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_orbits3": _q_vertex_orbits3,
         "orbit_spearman": _q_orbit_spearman,
         "vertex_orbits4_tool": _q_vertex_orbits4_tool,
+        "users_retained": _q_users_retained,
+        "users_churned": _q_users_churned,
     }
 
 
@@ -6363,4 +6433,16 @@ SELECT CAST(base.n AS DOUBLE) AS n,
        CAST(quant.q3v AS DOUBLE) AS q3,
        CAST(quant.q3v - quant.q1v AS DOUBLE) AS iqr
 FROM base, quant""",
+        # set ops (stages/setops.py): the µs-integer midpoint split is
+        # mirrored exactly ((hi-lo)//2 floor arithmetic)
+        "users_retained": f"""
+WITH {_EV_MID_CTE}, {_EV_PAIR_CTE}
+SELECT DISTINCT user_id, k FROM pr, b WHERE tu < b.mid
+INTERSECT
+SELECT DISTINCT user_id, k FROM pr, b WHERE tu >= b.mid""",
+        "users_churned": f"""
+WITH {_EV_MID_CTE}, {_EV_PAIR_CTE}
+SELECT DISTINCT user_id, k FROM pr, b WHERE tu < b.mid
+EXCEPT
+SELECT DISTINCT user_id, k FROM pr, b WHERE tu >= b.mid""",
     }
