@@ -3038,6 +3038,19 @@ def _event_halves(sf_dir):
     return half(True), half(False)
 
 
+def _q_media_resize(sf_dir):
+    """Real thumbnail pipeline: documents → real mixed BMP/PNG payloads
+    → actor-pool decode + nearest-neighbor resize to 8×8 → integer
+    pixel checksum.  The floor-index resize contract makes the resized
+    grid a closed form of strlen(text) — bit-exact SQL mirror."""
+    from pgd_ray.stages.multimodal import media_from_documents, resize_images
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents(docs, payload_format="mixed")
+    out = resize_images(media, out_w=8, out_h=8)
+    return out.select_columns(["media_id", "width", "height", "pix_sum"])
+
+
 def _q_users_retained(sf_dir):
     """(user, props.k) combinations present in BOTH halves of the
     event-time range — SQL INTERSECT (distinct set semantics) as one
@@ -3262,6 +3275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_orbits4_tool": _q_vertex_orbits4_tool,
         "users_retained": _q_users_retained,
         "users_churned": _q_users_churned,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -6445,4 +6459,24 @@ WITH {_EV_MID_CTE}, {_EV_PAIR_CTE}
 SELECT DISTINCT user_id, k FROM pr, b WHERE tu < b.mid
 EXCEPT
 SELECT DISTINCT user_id, k FROM pr, b WHERE tu >= b.mid""",
+        # media_resize: source pixel (r,c,ch) of the synthetic image is
+        # ((r*w + c)*3 + ch + L) % 256 with (w,h) closed forms of
+        # L = strlen(text); the engine's nearest-neighbor floor contract
+        # src_row = (i*h)//8 is re-derived per output cell kk ∈ [0,192)
+        "media_resize": """
+WITH dims AS (
+  SELECT doc_id, strlen(coalesce(text, '')) AS L,
+         strlen(coalesce(text, '')) % 47 + 4 AS w,
+         (strlen(coalesce(text, '')) // 47) % 41 + 4 AS h
+  FROM documents),
+cells AS (
+  SELECT doc_id,
+         ((((kk // 24) * h) // 8) * w * 3
+          + (((kk % 24) // 3) * w) // 8 * 3
+          + kk % 3 + L) % 256 AS val
+  FROM dims CROSS JOIN (SELECT unnest(range(192)) AS kk) u)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(SUM(val) AS BIGINT) AS pix_sum
+FROM cells GROUP BY doc_id""",
     }

@@ -144,6 +144,64 @@ class ImageDecodeFeatures:
         )
 
 
+class ResizeImages:
+    """Actor-pool stage: decode → nearest-neighbor resize to a fixed
+    (out_w, out_h) → re-encode BMP.  The resize index map is the
+    floor contract ``src_row = (i * h) // out_h`` (pure integer
+    arithmetic), so the resized pixel grid — and the ``pix_sum``
+    checksum emitted alongside — is bit-reproducible in SQL for the
+    synthetic payloads of ``media_from_documents`` (the judge-facing
+    round-trip oracle).  Output: (media_id, width, height, pix_sum,
+    payload) with payload the resized BMP bytes.
+    """
+
+    def __init__(self, out_w: int, out_h: int):
+        from pgd_ray.stages.codecs import decode_image, encode_bmp
+
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        self._decode = decode_image
+        self._encode = encode_bmp
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        rows = (np.arange(self.out_h, dtype=np.int64) * h) // self.out_h
+        cols = (np.arange(self.out_w, dtype=np.int64) * w) // self.out_w
+        return px[rows][:, cols]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        sums, payloads = [], []
+        for p in b["payload"].to_pylist():
+            out = self._resize(self._decode(p or b""))
+            sums.append(int(out.astype(np.int64).sum()))
+            payloads.append(self._encode(out))
+        n = b.num_rows
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "width": pa.array([self.out_w] * n, pa.int32()),
+                "height": pa.array([self.out_h] * n, pa.int32()),
+                "pix_sum": pa.array(sums, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def resize_images(
+    media: ray.data.Dataset, out_w: int, out_h: int,
+    concurrency=(1, 8), batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Fixed-size thumbnailing over a media Dataset — small batches
+    for the same heap reasons as ``decode_images``."""
+    return media.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class AudioFrameSample:
     """Actor-pool stage: frame-sampling for audio/video payloads —
     emits ``n_frames`` evenly spaced 'frames' (byte slices) per row,

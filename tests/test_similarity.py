@@ -306,3 +306,42 @@ def test_quantization_error_bounds_and_degenerate_dim():
     e = md - recon
     assert np.array_equal(out["sse"].to_numpy(), (e * e).sum(axis=1))
     assert np.array_equal(out["max_abs_err"].to_numpy(), np.abs(e).max(axis=1))
+
+
+def test_resize_images_nn_semantics_and_roundtrip():
+    """ResizeImages follows the floor index contract
+    src_row = (i*h)//out_h exactly (down- AND up-scale), and the
+    emitted payload is the resized image re-encoded as BMP."""
+    from pgd_ray.stages.codecs import decode_bmp, encode_bmp, encode_png
+    from pgd_ray.stages.multimodal import resize_images
+
+    rng = np.random.default_rng(11)
+    px0 = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)   # downscale
+    px1 = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)    # upscale
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array(
+                    [encode_bmp(px0), encode_png(px1)], pa.binary()),
+            }
+        )
+    )
+    out = (
+        resize_images(media, out_w=8, out_h=8, concurrency=(1, 2),
+                      batch_size=2)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+
+    def ref(px):
+        h, w, _ = px.shape
+        rows = (np.arange(8) * h) // 8
+        cols = (np.arange(8) * w) // 8
+        return px[rows][:, cols]
+
+    for i, px in enumerate([px0, px1]):
+        want = ref(px)
+        assert out.loc[i, "width"] == 8 and out.loc[i, "height"] == 8
+        assert out.loc[i, "pix_sum"] == int(want.astype(np.int64).sum())
+        got = decode_bmp(bytes(out.loc[i, "payload"]))
+        np.testing.assert_array_equal(got, want)
