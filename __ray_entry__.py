@@ -3051,6 +3051,16 @@ def _q_media_resize(sf_dir):
     return out.select_columns(["media_id", "width", "height", "pix_sum"])
 
 
+def _q_percentile_cont_value(sf_dir):
+    """ANSI PERCENTILE_CONT over events.value — interpolated exact
+    quantiles from the histogram-refinement rank engine (no global
+    sort; see stages/quantiles.py:percentile_cont)."""
+    from pgd_ray.stages.quantiles import percentile_cont
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["value"])
+    return percentile_cont(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_users_retained(sf_dir):
     """(user, props.k) combinations present in BOTH halves of the
     event-time range — SQL INTERSECT (distinct set semantics) as one
@@ -3276,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_retained": _q_users_retained,
         "users_churned": _q_users_churned,
         "media_resize": _q_media_resize,
+        "percentile_cont_value": _q_percentile_cont_value,
     }
 
 
@@ -6479,4 +6490,12 @@ SELECT doc_id AS media_id,
        CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
        CAST(SUM(val) AS BIGINT) AS pix_sum
 FROM cells GROUP BY doc_id""",
+        # percentile_cont: DuckDB quantile_cont IS the ANSI linear-
+        # interpolation definition the engine mirrors (round-6 contract)
+        "percentile_cont_value": """
+WITH v AS (SELECT quantile_cont(value,
+             [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS arr FROM events)
+SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       ROUND(unnest(arr), 6) AS value
+FROM v""",
     }

@@ -67,6 +67,42 @@ def exact_quantiles(
     )
 
 
+def percentile_cont(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    bins: int = 2048,
+    fetch_cap: int = 1 << 21,
+) -> pd.DataFrame:
+    """ANSI ``PERCENTILE_CONT`` (= numpy 'linear', DuckDB
+    ``quantile_cont``): linear interpolation at ``h = q·(n-1)`` between
+    the exact order statistics at floor(h) and ceil(h).  Both ranks
+    come out of ONE histogram-refinement run (`exact_ranks`), so the
+    interpolated family costs the same streamed passes as the
+    rank-rule family — still no global sort.  Returns (q, value) with
+    value rounded to 6 decimals (the engine↔SQL float contract)."""
+    def ranks(n):
+        r = set()
+        for q in qs:
+            h = q * (n - 1)
+            r.add(int(np.floor(h)))
+            r.add(int(np.ceil(h)))
+        return r
+
+    resolved, n = exact_ranks(ds, col, ranks, bins=bins, fetch_cap=fetch_cap)
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": pd.Series([np.nan] * len(qs))})
+    vals = []
+    for q in qs:
+        h = q * (n - 1)
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        vlo, vhi = float(resolved[lo]), float(resolved[hi])
+        vals.append(round(vlo + (h - lo) * (vhi - vlo), 6))
+    return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                         "value": pd.Series(vals, dtype=float)})
+
+
 def exact_ranks(
     ds: ray.data.Dataset,
     col: str,

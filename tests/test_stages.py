@@ -163,3 +163,24 @@ def test_embedding_covariance_matches_numpy(ray_session):
     for r in got.itertuples():
         assert abs(r.cov - C[r.i - 1, r.j - 1]) < 1e-6
     assert len(got) == 5 * 6 // 2
+
+
+def test_percentile_cont_matches_numpy_linear():
+    import pandas as pd
+    import ray.data as rd
+
+    from pgd_ray.stages.quantiles import percentile_cont
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.standard_normal(5000) * 30,
+                           rng.integers(-4, 5, 500).astype(float)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    qs = [0.0, 0.1, 0.5, 0.9, 0.977, 1.0]
+    got = percentile_cont(ds, "v", qs, bins=16, fetch_cap=64)
+    want = np.percentile(vals, [q * 100 for q in qs], method="linear")
+    np.testing.assert_allclose(got["value"].to_numpy(), np.round(want, 6),
+                               atol=1e-6)
+    # empty input → NaNs, schema intact
+    empty = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype=float)}))
+    e = percentile_cont(empty, "v", [0.5])
+    assert list(e.columns) == ["q", "value"] and np.isnan(e["value"][0])
