@@ -3061,6 +3061,18 @@ def _q_percentile_cont_value(sf_dir):
     return percentile_cont(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_dbscan_embeddings(sf_dir):
+    """Exact DBSCAN over the embedding table (eps=1.15, min_pts=4) —
+    stages.clustering.dbscan: broadcast-corpus exact baseline, round-9
+    distance threshold contract, min-label cluster ids, border =
+    min core-neighbor label, noise = -1."""
+    from pgd_ray.stages.clustering import dbscan
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    return dbscan(ds, eps=1.15, min_pts=4)
+
+
 def _q_users_retained(sf_dir):
     """(user, props.k) combinations present in BOTH halves of the
     event-time range — SQL INTERSECT (distinct set semantics) as one
@@ -3287,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_churned": _q_users_churned,
         "media_resize": _q_media_resize,
         "percentile_cont_value": _q_percentile_cont_value,
+        "dbscan_embeddings": _q_dbscan_embeddings,
     }
 
 
@@ -6498,4 +6511,38 @@ WITH v AS (SELECT quantile_cont(value,
 SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
        ROUND(unnest(arr), 6) AS value
 FROM v""",
+        # dbscan: round-9 squared-distance threshold (eps² as the same
+        # DOUBLE product the engine computes), self-inclusive counts,
+        # min-label core components (knn_clusters recursion shape),
+        # border = min core-neighbor label, noise -1
+        "dbscan_embeddings": """
+WITH RECURSIVE
+d AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        ROUND((SELECT SUM((u.x - u.y) * (u.x - u.y))
+               FROM (SELECT unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                            unnest(CAST(b.embedding AS DOUBLE[])) AS y) u),
+              9) AS d2
+      FROM embeddings a, embeddings b),
+nb AS (SELECT i, j FROM d
+       WHERE d2 <= CAST(1.15 AS DOUBLE) * CAST(1.15 AS DOUBLE)),
+core AS (SELECT i FROM nb GROUP BY i HAVING COUNT(*) >= 4),
+cce AS (SELECT nb.i, nb.j FROM nb
+        JOIN core ci ON ci.i = nb.i JOIN core cj ON cj.i = nb.j
+        WHERE nb.i <> nb.j),
+wk(v, l) AS (
+  SELECT i, i FROM core
+  UNION
+  SELECT cce.j, wk.l FROM wk JOIN cce ON cce.i = wk.v),
+comp AS (SELECT v, MIN(l) AS lab FROM wk GROUP BY v),
+bord AS (SELECT nb.i AS v, MIN(comp.lab) AS lab
+         FROM nb JOIN core cj ON cj.i = nb.j JOIN comp ON comp.v = nb.j
+         WHERE nb.i <> nb.j AND nb.i NOT IN (SELECT i FROM core)
+         GROUP BY nb.i)
+SELECT e.vec_id,
+       CAST(COALESCE(comp.lab, bord.lab, -1) AS BIGINT) AS label,
+       CAST(CASE WHEN e.vec_id IN (SELECT i FROM core)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_core
+FROM embeddings e
+LEFT JOIN comp ON comp.v = e.vec_id
+LEFT JOIN bord ON bord.v = e.vec_id""",
     }

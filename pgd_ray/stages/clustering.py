@@ -294,3 +294,126 @@ def centroid_confusion(
     )
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["label_true", "label_pred"], ignore_index=True)
+
+
+def dbscan(
+    ds: ray.data.Dataset,
+    eps: float,
+    min_pts: int,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 2048,
+    concurrency=(1, 16),
+) -> pd.DataFrame:
+    """Exact DBSCAN (Ester et al., 1996) over the embedding column.
+
+    Deterministic contract (bit-identical to the SQL mirror):
+    * neighborhood test = ``round(||x-y||², 9) <= eps²`` — the direct
+      (x−y)² form (no BLAS cancellation, cf. hopkins_statistic) with
+      the round-9 threshold absorbing summation-order float jitter;
+    * a point's eps-count INCLUDES itself (sklearn's min_samples
+      convention): core ⇔ count >= min_pts;
+    * cluster label = MIN core vec_id of the core component (min-label
+      contract shared with the CC engine);
+    * border points take the MIN label among their core neighbors
+      (the published algorithm is arrival-order-dependent here; min is
+      the deterministic refinement); noise = -1.
+
+    Scale shape: the corpus matrix is broadcast ONCE (`ray.put`) and
+    the same Dataset streams through two stateful passes — pass 1
+    emits one (id, count) row per vector, pass 2 emits edges to CORE
+    neighbors only (the core-id set is a second tiny broadcast).  This
+    is the documented exact-baseline contract of `knn_edges`; at
+    corpus sizes where n² flops bite, the bucketed pre-filter
+    (`IVFIndex` / LSH bands) bounds the candidate pairs first.
+    Returns (vec_id, label, is_core).
+    """
+    eps2 = float(eps) * float(eps)
+    corpus = ds.select_columns([id_col, col]).to_pandas()
+    vid_all = corpus[id_col].to_numpy(np.int64)
+    m_all = np.stack(corpus[col].to_numpy()).astype(np.float64)
+    ref = ray.put((vid_all, m_all))
+
+    class CoreCount:
+        def __init__(self):
+            self.vid, self.m = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = _stack(b[col])
+            cnt = np.empty(len(qid), np.int64)
+            for i in range(len(qid)):
+                d2 = np.round(((self.m - q[i]) ** 2).sum(1), 9)
+                cnt[i] = int((d2 <= eps2).sum())
+            return pa.table({"vec_id": pa.array(qid),
+                             "cnt": pa.array(cnt)})
+
+    counts = ds.map_batches(
+        CoreCount, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).to_pandas()
+    core_ids = np.sort(counts.loc[counts["cnt"] >= min_pts,
+                                  "vec_id"].to_numpy(np.int64))
+    core_ref = ray.put(core_ids)
+
+    class CoreEdges:
+        def __init__(self):
+            self.vid, self.m = ray.get(ref)
+            cs = ray.get(core_ref)
+            self.is_core = np.isin(self.vid, cs)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            qid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = _stack(b[col])
+            src, dst = [], []
+            for i in range(len(qid)):
+                d2 = np.round(((self.m - q[i]) ** 2).sum(1), 9)
+                sel = (d2 <= eps2) & self.is_core & (self.vid != qid[i])
+                hits = self.vid[sel]
+                src.append(np.full(len(hits), qid[i], np.int64))
+                dst.append(hits.astype(np.int64))
+            return pa.table({
+                "src": pa.array(np.concatenate(src) if src else
+                                np.array([], np.int64)),
+                "dst": pa.array(np.concatenate(dst) if dst else
+                                np.array([], np.int64)),
+            })
+
+    edges = ds.map_batches(
+        CoreEdges, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).to_pandas()
+
+    # components over core-core edges (min-label + pointer jumping)
+    lab_of = {}
+    if len(core_ids):
+        lab = core_ids.copy()
+        ccm = edges[np.isin(edges["src"].to_numpy(np.int64), core_ids)]
+        sa = np.searchsorted(core_ids, ccm["src"].to_numpy(np.int64))
+        da = np.searchsorted(core_ids, ccm["dst"].to_numpy(np.int64))
+        while True:
+            before = lab.copy()
+            np.minimum.at(lab, sa, lab[da])
+            np.minimum.at(lab, da, lab[sa])
+            lab = np.minimum(lab, lab[np.searchsorted(core_ids, lab)])
+            if np.array_equal(lab, before):
+                break
+        lab_of = dict(zip(core_ids.tolist(), lab.tolist()))
+
+    vid_sorted = np.sort(vid_all)
+    is_core_all = np.isin(vid_sorted, core_ids)
+    # border: min core-neighbor component label (vectorized groupby)
+    bm = edges[~np.isin(edges["src"].to_numpy(np.int64), core_ids)]
+    border_lab = {}
+    if len(bm) and len(core_ids):
+        dlab = lab[np.searchsorted(core_ids, bm["dst"].to_numpy(np.int64))]
+        border_lab = pd.Series(dlab, index=bm["src"].to_numpy(np.int64)) \
+            .groupby(level=0).min().to_dict()
+    labels = np.array(
+        [lab_of.get(int(v), border_lab.get(int(v), -1)) for v in vid_sorted],
+        np.int64)
+    return pd.DataFrame({
+        "vec_id": vid_sorted,
+        "label": labels,
+        "is_core": is_core_all.astype(np.int64),
+    })

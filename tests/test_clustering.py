@@ -133,3 +133,59 @@ def test_conductance_matches_brute():
     # single community covering everything -> denominator 0 -> 0.0
     one = conductance_by_label(eds, csr, np.zeros(6, np.int64))
     assert float(one["conductance"].iloc[0]) == 0.0
+
+
+def _brute_dbscan(ids, X, eps, min_pts):
+    n = len(ids)
+    D = np.round(((X[:, None, :] - X[None, :, :]) ** 2).sum(2), 9)
+    A = D <= eps * eps
+    core = A.sum(1) >= min_pts
+    # min-label components over core-core adjacency
+    lab = ids.astype(np.int64).copy()
+    for _ in range(n):
+        before = lab.copy()
+        for i in range(n):
+            if not core[i]:
+                continue
+            nb = np.flatnonzero(A[i] & core)
+            m = min(lab[i], lab[nb].min()) if len(nb) else lab[i]
+            lab[i] = m
+            lab[nb] = np.minimum(lab[nb], m)
+        if np.array_equal(lab, before):
+            break
+    out = np.full(n, -1, np.int64)
+    out[core] = lab[core]
+    for i in range(n):
+        if core[i]:
+            continue
+        nb = np.flatnonzero(A[i] & core & (ids != ids[i]))
+        if len(nb):
+            out[i] = lab[nb].min()
+    return out, core
+
+
+def test_dbscan_matches_bruteforce():
+    from pgd_ray.stages.clustering import dbscan
+
+    rng = np.random.default_rng(3)
+    blob1 = rng.standard_normal((12, 4)) * 0.2
+    blob2 = rng.standard_normal((10, 4)) * 0.2 + 5.0
+    lone = np.array([[20.0, 20.0, 20.0, 20.0]])
+    edgep = blob1[0] + 0.55  # border candidate near blob1
+    X = np.vstack([blob1, blob2, lone, edgep[None, :]])
+    ids = np.arange(100, 100 + len(X), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, v)) for v in X],
+                              pa.list_(pa.float64())),
+    })).repartition(4)
+    got = dbscan(ds, eps=0.6, min_pts=4).sort_values(
+        "vec_id", ignore_index=True)
+    want_lab, want_core = _brute_dbscan(ids, X, 0.6, 4)
+    np.testing.assert_array_equal(got["label"].to_numpy(), want_lab)
+    np.testing.assert_array_equal(got["is_core"].to_numpy(),
+                                  want_core.astype(np.int64))
+    # structure sanity: two clusters, the lone point is noise
+    labs = set(got["label"]) - {-1}
+    assert len(labs) == 2
+    assert got.loc[got["vec_id"] == ids[22], "label"].iloc[0] == -1
