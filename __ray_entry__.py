@@ -3073,6 +3073,16 @@ def _q_dbscan_embeddings(sf_dir):
     return dbscan(ds, eps=1.15, min_pts=4)
 
 
+def _q_mixture_weights(sf_dir):
+    """Temperature-scaled (τ=0.7) training-mixture weights per source
+    — text.sampling.mixture_weights (per-batch token partials, one
+    #sources-row groupby, driver closed form)."""
+    from pgd_ray.text.sampling import mixture_weights
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return mixture_weights(docs, tau=0.7)
+
+
 def _q_users_retained(sf_dir):
     """(user, props.k) combinations present in BOTH halves of the
     event-time range — SQL INTERSECT (distinct set semantics) as one
@@ -3300,6 +3310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "percentile_cont_value": _q_percentile_cont_value,
         "dbscan_embeddings": _q_dbscan_embeddings,
+        "mixture_weights": _q_mixture_weights,
     }
 
 
@@ -6545,4 +6556,19 @@ SELECT e.vec_id,
 FROM embeddings e
 LEFT JOIN comp ON comp.v = e.vec_id
 LEFT JOIN bord ON bord.v = e.vec_id""",
+        # mixture_weights: same token regex as text_stats; τ=0.7
+        # temperature rule, floats under the round-6 contract
+        "mixture_weights": """
+WITH t AS (
+  SELECT source,
+         SUM(length(regexp_extract_all(coalesce(text, ''),
+                                       '\\w+|[^\\w\\s]'))) AS tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS tt FROM t),
+pp AS (SELECT source, tokens, tokens / tt AS p FROM t, tot),
+z AS (SELECT SUM(pow(p, 0.7)) AS z FROM pp)
+SELECT source, CAST(tokens AS BIGINT) AS tokens, ROUND(p, 6) AS p,
+       ROUND(pow(p, 0.7) / z, 6) AS w,
+       ROUND(pow(p, 0.7) / z / p, 6) AS boost
+FROM pp, z""",
     }

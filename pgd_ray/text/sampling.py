@@ -195,3 +195,56 @@ def weighted_sample_topk(
     cands = cands.sort_values(["score", id_col],
                               ascending=[False, True], ignore_index=True)
     return cands.head(k).reset_index(drop=True)
+
+
+def mixture_weights(
+    docs: ray.data.Dataset,
+    tau: float = 0.7,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> pd.DataFrame:
+    """Static training-mixture reweighting (the multilingual-LM /
+    DoReMi-lite temperature rule): per-source token mass T_s → natural
+    share p_s = T_s/ΣT → training weight w_s ∝ p_s^τ (τ<1 upsamples
+    tail sources) → boost = w_s/p_s, the factor a sampler applies to
+    that source.
+
+    Scale shape: per-batch (source, token-partial) rows — the shuffle
+    carries ≤ #sources rows per batch, never documents — one hash
+    groupby, then closed-form math on the #sources driver rows.  Token
+    contract = the corpus-wide ``TOKEN_RE`` with re.ASCII (identical
+    to the SQL ``regexp_extract_all`` mirror).  Returns
+    (source, tokens, p, w, boost), floats rounded to 6.
+    """
+    import re
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from pgd_ray.text.analysis import TOKEN_RE
+
+    tok_re = re.compile(TOKEN_RE, re.ASCII)
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = t[text_col].to_pandas().fillna("")
+        tok = s.str.count(tok_re).to_numpy(np.int64)
+        g = pd.Series(tok).groupby(
+            t[group_col].to_pandas().to_numpy()).sum()
+        return pa.table({group_col: pa.array(g.index, pa.string()),
+                         "tok": pa.array(g.to_numpy(np.int64))})
+
+    tot = (docs.select_columns([group_col, text_col])
+           .map_batches(partials, batch_format="pyarrow")
+           .groupby(group_col).aggregate(Sum("tok", alias_name="tokens"))
+           .to_pandas().sort_values(group_col, ignore_index=True))
+    t = tot["tokens"].to_numpy(np.int64)
+    p = t / float(t.sum())
+    pw = p ** float(tau)
+    w = pw / pw.sum()
+    return pd.DataFrame({
+        group_col: tot[group_col],
+        "tokens": t,
+        "p": np.round(p, 6),
+        "w": np.round(w, 6),
+        "boost": np.round(w / p, 6),
+    })

@@ -535,3 +535,24 @@ def test_weighted_sample_topk_deterministic_and_partition_invariant():
     # heavier rows must dominate the sample on average
     got = weighted_sample_topk(rd.from_arrow(t), k=300)
     assert got["n_chars"].mean() > w.mean()
+
+
+def test_mixture_weights_temperature_semantics():
+    import pandas as pd
+    import ray.data as rd
+
+    from pgd_ray.text.sampling import mixture_weights
+
+    docs = pd.DataFrame({
+        "source": ["big"] * 90 + ["small"] * 10,
+        "text": ["one two three four five"] * 90 + ["a b"] * 10,
+    })
+    ds = rd.from_pandas(docs).repartition(5)
+    out = mixture_weights(ds, tau=0.5).set_index("source")
+    assert out["tokens"]["big"] == 90 * 5 and out["tokens"]["small"] == 10 * 2
+    assert abs(out["w"].sum() - 1.0) < 1e-5
+    # τ<1 upsamples the tail source, downsamples the head
+    assert out["boost"]["small"] > 1.0 > out["boost"]["big"]
+    # τ=1 is the natural distribution: boost == 1 everywhere
+    nat = mixture_weights(ds, tau=1.0)
+    assert (nat["boost"] == 1.0).all()
