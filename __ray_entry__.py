@@ -3102,6 +3102,25 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_psi_value(sf_dir):
+    """Population Stability Index of events.value between the two
+    event-time halves (10 fixed global-range bins) —
+    stages.drift.psi_value (one aggregate pass + one streamed
+    2·nbins-partials pass; O(nbins·#blocks) driver combine)."""
+    from pgd_ray.stages.drift import psi_value
+
+    return psi_value(sf_dir, nbins=10)
+
+
+def _q_ks_value(sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov D between the event-time
+    halves of events.value — stages.drift.ks_value (groupby(value) →
+    one sort → distributed prefix-sum; driver sees #blocks rows)."""
+    from pgd_ray.stages.drift import ks_value
+
+    return ks_value(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (see pgd_ray.pipelines.flagship)."""
     from pgd_ray.pipelines.flagship import flagship
@@ -3311,6 +3330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_cont_value": _q_percentile_cont_value,
         "dbscan_embeddings": _q_dbscan_embeddings,
         "mixture_weights": _q_mixture_weights,
+        "psi_value": _q_psi_value,
+        "ks_value": _q_ks_value,
     }
 
 
@@ -6571,4 +6592,64 @@ SELECT source, CAST(tokens AS BIGINT) AS tokens, ROUND(p, 6) AS p,
        ROUND(pow(p, 0.7) / z, 6) AS w,
        ROUND(pow(p, 0.7) / z / p, 6) AS boost
 FROM pp, z""",
+        # stages.drift.psi_value: 10 equal-width bins over the GLOBAL
+        # value range; event-time midpoint split (integer-µs mid, the
+        # _event_halves contract); Laplace (c+1)/(N+nbins) smoothing;
+        # psi = window sum of contribs.
+        "psi_value": """
+WITH st AS (SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid,
+                   MIN(value) AS lo,
+                   (MAX(value) - MIN(value)) / 10.0 AS w
+            FROM events),
+b AS (SELECT CASE WHEN (SELECT w FROM st) > 0
+                  THEN LEAST(CAST(FLOOR((value - (SELECT lo FROM st))
+                                        / (SELECT w FROM st)) AS BIGINT), 9)
+                  ELSE 0 END AS bin,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM st)
+                  THEN 0 ELSE 1 END AS side
+      FROM events WHERE value IS NOT NULL),
+g AS (SELECT bin, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+      FROM b GROUP BY bin),
+tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM g),
+alln AS (SELECT CAST(gs.generate_series AS BIGINT) AS bin
+         FROM generate_series(0, 9) gs),
+p AS (SELECT alln.bin,
+             CAST(COALESCE(g.c0, 0) AS BIGINT) AS n_first,
+             CAST(COALESCE(g.c1, 0) AS BIGINT) AS n_second,
+             (COALESCE(g.c0, 0) + 1.0) / ((SELECT n0 FROM tot) + 10.0) AS p1,
+             (COALESCE(g.c1, 0) + 1.0) / ((SELECT n1 FROM tot) + 10.0) AS p2
+      FROM alln LEFT JOIN g ON g.bin = alln.bin)
+SELECT bin, n_first, n_second,
+       ROUND(p1, 9) AS p_first, ROUND(p2, 9) AS p_second,
+       ROUND((p1 - p2) * ln(p1 / p2), 9) AS contrib,
+       ROUND(SUM((p1 - p2) * ln(p1 / p2)) OVER (), 9) AS psi
+FROM p ORDER BY bin""",
+        # stages.drift.ks_value: exact two-sample KS over distinct
+        # values (complete tie groups); at_value = smallest value
+        # achieving the max gap.
+        "ks_value": """
+WITH st AS (SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid
+            FROM events),
+b AS (SELECT value,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM st)
+                  THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL),
+g AS (SELECT value, SUM(a) AS c0, SUM(1 - a) AS c1 FROM b GROUP BY value),
+t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1 FROM g),
+c AS (SELECT value,
+             SUM(c0) OVER (ORDER BY value) AS cum0,
+             SUM(c1) OVER (ORDER BY value) AS cum1
+      FROM g),
+d AS (SELECT value,
+             ABS(CAST(cum0 AS DOUBLE) / (SELECT n0 FROM t)
+                 - CAST(cum1 AS DOUBLE) / (SELECT n1 FROM t)) AS diff
+      FROM c)
+SELECT ROUND(MAX(diff), 9) AS d_stat,
+       MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN value END)
+         AS at_value,
+       (SELECT n0 FROM t) AS n_first,
+       (SELECT n1 FROM t) AS n_second
+FROM d""",
     }
