@@ -3102,6 +3102,24 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_role_assortativity(sf_dir):
+    """Newman categorical assortativity of role labels across
+    consecutive-turn transitions — stages.conv_stats.role_assortativity
+    (shared sorted-block transition plan; O(#roles²) driver rows)."""
+    from pgd_ray.stages.conv_stats import role_assortativity
+
+    return role_assortativity(_transcripts_ds(sf_dir))
+
+
+def _q_transition_reciprocity(sf_dir):
+    """Reciprocity of the tool-transition digraph (weighted min-mass
+    and unordered-pair forms) —
+    stages.conv_stats.transition_reciprocity."""
+    from pgd_ray.stages.conv_stats import transition_reciprocity
+
+    return transition_reciprocity(_transcripts_ds(sf_dir))
+
+
 def _q_psi_value(sf_dir):
     """Population Stability Index of events.value between the two
     event-time halves (10 fixed global-range bins) —
@@ -3332,6 +3350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": _q_mixture_weights,
         "psi_value": _q_psi_value,
         "ks_value": _q_ks_value,
+        "role_assortativity": _q_role_assortativity,
+        "transition_reciprocity": _q_transition_reciprocity,
     }
 
 
@@ -6652,4 +6672,62 @@ SELECT ROUND(MAX(diff), 9) AS d_stat,
        (SELECT n0 FROM t) AS n_first,
        (SELECT n1 FROM t) AS n_second
 FROM d""",
+        # stages.conv_stats.role_assortativity: Newman categorical r
+        # from the directed consecutive-turn role mixing matrix;
+        # trace/sum_ab as single divisions of integer sums.
+        "role_assortativity": f"""
+WITH {_T_CTE},
+g AS (SELECT role AS a,
+             LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+      FROM t),
+c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g WHERE b IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM c),
+diag AS (SELECT CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+           AS d FROM c),
+rs AS (SELECT a AS k, SUM(n) AS r FROM c GROUP BY 1),
+cs AS (SELECT b AS k, SUM(n) AS s FROM c GROUP BY 1),
+ks AS (SELECT k FROM rs UNION SELECT k FROM cs),
+sab AS (SELECT CAST(SUM(COALESCE(rs.r, 0) * COALESCE(cs.s, 0)) AS BIGINT)
+          AS si
+        FROM ks LEFT JOIN rs ON rs.k = ks.k LEFT JOIN cs ON cs.k = ks.k),
+ex AS (SELECT CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS trace,
+              CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                AS sab2,
+              n
+       FROM diag, tot, sab)
+SELECT n AS n_pairs, ROUND(trace, 9) AS trace_e, ROUND(sab2, 9) AS sum_ab,
+       ROUND(CASE WHEN sab2 = 1.0 THEN 1.0
+                  ELSE (trace - sab2) / (1.0 - sab2) END, 9) AS r
+FROM ex""",
+        # stages.conv_stats.transition_reciprocity: distinct-tool
+        # transition mass matched by reverse transitions (weighted +
+        # unordered-pair forms).
+        "transition_reciprocity": f"""
+WITH {_T_CTE},
+g AS (SELECT tool AS a,
+             LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+      FROM t),
+c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+p AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             SUM(CASE WHEN a < b THEN n ELSE 0 END) AS fwd,
+             SUM(CASE WHEN a > b THEN n ELSE 0 END) AS bwd
+      FROM c GROUP BY 1, 2),
+s AS (SELECT CAST(COALESCE(SUM(fwd + bwd), 0) AS BIGINT) AS n_ordered,
+             CAST(COALESCE(2 * SUM(least(fwd, bwd)), 0) AS BIGINT) AS n_recip,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN fwd > 0 AND bwd > 0
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_bidir
+      FROM p)
+SELECT n_ordered, n_recip,
+       ROUND(CASE WHEN n_ordered > 0
+                  THEN CAST(n_recip AS DOUBLE) / CAST(n_ordered AS DOUBLE)
+                  ELSE 0.0 END, 9) AS recip_weighted,
+       n_pairs, n_bidir AS n_pairs_bidir,
+       ROUND(CASE WHEN n_pairs > 0
+                  THEN CAST(n_bidir AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                  ELSE 0.0 END, 9) AS recip_pairs
+FROM s""",
     }

@@ -159,8 +159,16 @@ def tool_transitions(transcripts: ray.data.Dataset) -> pd.DataFrame:
     vectorized per-block adjacent pairs, ≤ 1 boundary pair per block
     stitched on the driver.  Columns (tool_a, tool_b, n_trans),
     ordered (tool_a, tool_b)."""
+    return _transition_counts(transcripts, "tool", "tool_a", "tool_b")
+
+
+def _transition_counts(transcripts: ray.data.Dataset, col: str,
+                       name_a: str, name_b: str) -> pd.DataFrame:
+    """Consecutive-turn (col_prev → col_next) pair counts within
+    conversations — the shared physical plan behind
+    ``tool_transitions`` and ``role_assortativity``."""
     srt = transcripts.select_columns(
-        ["conv_id", "turn_idx", "tool"]
+        ["conv_id", "turn_idx", col]
     ).sort(["conv_id", "turn_idx"]).materialize()
 
     def block_pairs(t: pa.Table) -> pa.Table:
@@ -172,7 +180,7 @@ def tool_transitions(transcripts: ray.data.Dataset) -> pd.DataFrame:
                              "tidx": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         conv = t["conv_id"].to_numpy(zero_copy_only=False)
-        tool = t["tool"].to_numpy(zero_copy_only=False)
+        tool = t[col].to_numpy(zero_copy_only=False)
         tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         same = conv[1:] == conv[:-1]
         kinds, tas, tbs, convs, tidxs, ns = [], [], [], [], [], []
@@ -212,10 +220,82 @@ def tool_transitions(transcripts: ray.data.Dataset) -> pd.DataFrame:
                 key = (lasts.loc[i - 1, "ta"], firsts.loc[i, "ta"])
                 agg[key] = agg.get(key, 0) + 1
     rows = [(a, b, np.int64(n)) for (a, b), n in sorted(agg.items())]
-    return pd.DataFrame(rows, columns=["tool_a", "tool_b", "n_trans"]) \
-        if rows else pd.DataFrame({"tool_a": pd.Series([], dtype=object),
-                                   "tool_b": pd.Series([], dtype=object),
+    return pd.DataFrame(rows, columns=[name_a, name_b, "n_trans"]) \
+        if rows else pd.DataFrame({name_a: pd.Series([], dtype=object),
+                                   name_b: pd.Series([], dtype=object),
                                    "n_trans": pd.Series([], dtype=np.int64)})
+
+
+def role_assortativity(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Newman categorical assortativity of the ROLE labels across
+    consecutive-turn transitions — the homophily screen ("does an
+    assistant turn follow an assistant turn?").  From the mixing
+    matrix e_ij = c_ij / n of the directed transition counts:
+    r = (Σ e_ii − Σ a_i·b_i) / (1 − Σ a_i·b_i), with a = row sums and
+    b = column sums; the degenerate single-class case (denominator 0)
+    pins r = 1.0 (everything is within-class).  One row: (n_pairs,
+    trace_e, sum_ab, r) — trace/sum_ab as single divisions of integer
+    sums, so the SQL mirror is bit-identical.  The heavy part is the
+    shared sorted-block transition plan; the mixing matrix is
+    O(#roles²) driver rows."""
+    c = _transition_counts(transcripts, "role", "a", "b")
+    n = int(c["n_trans"].sum())
+    if n == 0:
+        return pd.DataFrame({"n_pairs": [np.int64(0)], "trace_e": [0.0],
+                             "sum_ab": [0.0], "r": [0.0]})
+    diag = int(c.loc[c["a"] == c["b"], "n_trans"].sum())
+    row = c.groupby("a")["n_trans"].sum()
+    col = c.groupby("b")["n_trans"].sum()
+    labels = sorted(set(row.index) | set(col.index))
+    sab_int = sum(int(row.get(k, 0)) * int(col.get(k, 0)) for k in labels)
+    trace = float(diag) / float(n)
+    sab = float(sab_int) / (float(n) * float(n))
+    r = 1.0 if sab == 1.0 else (trace - sab) / (1.0 - sab)
+    return pd.DataFrame({"n_pairs": [np.int64(n)],
+                         "trace_e": [round(trace, 9)],
+                         "sum_ab": [round(sab, 9)],
+                         "r": [round(r, 9)]})
+
+
+def transition_reciprocity(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Reciprocity of the tool-transition digraph: of the transition
+    mass between DISTINCT tools, how much is matched by reverse
+    transitions?  Weighted form Σ_{a≠b} min(c(a,b), c(b,a)) / Σ c and
+    the unordered-pair form (#bidirectional pairs / #pairs).  One row:
+    (n_ordered, n_recip, recip_weighted, n_pairs, n_pairs_bidir,
+    recip_pairs).  Derived on the driver from the O(#tools²) count
+    table produced by the shared distributed transition plan."""
+    c = _transition_counts(transcripts, "tool", "a", "b")
+    c = c[c["a"] != c["b"]]
+    if c.empty:
+        return pd.DataFrame({"n_ordered": [np.int64(0)],
+                             "n_recip": [np.int64(0)],
+                             "recip_weighted": [0.0],
+                             "n_pairs": [np.int64(0)],
+                             "n_pairs_bidir": [np.int64(0)],
+                             "recip_pairs": [0.0]})
+    lo = np.minimum(c["a"].to_numpy(), c["b"].to_numpy())
+    hi = np.maximum(c["a"].to_numpy(), c["b"].to_numpy())
+    fwd = np.where(c["a"].to_numpy() < c["b"].to_numpy(),
+                   c["n_trans"].to_numpy(), 0)
+    bwd = np.where(c["a"].to_numpy() > c["b"].to_numpy(),
+                   c["n_trans"].to_numpy(), 0)
+    g = pd.DataFrame({"lo": lo, "hi": hi, "fwd": fwd, "bwd": bwd}) \
+        .groupby(["lo", "hi"], as_index=False).sum()
+    n_ordered = int(g["fwd"].sum() + g["bwd"].sum())
+    n_recip = 2 * int(np.minimum(g["fwd"], g["bwd"]).sum())
+    n_pairs = len(g)
+    n_bidir = int(((g["fwd"] > 0) & (g["bwd"] > 0)).sum())
+    return pd.DataFrame({
+        "n_ordered": [np.int64(n_ordered)],
+        "n_recip": [np.int64(n_recip)],
+        "recip_weighted": [round(float(n_recip) / float(n_ordered), 9)
+                           if n_ordered else 0.0],
+        "n_pairs": [np.int64(n_pairs)],
+        "n_pairs_bidir": [np.int64(n_bidir)],
+        "recip_pairs": [round(float(n_bidir) / float(n_pairs), 9)
+                        if n_pairs else 0.0],
+    })
 
 
 def conversations_to_documents(

@@ -1,0 +1,73 @@
+"""role_assortativity + transition_reciprocity closed-form checks on
+hand-built transcript tables."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pgd_ray.stages.conv_stats import (role_assortativity,
+                                       transition_reciprocity)
+
+
+def _tr(rows):
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                     "text", "tool", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    return ray.data.from_pandas(df)
+
+
+def test_role_assortativity_perfect_homophily_is_one():
+    # two conversations, each a single role: every transition is
+    # within-class → r = 1 (the pinned degenerate contract)
+    rows = [("c1", i, "user", "x", "t", i) for i in range(4)] + \
+           [("c2", i, "tool", "x", "t", i) for i in range(4)]
+    out = role_assortativity(_tr(rows))
+    assert int(out["n_pairs"].iloc[0]) == 6
+    assert out["trace_e"].iloc[0] == 1.0
+    assert out["r"].iloc[0] == 1.0
+
+
+def test_role_assortativity_alternating_is_negative():
+    # strict alternation user/assistant → trace 0, r < 0
+    rows = [("c1", i, ["user", "assistant"][i % 2], "x", "t", i)
+            for i in range(6)]
+    out = role_assortativity(_tr(rows))
+    assert out["trace_e"].iloc[0] == 0.0
+    assert out["r"].iloc[0] < 0
+    # closed form: counts u->a = 3? (turns 0..5: pairs 01,12,23,34,45
+    # = u->a, a->u, u->a, a->u, u->a) n=5, diag=0
+    n = 5
+    row = {"user": 3, "assistant": 2}
+    col = {"assistant": 3, "user": 2}
+    sab = (row["user"] * col["user"] + row["assistant"] * col["assistant"]) \
+        / float(n * n)
+    assert abs(out["sum_ab"].iloc[0] - round(sab, 9)) < 1e-12
+    assert abs(out["r"].iloc[0] - round((0 - sab) / (1 - sab), 9)) < 1e-12
+
+
+def test_reciprocity_closed_form():
+    # transitions: A->B x2, B->A x1, A->C x1  (self loops ignored)
+    rows = [
+        ("c1", 0, "u", "x", "A", 0), ("c1", 1, "u", "x", "B", 1),
+        ("c1", 2, "u", "x", "A", 2), ("c1", 3, "u", "x", "B", 3),
+        ("c2", 0, "u", "x", "A", 0), ("c2", 1, "u", "x", "C", 1),
+        ("c3", 0, "u", "x", "D", 0), ("c3", 1, "u", "x", "D", 1),
+    ]
+    out = transition_reciprocity(_tr(rows))
+    # ordered mass between distinct tools: A->B 2, B->A 1, A->C 1 = 4
+    assert int(out["n_ordered"].iloc[0]) == 4
+    # min(2,1)*2 = 2 reciprocated
+    assert int(out["n_recip"].iloc[0]) == 2
+    assert abs(out["recip_weighted"].iloc[0] - 0.5) < 1e-12
+    # pairs: {A,B} bidir, {A,C} one-way
+    assert int(out["n_pairs"].iloc[0]) == 2
+    assert int(out["n_pairs_bidir"].iloc[0]) == 1
+    assert abs(out["recip_pairs"].iloc[0] - 0.5) < 1e-12
+
+
+def test_reciprocity_no_cross_tool_transitions():
+    rows = [("c1", 0, "u", "x", "A", 0), ("c1", 1, "u", "x", "A", 1)]
+    out = transition_reciprocity(_tr(rows))
+    assert int(out["n_ordered"].iloc[0]) == 0
+    assert out["recip_weighted"].iloc[0] == 0.0
