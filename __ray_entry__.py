@@ -3102,6 +3102,15 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_holt_daily(sf_dir):
+    """Holt level+trend smoothing of total daily event counts —
+    stages.windows.holt_daily (one distributed day aggregation,
+    O(days) driver recurrence, pinned float op order)."""
+    from pgd_ray.stages.windows import holt_daily
+
+    return holt_daily(sf_dir, alpha=0.5, beta=0.3)
+
+
 def _q_role_assortativity(sf_dir):
     """Newman categorical assortativity of role labels across
     consecutive-turn transitions — stages.conv_stats.role_assortativity
@@ -3352,6 +3361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value": _q_ks_value,
         "role_assortativity": _q_role_assortativity,
         "transition_reciprocity": _q_transition_reciprocity,
+        "holt_daily": _q_holt_daily,
     }
 
 
@@ -6730,4 +6740,29 @@ SELECT n_ordered, n_recip,
                   THEN CAST(n_bidir AS DOUBLE) / CAST(n_pairs AS DOUBLE)
                   ELSE 0.0 END, 9) AS recip_pairs
 FROM s""",
+        # stages.windows.holt_daily: Holt level+trend recurrence over
+        # observed days (seed l=x₁, b=0; fitted = pre-update l+b);
+        # DOUBLE casts pin the recurrence against DECIMAL inference.
+        "holt_daily": """
+WITH RECURSIVE dd AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+r AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rk FROM dd),
+w(day, n, rk, l, b, f) AS (
+  SELECT day, n, rk, CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(n AS DOUBLE)
+  FROM r WHERE rk = 1
+  UNION ALL
+  SELECT r.day, r.n, r.rk,
+         CAST(0.5 AS DOUBLE) * r.n
+           + (1 - CAST(0.5 AS DOUBLE)) * (w.l + w.b),
+         CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * r.n
+             + (1 - CAST(0.5 AS DOUBLE)) * (w.l + w.b)) - w.l)
+           + (1 - CAST(0.3 AS DOUBLE)) * w.b,
+         w.l + w.b
+  FROM w JOIN r ON r.rk = w.rk + 1)
+SELECT day, n, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       ROUND(f, 6) AS fitted
+FROM w ORDER BY day""",
     }

@@ -1035,6 +1035,62 @@ def ewma_daily(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     return res
 
 
+def holt_daily(sf_dir: str, alpha: float = 0.5,
+               beta: float = 0.3) -> pd.DataFrame:
+    """Holt linear-trend (double exponential) smoothing of the TOTAL
+    daily event count — the level+trend capacity-forecast screen that
+    EWMA (level only) cannot express.  Same physical plan as
+    ``ewma_daily``: one distributed day aggregation (O(days) rows
+    reach the driver), then the inherently-sequential recurrence over
+    observed days:
+
+        t=1:  level=x₁, trend=0, fitted=x₁
+        t>1:  fitted = l+b (one-step forecast BEFORE seeing x_t)
+              l' = α·x_t + (1−α)·(l+b)
+              b' = β·(l'−l) + (1−β)·b
+
+    Columns (day, n, level, trend, fitted) rounded to 6 — the float
+    op order is pinned so the recursive-CTE mirror is bit-identical."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"day": day})
+
+    daily = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "level": pd.Series([], dtype=np.float64),
+                             "trend": pd.Series([], dtype=np.float64),
+                             "fitted": pd.Series([], dtype=np.float64)})
+    daily = daily.sort_values("day", ignore_index=True)
+    x = daily["n"].to_numpy(np.float64)
+    lv = np.empty(len(x))
+    tr = np.empty(len(x))
+    ft = np.empty(len(x))
+    lv[0], tr[0], ft[0] = x[0], 0.0, x[0]
+    for i in range(1, len(x)):
+        ft[i] = lv[i - 1] + tr[i - 1]
+        lv[i] = alpha * x[i] + (1.0 - alpha) * (lv[i - 1] + tr[i - 1])
+        tr[i] = beta * (lv[i] - lv[i - 1]) + (1.0 - beta) * tr[i - 1]
+    return pd.DataFrame({"day": daily["day"].astype(np.int64),
+                         "n": daily["n"].astype(np.int64),
+                         "level": np.round(lv, 6),
+                         "trend": np.round(tr, 6),
+                         "fitted": np.round(ft, 6)})
+
+
 def acf_daily(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
     """Autocorrelation of the daily total event count at lags
     1..max_lag — the burstiness / weekly-seasonality screen.  One

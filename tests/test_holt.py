@@ -1,0 +1,37 @@
+"""Holt daily smoothing vs a hand recursion on the real sf0.001 day
+counts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from pgd_ray.stages.windows import holt_daily
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_holt_matches_hand_recursion():
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    day = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    daily = day.value_counts().sort_index()
+    x = daily.to_numpy(np.float64)
+    a, bta = 0.5, 0.3
+    l, b = x[0], 0.0
+    lv, tr, ft = [l], [b], [x[0]]
+    for xi in x[1:]:
+        f = l + b
+        l2 = a * xi + (1.0 - a) * (l + b)
+        b = bta * (l2 - l) + (1.0 - bta) * b
+        l = l2
+        lv.append(l); tr.append(b); ft.append(f)
+
+    out = holt_daily(SF, alpha=0.5, beta=0.3)
+    assert (out["day"].to_numpy() == daily.index.to_numpy()).all()
+    assert (out["n"].to_numpy() == daily.to_numpy()).all()
+    assert np.allclose(out["level"], np.round(lv, 6), atol=1e-9)
+    assert np.allclose(out["trend"], np.round(tr, 6), atol=1e-9)
+    assert np.allclose(out["fitted"], np.round(ft, 6), atol=1e-9)
+    # one-step forecast contract: fitted_t = level_{t-1} + trend_{t-1}
+    recon = out["level"].to_numpy()[:-1] + out["trend"].to_numpy()[:-1]
+    assert np.allclose(out["fitted"].to_numpy()[1:], recon, atol=1e-5)
