@@ -3102,6 +3102,16 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_entity_groups(sf_dir):
+    """Entity-resolution clusters: CC over the verified fuzzy-match
+    pair graph, canonical = min name per component —
+    stages.fuzzy.entity_groups (participants-only CC, broadcast
+    assignment, Dataset out)."""
+    from pgd_ray.stages.fuzzy import entity_groups
+
+    return entity_groups(sf_dir, max_dist=2)
+
+
 def _q_holt_daily(sf_dir):
     """Holt level+trend smoothing of total daily event counts —
     stages.windows.holt_daily (one distributed day aggregation,
@@ -3362,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_assortativity": _q_role_assortativity,
         "transition_reciprocity": _q_transition_reciprocity,
         "holt_daily": _q_holt_daily,
+        "entity_groups": _q_entity_groups,
     }
 
 
@@ -6765,4 +6776,21 @@ w(day, n, rk, l, b, f) AS (
 SELECT day, n, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
        ROUND(f, 6) AS fitted
 FROM w ORDER BY day""",
+        # stages.fuzzy.entity_groups: CC (recursive min-label walk)
+        # over the verified fuzzy-match pair graph; canonical = min
+        # name per component, singletons map to themselves.
+        "entity_groups": """
+WITH RECURSIVE nm AS (SELECT DISTINCT p_name FROM part),
+tk AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM nm),
+cand AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+         FROM tk a JOIN tk b ON a.tok = b.tok AND a.p_name < b.p_name),
+pr AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 2),
+sym AS (SELECT na AS u, nb AS v FROM pr UNION ALL SELECT nb, na FROM pr),
+walk(v, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.v),
+c AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v)
+SELECT nm.p_name, COALESCE(c.comp, nm.p_name) AS canonical
+FROM nm LEFT JOIN c ON c.v = nm.p_name""",
     }

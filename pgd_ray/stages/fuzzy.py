@@ -104,3 +104,48 @@ def fuzzy_name_pairs(
                              "dist": pd.Series([], dtype=np.int64)})
     out["dist"] = out["dist"].astype(np.int64)
     return out.sort_values(["name_a", "name_b"], ignore_index=True)
+
+
+def entity_groups(sf_dir: str, max_dist: int = 2) -> ray.data.Dataset:
+    """Entity-resolution clusters: connected components of the
+    verified fuzzy-match pair graph over the DISTINCT name
+    vocabulary; ``canonical`` = lexicographically smallest name in the
+    component (singletons map to themselves).
+
+    Scale shape mirrors ``minhash_lsh_dedup``: the CC runs over
+    PARTICIPANTS only (names with >= 1 verified match — driver state
+    ∝ matches, not vocabulary), through the engine's distributed CC;
+    the assignment back onto the vocabulary is one broadcast
+    ``map_batches`` pass and the result stays a Dataset.  Columns
+    (p_name, canonical)."""
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+    from pgd_ray.graph.iterative import connected_components
+
+    pairs = fuzzy_name_pairs(sf_dir, max_dist=max_dist)
+    mapping: dict = {}
+    if not pairs.empty:
+        names = np.unique(np.concatenate([pairs["name_a"].to_numpy(object),
+                                          pairs["name_b"].to_numpy(object)]))
+        a = np.searchsorted(names, pairs["name_a"].to_numpy(object))
+        b = np.searchsorted(names, pairs["name_b"].to_numpy(object))
+        csr = csr_from_edge_arrays(a, b, n=len(names))
+        comp = connected_components(csr, n_workers=4)
+        # names is sorted, so the component's min dense id indexes its
+        # lexicographically smallest name — the canonical form
+        mapping = dict(zip(names.tolist(), names[comp].tolist()))
+    import ray as _ray
+    map_ref = _ray.put(mapping)
+
+    vocab = (
+        read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .groupby("p_name").aggregate(Count())
+        .select_columns(["p_name"])
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _ray.get(map_ref)
+        nm = t["p_name"].to_numpy(zero_copy_only=False)
+        canon = np.array([m.get(x, x) for x in nm], dtype=object)
+        return pa.table({"p_name": nm, "canonical": canon})
+
+    return vocab.map_batches(assign, batch_format="pyarrow")
