@@ -3102,6 +3102,26 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_rrf_fusion(sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion: BM25 top-20 for the
+    fixed query ⊕ cosine top-20 for probe vec 0, joined on
+    doc_id == vec_id — stages.similarity.rrf_fusion (the two rankers
+    are the distributed stages; fusion is two k-row lists)."""
+    import numpy as np
+
+    from pgd_ray.stages.similarity import rrf_fusion, topk_cosine
+    from pgd_ray.text.bm25 import bm25_rank
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bm = bm25_rank(docs, ["table", "sort", "hash"], k=20)
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 1").to_pandas()
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    cos = topk_cosine(emb, q, k=20, dtype=np.float64)
+    return rrf_fusion(bm, cos, k0=60, out_k=10)
+
+
 def _q_entity_groups(sf_dir):
     """Entity-resolution clusters: CC over the verified fuzzy-match
     pair graph, canonical = min name per component —
@@ -3373,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_reciprocity": _q_transition_reciprocity,
         "holt_daily": _q_holt_daily,
         "entity_groups": _q_entity_groups,
+        "rrf_fusion": _q_rrf_fusion,
     }
 
 
@@ -6793,4 +6814,55 @@ walk(v, comp) AS (
 c AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v)
 SELECT nm.p_name, COALESCE(c.comp, nm.p_name) AS canonical
 FROM nm LEFT JOIN c ON c.v = nm.p_name""",
+        # stages.similarity.rrf_fusion: BM25 top-20 (the bm25_rank
+        # chain verbatim) ⊕ cosine top-20 for probe vec 0; 1-based
+        # ranks, absent rank pinned -1, rrf = Σ 1/(60+rk).
+        "rrf_fusion": """
+WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+            FROM documents),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w0),
+w AS (SELECT doc_id, unnest(ws) AS t FROM w0),
+q AS (SELECT unnest(['table', 'sort', 'hash']) AS t),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(dl) AS DOUBLE) AS lsum FROM dl),
+dfr AS (SELECT q.t, CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS df
+        FROM q LEFT JOIN w ON w.t = q.t GROUP BY q.t),
+tf AS (SELECT w.doc_id, w.t, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w JOIN q ON q.t = w.t GROUP BY w.doc_id, w.t),
+sc AS (SELECT tf.doc_id,
+              SUM(ln(1 + ((SELECT n FROM st) - dfr.df + 0.5) / (dfr.df + 0.5))
+                  * tf.tf * (1.2 + 1)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                       ((SELECT lsum FROM st) / (SELECT n FROM st))))) AS s
+       FROM tf JOIN dfr ON dfr.t = tf.t JOIN dl ON dl.doc_id = tf.doc_id
+       GROUP BY tf.doc_id),
+rbm0 AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id)
+                AS rk
+         FROM sc WHERE ROUND(s, 6) > 0),
+rbm AS (SELECT doc_id AS id, CAST(rk AS BIGINT) AS rk FROM rbm0
+        WHERE rk <= 20),
+q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e.vec_id,
+                list_cosine_similarity(
+                  CAST((SELECT embedding FROM q0) AS DOUBLE[]),
+                  CAST(e.embedding AS DOUBLE[])) AS c
+         FROM embeddings e),
+rc0 AS (SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT)
+                 AS rk
+        FROM sims),
+rcos AS (SELECT vec_id AS id, rk FROM rc0 WHERE rk <= 20),
+u AS (SELECT COALESCE(rbm.id, rcos.id) AS id, rbm.rk AS r1, rcos.rk AS r2
+      FROM rbm FULL OUTER JOIN rcos ON rcos.id = rbm.id),
+f AS (SELECT id,
+             COALESCE(1.0 / (60 + r1), 0.0)
+               + COALESCE(1.0 / (60 + r2), 0.0) AS rrf,
+             CAST(COALESCE(r1, -1) AS BIGINT) AS rk_bm25,
+             CAST(COALESCE(r2, -1) AS BIGINT) AS rk_cosine
+      FROM u),
+top AS (SELECT id, ROUND(rrf, 9) AS rrf, rk_bm25, rk_cosine,
+               row_number() OVER (ORDER BY rrf DESC, id) AS rn
+        FROM f)
+SELECT CAST(id AS BIGINT) AS id, rrf, rk_bm25, rk_cosine
+FROM top WHERE rn <= 10""",
     }

@@ -676,15 +676,15 @@ class IterativeEngine:
             if self._refs is None:
                 self._refs = self.csr.put32()
             indptr_ref, indices_ref = self._refs
+            from pgd_ray.util import bound_cls
+
             out = self._block_ds.map_batches(
-                _PullBlockStage,
-                fn_constructor_kwargs={
-                    "indptr_ref": indptr_ref,
-                    "indices_ref": indices_ref,
-                    "state_ref": state_ref,
-                    "program": self.program,
-                    "extras": extras,
-                },
+                bound_cls(_PullBlockStage,
+                          indptr_ref=indptr_ref,
+                          indices_ref=indices_ref,
+                          state_ref=state_ref,
+                          program=self.program,
+                          extras=extras),
                 batch_format="pyarrow",
                 batch_size=1,
                 concurrency=(1, self.n_workers),

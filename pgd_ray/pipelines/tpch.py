@@ -636,10 +636,12 @@ def q14(
                 "total": pa.array([float(rev.sum())], pa.float64()),
             })
 
+    from pgd_ray.util import bound_cls
+
     promo_sum = total_sum = 0.0
     for b in li.map_batches(
-        Part, batch_format="pyarrow", batch_size=65536, concurrency=(1, 8),
-        fn_constructor_kwargs={"lookup_ref": ref},
+        bound_cls(Part, lookup_ref=ref), batch_format="pyarrow",
+        batch_size=65536, concurrency=(1, 8),
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
         promo_sum += float(b["promo"].to_numpy(zero_copy_only=False).sum())
         total_sum += float(b["total"].to_numpy(zero_copy_only=False).sum())

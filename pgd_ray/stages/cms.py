@@ -32,6 +32,8 @@ from ray.data.aggregate import Sum
 
 from pgd_ray.text.hashing import U64, splitmix64
 
+from pgd_ray.util import bound_cls
+
 CMS_C = 0x9E3779B97F4A7C15  # golden-ratio row key (matches _P2)
 
 
@@ -113,8 +115,8 @@ def cms_estimate(
     sketch is ``ray.put`` once and fetched once per worker."""
     ref = ray.put(np.ascontiguousarray(sketch))
     return ds.select_columns([col]).map_batches(
-        _Estimate, batch_format="pyarrow", batch_size=65536,
+        bound_cls(_Estimate, sketch_ref=ref, col=col,
+                  width=sketch.shape[1]),
+        batch_format="pyarrow", batch_size=65536,
         concurrency=concurrency,
-        fn_constructor_kwargs={"sketch_ref": ref, "col": col,
-                               "width": sketch.shape[1]},
     )

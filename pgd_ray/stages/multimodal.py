@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from pgd_ray.util import bound_cls
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -193,8 +195,7 @@ def resize_images(
     """Fixed-size thumbnailing over a media Dataset — small batches
     for the same heap reasons as ``decode_images``."""
     return media.map_batches(
-        ResizeImages,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        bound_cls(ResizeImages, out_w=out_w, out_h=out_h),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -257,8 +258,7 @@ def decode_images(
         magic = (first[0]["payload"] or b"")[:2] if first else b""
         use_real = magic in (b"BM", b"P6", b"\x89P")
     return media.map_batches(
-        ImageDecodeFeatures,
-        fn_constructor_kwargs={"use_real": use_real},
+        bound_cls(ImageDecodeFeatures, use_real=use_real),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -271,8 +271,7 @@ def sample_frames(
     use_real: bool = False,
 ) -> ray.data.Dataset:
     return media.map_batches(
-        AudioFrameSample,
-        fn_constructor_kwargs={"n_frames": n_frames, "use_real": use_real},
+        bound_cls(AudioFrameSample, n_frames=n_frames, use_real=use_real),
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,

@@ -58,6 +58,58 @@ def _local_topk(sims: np.ndarray, vid: np.ndarray, kk: int) -> np.ndarray:
     return cand[order]
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    """Fetch a broadcast object once per worker PROCESS (module cache,
+    the joins._key_filter pattern) — task stages stay actor-free, so
+    no constructor refs sit in the object store (ray#53727)."""
+    ck = ref.hex() if isinstance(ref, ray.ObjectRef) else None
+    val = _BCAST_CACHE.get(ck)
+    if val is None:
+        val = ray.get(ref) if ck is not None else ref
+        if ck is not None:
+            _BCAST_CACHE.clear()
+            _BCAST_CACHE[ck] = val
+    return val
+
+
+def _ivf_score(b: pa.Table, pq_ref, k: int, dtype) -> pa.Table:
+    """Task-stage IVF probe scorer: (probes, q) fetched through the
+    per-worker module cache."""
+    probes, q = _cached_get(pq_ref)
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "vec_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    if b.num_rows == 0:
+        return empty
+    vid = b["vec_id"].to_numpy(zero_copy_only=False)
+    cid = b["cid"].to_numpy(zero_copy_only=False)
+    m = _normalize(_stack_embeddings(b["embedding"], dtype))
+    out = []
+    for qi in range(len(q)):
+        mask = np.isin(cid, probes[qi])
+        if not mask.any():
+            continue
+        sims = m[mask] @ q[qi]
+        kk = min(k, len(sims))
+        mvid = vid[mask]
+        sel = _local_topk(sims, mvid, kk)
+        out.append(
+            pa.table(
+                {
+                    "query_id": np.full(len(sel), qi, np.int64),
+                    "vec_id": mvid[sel].astype(np.int64),
+                    "cosine": sims[sel].astype(np.float64),
+                }
+            )
+        )
+    return pa.concat_tables(out) if out else empty
+
+
 def topk_cosine(
     emb: ray.data.Dataset,
     queries: np.ndarray,
@@ -71,38 +123,38 @@ def topk_cosine(
     mirrors DuckDB's double-precision list_cosine_similarity for the
     oracle comparison; float32 is the fast path."""
     q = _normalize(np.asarray(queries, dtype=dtype))
-    q_ref = ray.put(q)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            vid = b["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize(_stack_embeddings(b["embedding"], dtype))
-            if len(m) == 0:
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())}
+    # plain-function task stage (query matrix is nq×d — small by
+    # contract, shipped in the closure): an actor pool here would put
+    # its constructor state in the object store, the ray#53727
+    # restart hazard
+    def scorer(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack_embeddings(b["embedding"], dtype))
+        if len(m) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        sims = q @ m.T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        rows = []
+        for qi in range(sims.shape[0]):
+            sel = _local_topk(sims[qi], vid, kk)
+            rows.append(
+                pa.table(
+                    {
+                        "query_id": np.full(len(sel), qi, np.int64),
+                        "vec_id": vid[sel].astype(np.int64),
+                        "cosine": sims[qi, sel].astype(np.float64),
+                    }
                 )
-            sims = self.q @ m.T  # (nq, nb)
-            kk = min(k, sims.shape[1])
-            rows = []
-            for qi in range(sims.shape[0]):
-                sel = _local_topk(sims[qi], vid, kk)
-                rows.append(
-                    pa.table(
-                        {
-                            "query_id": np.full(len(sel), qi, np.int64),
-                            "vec_id": vid[sel].astype(np.int64),
-                            "cosine": sims[qi, sel].astype(np.float64),
-                        }
-                    )
-                )
-            return pa.concat_tables(rows)
+            )
+        return pa.concat_tables(rows)
 
+    task_cap = concurrency[1] if isinstance(concurrency, tuple) else concurrency
     cands = emb.select_columns(["vec_id", "embedding"]).map_batches(
-        Scorer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        scorer, batch_format="pyarrow", batch_size=batch_size, concurrency=task_cap
     ).to_pandas()
     # driver merge: #batches×k rows per query
     cands = cands.sort_values(
@@ -263,48 +315,14 @@ class IVFIndex:
         if not paths:
             return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
         part = read_parquet_clean(paths, columns=["vec_id", "embedding", "cid"])
-        p_ref = ray.put(probes)
-        q_ref = ray.put(q)
+        pq_ref = ray.put((probes, q))
 
-        class Scorer:
-            def __init__(self):
-                self.probes = ray.get(p_ref)
-                self.q = ray.get(q_ref)
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                empty = pa.table(
-                    {"query_id": pa.array([], pa.int64()),
-                     "vec_id": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())}
-                )
-                if b.num_rows == 0:
-                    return empty
-                vid = b["vec_id"].to_numpy(zero_copy_only=False)
-                cid = b["cid"].to_numpy(zero_copy_only=False)
-                m = _normalize(_stack_embeddings(b["embedding"], dtype))
-                out = []
-                for qi in range(len(self.q)):
-                    mask = np.isin(cid, self.probes[qi])
-                    if not mask.any():
-                        continue
-                    sims = m[mask] @ self.q[qi]
-                    kk = min(k, len(sims))
-                    mvid = vid[mask]
-                    sel = _local_topk(sims, mvid, kk)
-                    out.append(
-                        pa.table(
-                            {
-                                "query_id": np.full(len(sel), qi, np.int64),
-                                "vec_id": mvid[sel].astype(np.int64),
-                                "cosine": sims[sel].astype(np.float64),
-                            }
-                        )
-                    )
-                return pa.concat_tables(out) if out else empty
-
+        cap = concurrency[1] if isinstance(concurrency, (tuple, list)) \
+            else concurrency
         cands = part.map_batches(
-            Scorer, batch_format="pyarrow", batch_size=8192,
-            concurrency=concurrency,
+            _ivf_score, batch_format="pyarrow", batch_size=8192,
+            concurrency=cap,
+            fn_kwargs={"pq_ref": pq_ref, "k": k, "dtype": dtype},
         ).to_pandas()
         if cands.empty:
             return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
@@ -427,36 +445,37 @@ def knn_edges(
     m_all = _normalize(np.stack(corpus["embedding"].to_numpy()).astype(dtype))
     ref = ray.put((vid_all, m_all))
 
-    class Scorer:
-        def __init__(self):
-            self.vid, self.m = ray.get(ref)
+    def scorer(b: pa.Table) -> pa.Table:
+        # broadcast corpus fetched once per worker via the module
+        # cache — task stage, no actor constructor refs (ray#53727)
+        vid_c, m_c = _cached_get(ref)
+        qid = b["vec_id"].to_numpy(zero_copy_only=False)
+        q = _normalize(_stack_embeddings(b["embedding"], dtype))
+        if len(q) == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        sims = q @ m_c.T
+        outs, outd = [], []
+        for i in range(len(qid)):
+            s = sims[i].copy()
+            s[vid_c == qid[i]] = -np.inf  # exclude self
+            kk = min(k, len(s) - 1)
+            if kk <= 0:
+                continue  # singleton corpus: no neighbors
+            sel = _local_topk(s, vid_c, kk)
+            outs.append(np.full(len(sel), qid[i], np.int64))
+            outd.append(vid_c[sel].astype(np.int64))
+        if not outs:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs)),
+                         "dst": pa.array(np.concatenate(outd))})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            qid = b["vec_id"].to_numpy(zero_copy_only=False)
-            q = _normalize(_stack_embeddings(b["embedding"], dtype))
-            if len(q) == 0:
-                return pa.table({"src": pa.array([], pa.int64()),
-                                 "dst": pa.array([], pa.int64())})
-            sims = q @ self.m.T
-            outs, outd = [], []
-            for i in range(len(qid)):
-                s = sims[i].copy()
-                s[self.vid == qid[i]] = -np.inf  # exclude self
-                kk = min(k, len(s) - 1)
-                if kk <= 0:
-                    continue  # singleton corpus: no neighbors
-                sel = _local_topk(s, self.vid, kk)
-                outs.append(np.full(len(sel), qid[i], np.int64))
-                outd.append(self.vid[sel].astype(np.int64))
-            if not outs:
-                return pa.table({"src": pa.array([], pa.int64()),
-                                 "dst": pa.array([], pa.int64())})
-            return pa.table({"src": pa.array(np.concatenate(outs)),
-                             "dst": pa.array(np.concatenate(outd))})
-
+    cap = concurrency[1] if isinstance(concurrency, (tuple, list)) \
+        else concurrency
     return emb.select_columns(["vec_id", "embedding"]).map_batches(
-        Scorer, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        scorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=cap,
     ).to_pandas()
 
 
@@ -495,3 +514,42 @@ def mutual_knn_clusters(emb: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
                 break
     return pd.DataFrame({"vec_id": verts, "cluster": lab}).sort_values(
         "vec_id", ignore_index=True)
+
+
+def rrf_fusion(
+    bm25_top: pd.DataFrame,
+    cosine_top: pd.DataFrame,
+    k0: int = 60,
+    out_k: int = 10,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion of a lexical (BM25) and a dense
+    (cosine top-k) ranking — the standard hybrid-retrieval combiner:
+    rrf(d) = Σ_lists 1/(k0 + rank_d), 1-based ranks, absent list
+    contributes 0.  Inputs are the two top-k frames produced by
+    ``text.bm25.bm25_rank`` (doc_id, score, rk — 1-based) and
+    ``topk_cosine`` for ONE query (query_id, rank — 0-based, vec_id,
+    cosine), joined on doc_id == vec_id.  Output (id, rrf, rk_bm25,
+    rk_cosine) — absent ranks pinned to -1 — top ``out_k`` by
+    (rrf DESC, id).  Fusion input is two k-row lists, so this is
+    driver arithmetic by construction; the heavy distributed work is
+    in the two rankers."""
+    r1 = dict(zip(bm25_top["doc_id"].astype(int),
+                  bm25_top["rk"].astype(int)))
+    r2 = dict(zip(cosine_top["vec_id"].astype(int),
+                  cosine_top["rank"].astype(int) + 1))
+    ids = sorted(set(r1) | set(r2))
+    rows = []
+    for i in ids:
+        a, b = r1.get(i), r2.get(i)
+        s = (1.0 / (k0 + a) if a is not None else 0.0) + \
+            (1.0 / (k0 + b) if b is not None else 0.0)
+        rows.append((i, s, a if a is not None else -1,
+                     b if b is not None else -1))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    rows = rows[:out_k]
+    return pd.DataFrame({
+        "id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "rrf": np.round(np.array([r[1] for r in rows]), 9),
+        "rk_bm25": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "rk_cosine": pd.Series([r[3] for r in rows], dtype=np.int64),
+    })

@@ -31,6 +31,8 @@ import ray.data
 
 from pgd_ray.text.analysis import TOKEN_RE
 
+from pgd_ray.util import bound_cls
+
 _OUT = ("doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk_text")
 
 
@@ -87,8 +89,7 @@ def chunk_documents(
     if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _Chunker, batch_format="pandas", batch_size=batch_size,
+        bound_cls(_Chunker, chunk_tokens=chunk_tokens, overlap=overlap),
+        batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"chunk_tokens": chunk_tokens,
-                               "overlap": overlap},
     )

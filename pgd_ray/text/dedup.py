@@ -37,6 +37,7 @@ from pgd_ray.text.hashing import (
     poly_ngram_hash,
     poly_segment_hash128,
 )
+from pgd_ray.util import bound_cls
 
 _MERSENNE = (1 << 61) - 1
 
@@ -288,8 +289,7 @@ def candidate_pairs_minhash_ds(
 
     rows = num_perm // bands
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
-        _MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        bound_cls(_MinHasher, num_perm=num_perm, k=k),
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=concurrency,
@@ -319,8 +319,7 @@ def candidate_pairs_minhash_ds(
     sh_ds = _candidate_shingle_ds(docs, cand_ids, k)
     refs = sh_ds.to_arrow_refs()
     verified = cand.map_batches(
-        _JaccardVerify,
-        fn_constructor_kwargs={"refs": refs},
+        bound_cls(_JaccardVerify, refs=refs),
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=concurrency,
@@ -369,6 +368,47 @@ def ngram_jaccard_pairs(
     )
     pairs["jaccard"] = np.round(pairs["jaccard"].to_numpy(), 6)
     return pairs.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+_COSV_CACHE: dict = {}
+
+
+def _cos_verify(b: pa.Table, refs, threshold: float) -> pa.Table:
+    """Task-stage exact-cosine pair verifier: the normalized corpus
+    matrix is assembled from the broadcast block refs ONCE per worker
+    process (module cache — no actor constructor refs in the object
+    store, the ray#53727 restart hazard class)."""
+    from pgd_ray.stages.similarity import _stack_embeddings
+
+    key = tuple(r.binary() for r in refs)
+    st = _COSV_CACHE.get(key)
+    if st is None:
+        ids, mats = [], []
+        for r in refs:
+            tt = ray.get(r)
+            if tt.num_rows:
+                ids.append(tt["vec_id"].to_numpy(zero_copy_only=False))
+                mats.append(_stack_embeddings(tt["embedding"], np.float64))
+        iall = np.concatenate(ids)
+        mat = np.concatenate(mats)
+        order = np.argsort(iall)
+        st = (iall[order], mat[order])
+        _COSV_CACHE.clear()
+        _COSV_CACHE[key] = st
+    sids, smat = st
+    a = b["doc_a"].to_numpy(zero_copy_only=False)
+    d = b["doc_b"].to_numpy(zero_copy_only=False)
+    ia = np.searchsorted(sids, a)
+    ib = np.searchsorted(sids, d)
+    cos = np.einsum("ij,ij->i", smat[ia], smat[ib])
+    keep = cos >= threshold
+    return pa.table(
+        {
+            "vec_a": a[keep].astype(np.int64),
+            "vec_b": d[keep].astype(np.int64),
+            "cosine": cos[keep].astype(np.float64),
+        }
+    )
 
 
 def _groups_from_pairs(n_docs_ids: np.ndarray, pairs: pd.DataFrame) -> pd.DataFrame:
@@ -587,7 +627,7 @@ def embedding_neardup(
     r_ref = ray.put(R)
 
     def norm_batch(t: pa.Table) -> pa.Table:
-        from pgd_ray.util import list_array_2d
+        from pgd_ray.util import list_array_2d, bound_cls
 
         m = _stack_embeddings(t["embedding"], dtype)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -637,41 +677,13 @@ def embedding_neardup(
 
     refs = norm_ds.to_arrow_refs()
 
-    class CosVerify:
-        """Worker-held normalized matrix from block refs (broadcast
-        model, as topk_cosine); exact per-pair cosine via one einsum."""
-
-        def __init__(self):
-            ids, mats = [], []
-            for r in refs:
-                tt = ray.get(r)
-                if tt.num_rows:
-                    ids.append(tt["vec_id"].to_numpy(zero_copy_only=False))
-                    mats.append(_stack_embeddings(tt["embedding"], np.float64))
-            self.ids = np.concatenate(ids)
-            mat = np.concatenate(mats)
-            order = np.argsort(self.ids)
-            self.ids, self.mat = self.ids[order], mat[order]
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            a = b["doc_a"].to_numpy(zero_copy_only=False)
-            d = b["doc_b"].to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(self.ids, a)
-            ib = np.searchsorted(self.ids, d)
-            cos = np.einsum("ij,ij->i", self.mat[ia], self.mat[ib])
-            keep = cos >= threshold
-            return pa.table(
-                {
-                    "vec_a": a[keep].astype(np.int64),
-                    "vec_b": d[keep].astype(np.int64),
-                    "cosine": cos[keep].astype(np.float64),
-                }
-            )
-
+    cap = concurrency[1] if isinstance(concurrency, (tuple, list)) \
+        else concurrency
     out = (
         ray.data.from_pandas(pairs)
-        .map_batches(CosVerify, batch_format="pyarrow", batch_size=1 << 16,
-                     concurrency=concurrency)
+        .map_batches(_cos_verify, batch_format="pyarrow", batch_size=1 << 16,
+                     concurrency=cap,
+                     fn_kwargs={"refs": refs, "threshold": threshold})
         .to_pandas()
     )
     if out.empty:

@@ -22,6 +22,8 @@ import re
 import pandas as pd
 import ray.data
 
+from pgd_ray.util import bound_cls
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
@@ -66,6 +68,6 @@ def pii_scan(
 ) -> ray.data.Dataset:
     """Columns (doc_id, n_emails, n_phones, n_ips[, clean_text])."""
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _PIIScan, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency, fn_constructor_kwargs={"redact": redact},
+        bound_cls(_PIIScan, redact=redact), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
     )

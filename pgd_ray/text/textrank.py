@@ -43,6 +43,8 @@ import ray.data
 
 from pgd_ray.text.analysis import WORD_RE, vocab_topk
 
+from pgd_ray.util import bound_cls
+
 
 class _VocabBigrams:
     """Per-batch co-occurrence partials: emits the batch-local DISTINCT
@@ -100,9 +102,9 @@ def textrank_keywords(
 
     pairs = (
         docs.select_columns(["text"])
-        .map_batches(_VocabBigrams, batch_format="pandas", batch_size=4096,
-                     concurrency=concurrency,
-                     fn_constructor_kwargs={"word_id": word_id})
+        .map_batches(bound_cls(_VocabBigrams, word_id=word_id),
+                     batch_format="pandas", batch_size=4096,
+                     concurrency=concurrency)
         .groupby(["lo", "hi"])
         .aggregate(Count(alias_name="_n"))
         .to_pandas()  # ≤ vocab_size²/2 rows by construction

@@ -65,3 +65,21 @@ def list_array_2d(m, value_type=None):
     offs = np.arange(nrows + 1, dtype=np.int64) * k
     vals = pa.array(m.reshape(-1), value_type) if value_type else pa.array(m.reshape(-1))
     return pa.LargeListArray.from_arrays(offs, vals)
+
+
+def bound_cls(cls, /, **kwargs):
+    """Subclass of ``cls`` whose no-arg ``__init__`` applies
+    ``kwargs`` — actor-pool ``map_batches`` stages built this way need
+    no ``fn_constructor_kwargs``, so Ray never parks constructor
+    arguments in the object store (the ray#53727 restart hazard: an
+    actor whose plasma-held ctor args are evicted cannot restart).
+    The bound values travel inside the serialized class definition
+    instead, which restarts re-deserialize self-contained."""
+
+    class _Bound(cls):
+        def __init__(self):
+            super().__init__(**kwargs)
+
+    _Bound.__name__ = cls.__name__
+    _Bound.__qualname__ = getattr(cls, "__qualname__", cls.__name__)
+    return _Bound
