@@ -3102,6 +3102,70 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_pq_codes(sf_dir):
+    """Product-quantization codes + reconstruction error (m=4
+    subspaces × k=16 round-6 Lloyd codebooks) —
+    stages.quantization.pq_codes (m×iters streamed Lloyd passes, one
+    broadcast-codebook encode pass, Dataset out)."""
+    from pgd_ray.stages.quantization import pq_codes
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    codes, _ = pq_codes(emb, m=4, k=16, iters=3)
+    return codes
+
+
+def _pq_sql(m: int = 4, k: int = 16, iters: int = 3) -> str:
+    """Mirror of stages.quantization.pq_codes: one _kmeans_sql-style
+    round-6 Lloyd chain PER SUBSPACE over the 1-based inclusive list
+    slice, final assignment carrying the squared distance, codes
+    joined on vec_id, sqerr = left-associated subspace sum."""
+    parts = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+             "dd AS (SELECT len(v) AS d FROM e LIMIT 1)"]
+    assign = """{name} AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.v), c.cid) AS rk
+  FROM {src} e CROSS JOIN {cent} c) WHERE rk = 1)"""
+    for j in range(m):
+        p = f"s{j}"
+        parts.append(
+            f"""{p}e AS (SELECT vec_id,
+       v[CAST({j} * (SELECT d FROM dd) / {m} + 1 AS BIGINT)
+         : CAST({j + 1} * (SELECT d FROM dd) / {m} AS BIGINT)] AS v
+       FROM e)""")
+        parts.append(
+            f"""{p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+       FROM (SELECT vec_id, v FROM {p}e ORDER BY vec_id LIMIT {k}))""")
+        for i in range(1, iters + 1):
+            parts.append(assign.format(name=f"{p}a{i}", src=f"{p}e",
+                                       cent=f"{p}c{i - 1}"))
+            parts.append(
+                f"""{p}m{i} AS (SELECT cid, dim, ROUND(SUM(x)/COUNT(*), 6) AS cx FROM (
+  SELECT cid, CAST(unnest(v) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(v))) AS dim FROM {p}a{i}) GROUP BY cid, dim)""")
+            parts.append(
+                f"""{p}c{i} AS (SELECT p.cid, COALESCE(l.v, p.v) AS v FROM {p}c{i - 1} p
+  LEFT JOIN (SELECT cid, list(cx ORDER BY dim) AS v FROM {p}m{i} GROUP BY cid) l
+  ON l.cid = p.cid)""")
+        parts.append(
+            f"""{p}af AS (SELECT vec_id, cid, d2 FROM (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.v), c.cid) AS rk
+  FROM {p}e e CROSS JOIN {p}c{iters} c) WHERE rk = 1)""")
+    code_cols = ", ".join(
+        f"CAST(s{j}af.cid AS BIGINT) AS code_{j}" for j in range(m))
+    err = " + ".join(f"s{j}af.d2" for j in range(m))
+    joins = " ".join(
+        f"JOIN s{j}af ON s{j}af.vec_id = s0af.vec_id" for j in range(1, m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT s0af.vec_id, {code_cols}, ROUND({err}, 6) AS sqerr"
+            + f"\nFROM s0af {joins}")
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion: BM25 top-20 for the
     fixed query ⊕ cosine top-20 for probe vec 0, joined on
@@ -3394,6 +3458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_daily": _q_holt_daily,
         "entity_groups": _q_entity_groups,
         "rrf_fusion": _q_rrf_fusion,
+        "pq_codes": _q_pq_codes,
     }
 
 
@@ -6865,4 +6930,5 @@ top AS (SELECT id, ROUND(rrf, 9) AS rrf, rk_bm25, rk_cosine,
         FROM f)
 SELECT CAST(id AS BIGINT) AS id, rrf, rk_bm25, rk_cosine
 FROM top WHERE rn <= 10""",
+        "pq_codes": _pq_sql(4, 16, 3),
     }

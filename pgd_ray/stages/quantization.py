@@ -88,3 +88,82 @@ def quantization_error(
 
     return ds.select_columns([id_col, col]).map_batches(
         err, batch_format="pyarrow")
+
+
+def pq_codes(
+    emb: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Product quantization (the IVF-PQ compression path): the d dims
+    are split into ``m`` contiguous subspaces and each subspace gets
+    its own ``k``-centroid Lloyd codebook (the engine's bit-stable
+    round-6 ``kmeans_fit``, run per subspace over a sliced view of the
+    corpus); codes = per-subspace argmin centroid (ties → smallest
+    id, the kmeans assignment contract).  Returns (codes Dataset with
+    columns [id_col, code_0..code_{m-1}, sqerr], centroid tensor
+    (m, k, d/m)); sqerr is the squared reconstruction error, rounded
+    to 6.  Storage: d floats → m uint8-sized codes per vector.
+
+    Distribution: m×iters streamed Lloyd passes (partial-sum shuffles
+    of k·d/m rows each) + ONE encode pass against the broadcast
+    codebooks — nothing ∝ corpus rows ever reaches the driver."""
+    from pgd_ray.graph.cache import get_cached
+    from pgd_ray.stages.clustering import kmeans_fit
+
+    first = emb.select_columns([vec_col]).limit(1).to_pandas()
+    if first.empty:
+        raise ValueError("pq_codes: empty embedding table")
+    d = len(first[vec_col].iloc[0])
+    if d % m != 0:
+        raise ValueError(f"pq_codes: dim {d} not divisible by m={m}")
+    sub = d // m
+
+    src = emb.select_columns([id_col, vec_col]).materialize()
+    cents = []
+    for j in range(m):
+        lo = j * sub
+
+        def slice_batch(t: pa.Table, lo=lo) -> pa.Table:
+            c = t[vec_col].combine_chunks()
+            if len(c) == 0:
+                return pa.table({id_col: t[id_col], vec_col: c})
+            flat = (c.flatten().to_numpy(zero_copy_only=False)
+                    .astype(np.float64).reshape(len(c), -1))
+            from pgd_ray.util import list_array_2d
+
+            return pa.table({id_col: t[id_col],
+                             vec_col: list_array_2d(flat[:, lo:lo + sub])})
+
+        sliced = src.map_batches(slice_batch, batch_format="pyarrow")
+        _, cj = kmeans_fit(sliced, k=k, iters=iters,
+                           vec_col=vec_col, id_col=id_col)
+        cents.append(cj)
+    C = np.stack(cents)  # (m, k, sub)
+    cref = ray.put(C)
+
+    def encode(t: pa.Table) -> pa.Table:
+        Cb = get_cached(cref)
+        c = t[vec_col].combine_chunks()
+        cols = {id_col: t[id_col]}
+        if len(c) == 0:
+            for j in range(m):
+                cols[f"code_{j}"] = pa.array([], pa.int64())
+            cols["sqerr"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        X = (c.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(len(c), -1))
+        err = np.zeros(len(X))
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            d2 = ((Xj[:, None, :] - Cb[j][None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            cols[f"code_{j}"] = pa.array(a.astype(np.int64))
+            err += d2[np.arange(len(X)), a]
+        cols["sqerr"] = pa.array(np.round(err, 6))
+        return pa.table(cols)
+
+    return src.map_batches(encode, batch_format="pyarrow"), C
