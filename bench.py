@@ -171,6 +171,7 @@ def run_bench() -> dict:
     r3dops = _round3d_ops(dense, csr, vids, nw)
     r3eops = _round3e_ops(dense, csr, vids, nw)
     r3fops = _round3f_ops(dense, csr, vids, nw)
+    r3gops = _round3g_ops(dense, csr, vids, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -195,6 +196,7 @@ def run_bench() -> dict:
         "round3d_ops_sec": r3dops,
         "round3e_ops_sec": r3eops,
         "round3f_ops_sec": r3fops,
+        "round3g_ops_sec": r3gops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -990,6 +992,25 @@ def _round3f_ops(dense, csr, vids, nw: int) -> dict:
                       ("key_skew", "key_skew")]:
         t0 = time.perf_counter()
         res = E.queries()[key](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _round3g_ops(dense, csr, vids, nw: int) -> dict:
+    """Wall time of the session-6 operators (auxiliary): drift
+    monitors (PSI + exact KS), Holt smoothing, role homophily,
+    transition reciprocity, entity-resolution groups, RRF fusion and
+    product quantization."""
+    import __ray_entry__ as E
+
+    out = {}
+    for name in ["psi_value", "ks_value", "holt_daily",
+                 "role_assortativity", "transition_reciprocity",
+                 "entity_groups", "rrf_fusion", "pq_codes"]:
+        t0 = time.perf_counter()
+        res = E.queries()[name](SF_DIR)
         if hasattr(res, "materialize"):
             res.materialize()
         out[name] = round(time.perf_counter() - t0, 3)
