@@ -3102,6 +3102,24 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_kaplan_meier(sf_dir):
+    """Kaplan–Meier user-lifetime survival curve (7-day churn rule,
+    right-censoring at corpus end) — stages.retention.kaplan_meier
+    (two hash aggregations; O(#distinct durations) driver recursion)."""
+    from pgd_ray.stages.retention import kaplan_meier
+
+    return kaplan_meier(sf_dir, churn_days=7)
+
+
+def _q_tool_scc(sf_dir):
+    """Strongly connected components of the tool-transition digraph —
+    stages.conv_stats.tool_scc (shared transition plan + boolean
+    closure on the O(#tools²) vocabulary digraph)."""
+    from pgd_ray.stages.conv_stats import tool_scc
+
+    return tool_scc(_transcripts_ds(sf_dir))
+
+
 def _q_pq_codes(sf_dir):
     """Product-quantization codes + reconstruction error (m=4
     subspaces × k=16 round-6 Lloyd codebooks) —
@@ -3459,6 +3477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_groups": _q_entity_groups,
         "rrf_fusion": _q_rrf_fusion,
         "pq_codes": _q_pq_codes,
+        "tool_scc": _q_tool_scc,
+        "kaplan_meier": _q_kaplan_meier,
     }
 
 
@@ -6931,4 +6951,52 @@ top AS (SELECT id, ROUND(rrf, 9) AS rrf, rk_bm25, rk_cosine,
 SELECT CAST(id AS BIGINT) AS id, rrf, rk_bm25, rk_cosine
 FROM top WHERE rn <= 10""",
         "pq_codes": _pq_sql(4, 16, 3),
+        # stages.conv_stats.tool_scc: SCC = mutual reachability over
+        # the distinct-transition digraph; scc = MIN mutually
+        # reachable tool (self-pairs make singletons well-defined).
+        "tool_scc": f"""
+WITH RECURSIVE {_T_CTE},
+tv AS (SELECT DISTINCT tool FROM t),
+g AS (SELECT tool AS a,
+             LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+      FROM t),
+c AS (SELECT DISTINCT a, b FROM g WHERE b IS NOT NULL AND a <> b),
+walk(s, v) AS (
+  SELECT tool, tool FROM tv
+  UNION
+  SELECT walk.s, c.b FROM walk JOIN c ON c.a = walk.v),
+mut AS (SELECT w1.s AS a, w1.v AS b
+        FROM walk w1 JOIN walk w2 ON w2.s = w1.v AND w2.v = w1.s)
+SELECT a AS tool, MIN(b) AS scc FROM mut GROUP BY a""",
+        # stages.retention.kaplan_meier: KM product-limit estimator
+        # over integer lifetime days; event = last activity > 7 days
+        # before corpus end; the product is the recursive CTE walking
+        # durations in order (events before censoring at ties).
+        "kaplan_meier": """
+WITH RECURSIVE ue AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+                             MAX(epoch_us(ts)) AS t1
+                      FROM events GROUP BY user_id),
+ce AS (SELECT MAX(epoch_us(ts)) AS e FROM events),
+du AS (SELECT (t1 - t0) // 86400000000 AS dur,
+              CASE WHEN (SELECT e FROM ce) - t1 > 7 * 86400000000
+                   THEN 1 ELSE 0 END AS ev
+       FROM ue),
+g AS (SELECT dur, SUM(ev) AS d, SUM(1 - ev) AS c FROM du GROUP BY dur),
+r AS (SELECT dur, d, c, row_number() OVER (ORDER BY dur) AS rk FROM g),
+tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM g),
+atr AS (SELECT dur, d, c, rk,
+               (SELECT n FROM tot)
+                 - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM r),
+km(rk, s) AS (
+  SELECT 0, CAST(1.0 AS DOUBLE)
+  UNION ALL
+  SELECT atr.rk, km.s * (1 - CAST(atr.d AS DOUBLE) / atr.n_risk)
+  FROM km JOIN atr ON atr.rk = km.rk + 1)
+SELECT atr.dur AS dur_days, CAST(atr.n_risk AS BIGINT) AS n_risk,
+       CAST(atr.d AS BIGINT) AS n_events, CAST(atr.c AS BIGINT) AS n_censored,
+       ROUND(km.s, 9) AS survival
+FROM km JOIN atr ON atr.rk = km.rk ORDER BY dur_days""",
     }

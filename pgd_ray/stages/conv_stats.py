@@ -360,3 +360,37 @@ def conversations_to_documents(
                         "n_turns": stitched["n_turns"]
                         .to_numpy(np.int64)})
     return final.union(ray.data.from_pandas(sdf))
+
+
+def tool_scc(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Strongly connected components of the tool-transition DIGRAPH
+    (the directed structure reciprocity summarizes): scc = the
+    lexicographically smallest tool mutually reachable with this one.
+    The distributed stage is the shared sorted-block transition plan;
+    the closure runs on the O(#tools²) vocabulary digraph (driver
+    rows = output size, the mixing-matrix convention).  Columns
+    (tool, scc), one row per distinct tool, ordered by tool."""
+    c = _transition_counts(transcripts, "tool", "a", "b")
+    # vocabulary = every tool seen anywhere in the table (not only
+    # transition participants): one distributed distinct
+    vocab = (
+        transcripts.select_columns(["tool"]).groupby("tool")
+        .aggregate(Count()).to_pandas()["tool"].to_numpy(object)
+    )
+    names = np.sort(vocab)
+    n = len(names)
+    reach = np.eye(n, dtype=bool)
+    if not c.empty:
+        ia = np.searchsorted(names, c["a"].to_numpy(object))
+        ib = np.searchsorted(names, c["b"].to_numpy(object))
+        reach[ia, ib] = True
+    # transitive closure by repeated boolean squaring (O(log n) matmuls
+    # over the tiny vocabulary matrix)
+    while True:
+        nxt = reach | (reach @ reach)
+        if (nxt == reach).all():
+            break
+        reach = nxt
+    mutual = reach & reach.T
+    scc_idx = np.argmax(mutual, axis=1)  # first True = smallest index
+    return pd.DataFrame({"tool": names, "scc": names[scc_idx]})

@@ -97,3 +97,70 @@ def cohort_retention(
         .aggregate(Count(alias_name="users"))
     )
     return out
+
+
+def kaplan_meier(sf_dir: str, churn_days: int = 7) -> pd.DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days between a
+    user's first and last event).  A user whose last event is more
+    than ``churn_days`` before the corpus end is an observed CHURN
+    (event=1); later last-events are right-censored (the corpus ended
+    before we could see them churn) — the textbook estimator growth
+    analytics runs on activity data.
+
+    Distribution: one tiny global-max pass + one per-user (Min, Max)
+    hash aggregation + one (duration, event) count aggregation — the
+    driver sees O(#distinct durations) rows and runs the inherently
+    sequential product recurrence over them.  Columns (dur_days,
+    n_risk, n_events, n_censored, survival), survival rounded 9;
+    events precede censoring at tied times (standard convention —
+    censored users still count in that time's risk set)."""
+    from ray.data.aggregate import Max, Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "tu": t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64())})
+
+    tus = ev.map_batches(keyed, batch_format="pyarrow")
+    end = int(tus.aggregate(Max("tu"))["max(tu)"])
+    per_user = (
+        tus.groupby("user_id")
+        .aggregate(Min("tu", alias_name="t0"), Max("tu", alias_name="t1"))
+    )
+
+    day_us = 86_400_000_000
+
+    def dur_ev(t: pa.Table) -> pa.Table:
+        t0 = t["t0"].to_numpy(zero_copy_only=False)
+        t1 = t["t1"].to_numpy(zero_copy_only=False)
+        dur = (t1 - t0) // day_us
+        evt = ((end - t1) > churn_days * day_us).astype(np.int64)
+        return pa.table({"dur": dur, "d": evt, "c": 1 - evt})
+
+    g = (
+        per_user.map_batches(dur_ev, batch_format="pyarrow")
+        .groupby("dur")
+        .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    g = g.sort_values("dur", ignore_index=True)
+    d = g["d"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    total = int((d + c).sum())
+    ahead = np.concatenate(([0], np.cumsum(d + c)[:-1]))
+    n_risk = total - ahead
+    s = 1.0
+    surv = np.empty(len(g))
+    for i in range(len(g)):
+        s = s * (1.0 - float(d[i]) / float(n_risk[i]))
+        surv[i] = s
+    return pd.DataFrame({"dur_days": g["dur"].to_numpy(np.int64),
+                         "n_risk": n_risk.astype(np.int64),
+                         "n_events": d,
+                         "n_censored": c,
+                         "survival": np.round(surv, 9)})

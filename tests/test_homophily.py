@@ -71,3 +71,25 @@ def test_reciprocity_no_cross_tool_transitions():
     out = transition_reciprocity(_tr(rows))
     assert int(out["n_ordered"].iloc[0]) == 0
     assert out["recip_weighted"].iloc[0] == 0.0
+
+
+def test_tool_scc_cycle_and_chain():
+    from pgd_ray.stages.conv_stats import tool_scc
+    # A->B->A (2-cycle), C->D (chain), E isolated
+    rows = [
+        ("c1", 0, "u", "x", "A", 0), ("c1", 1, "u", "x", "B", 1),
+        ("c1", 2, "u", "x", "A", 2),
+        ("c2", 0, "u", "x", "C", 0), ("c2", 1, "u", "x", "D", 1),
+        ("c3", 0, "u", "x", "E", 0),
+    ]
+    out = tool_scc(_tr(rows)).set_index("tool")["scc"]
+    assert out["A"] == "A" and out["B"] == "A"
+    assert out["C"] == "C" and out["D"] == "D" and out["E"] == "E"
+
+
+def test_tool_scc_three_cycle():
+    from pgd_ray.stages.conv_stats import tool_scc
+    rows = [("c1", i, "u", "x", t, i)
+            for i, t in enumerate(["B", "C", "A", "B"])]  # B->C->A->B
+    out = tool_scc(_tr(rows)).set_index("tool")["scc"]
+    assert set(out) == {"A"} and len(out) == 3
