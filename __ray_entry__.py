@@ -3102,6 +3102,15 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_ccf_daily(sf_dir):
+    """Lead-lag cross-correlation of the view/purchase daily series
+    at lags ±7 — stages.windows.ccf_daily (one (day, side)
+    aggregation, O(days) driver math)."""
+    from pgd_ray.stages.windows import ccf_daily
+
+    return ccf_daily(sf_dir, type_x="view", type_y="purchase", max_lag=7)
+
+
 def _q_kaplan_meier(sf_dir):
     """Kaplan–Meier user-lifetime survival curve (7-day churn rule,
     right-censoring at corpus end) — stages.retention.kaplan_meier
@@ -3479,6 +3488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "tool_scc": _q_tool_scc,
         "kaplan_meier": _q_kaplan_meier,
+        "ccf_daily": _q_ccf_daily,
     }
 
 
@@ -6999,4 +7009,30 @@ SELECT atr.dur AS dur_days, CAST(atr.n_risk AS BIGINT) AS n_risk,
        CAST(atr.d AS BIGINT) AS n_events, CAST(atr.c AS BIGINT) AS n_censored,
        ROUND(km.s, 9) AS survival
 FROM km JOIN atr ON atr.rk = km.rk ORDER BY dur_days""",
+        # stages.windows.ccf_daily: cross-correlation over the union
+        # of observed days for the two types (missing side counts 0);
+        # sequence index drives the lag, full-series means/denominator
+        # (the acf_daily contract).
+        "ccf_daily": """
+WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1),
+sq AS (SELECT row_number() OVER (ORDER BY day) AS rk,
+              CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       FROM dd),
+mu AS (SELECT AVG(x) AS mx, AVG(y) AS my FROM sq),
+den AS (SELECT sqrt(SUM((x - (SELECT mx FROM mu)) * (x - (SELECT mx FROM mu)))
+                    * SUM((y - (SELECT my FROM mu)) * (y - (SELECT my FROM mu))))
+          AS d
+        FROM sq),
+lg AS (SELECT CAST(l AS BIGINT) AS lag FROM
+       (VALUES (-7),(-6),(-5),(-4),(-3),(-2),(-1),(0),
+               (1),(2),(3),(4),(5),(6),(7)) t(l))
+SELECT lg.lag,
+       ROUND(SUM((a.x - (SELECT mx FROM mu)) * (b.y - (SELECT my FROM mu)))
+             / (SELECT d FROM den), 9) AS ccf
+FROM lg JOIN sq a ON 1 = 1 JOIN sq b ON b.rk = a.rk + lg.lag
+GROUP BY lg.lag ORDER BY lag""",
     }

@@ -1354,3 +1354,54 @@ def global_ntile(
         return t.append_column(out_col, pa.array(bucket + 1, pa.int64()))
 
     return srt.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def ccf_daily(sf_dir: str, type_x: str = "view",
+              type_y: str = "purchase", max_lag: int = 7) -> pd.DataFrame:
+    """Cross-correlation of two event types' daily counts at lags
+    -max_lag..max_lag — the lead-lag screen ("do views lead
+    purchases?").  r_k = Σ(x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²)
+    over the union of observed days for the two types (a day missing
+    one type counts 0 for it), ordered by day; the SEQUENCE index
+    drives the lag (the acf_daily contract).  One distributed
+    (day, side) aggregation — O(days) rows reach the driver.
+    Columns (lag, ccf)."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == type_x) | (et == type_y)
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64))[m] // 86_400_000_000
+        isx = (et[m] == type_x).astype(np.int64)
+        return pa.table({"day": day, "x": isx, "y": 1 - isx})
+
+    daily = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .to_pandas()
+    )
+    lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+    if len(daily) < 2:
+        return pd.DataFrame({"lag": lags,
+                             "ccf": np.full(len(lags), np.nan)})
+    daily = daily.sort_values("day", ignore_index=True)
+    x = daily["x"].to_numpy(np.float64)
+    y = daily["y"].to_numpy(np.float64)
+    cx = x - x.mean()
+    cy = y - y.mean()
+    den = float(np.sqrt((cx * cx).sum() * (cy * cy).sum()))
+    out = []
+    n = len(x)
+    for k in lags:
+        if k >= 0:
+            num = float((cx[:n - k] * cy[k:]).sum()) if k < n else np.nan
+        else:
+            num = float((cx[-k:] * cy[:n + k]).sum()) if -k < n else np.nan
+        out.append(round(num / den, 9) if den > 0 and not np.isnan(num)
+                   else np.nan)
+    return pd.DataFrame({"lag": lags, "ccf": np.array(out)})

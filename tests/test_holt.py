@@ -35,3 +35,32 @@ def test_holt_matches_hand_recursion():
     # one-step forecast contract: fitted_t = level_{t-1} + trend_{t-1}
     recon = out["level"].to_numpy()[:-1] + out["trend"].to_numpy()[:-1]
     assert np.allclose(out["fitted"].to_numpy()[1:], recon, atol=1e-5)
+
+
+def test_ccf_matches_brute_and_symmetry():
+    from pgd_ray.stages.windows import ccf_daily
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    day = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    ev = ev.assign(day=day)
+    ev = ev[ev["event_type"].isin(["view", "purchase"])]
+    piv = ev.pivot_table(index="day", columns="event_type",
+                         values="ts", aggfunc="count").fillna(0)
+    x = piv["view"].to_numpy(float)
+    y = piv["purchase"].to_numpy(float)
+    cx, cy = x - x.mean(), y - y.mean()
+    den = np.sqrt((cx ** 2).sum() * (cy ** 2).sum())
+    out = ccf_daily(SF).set_index("lag")["ccf"]
+    n = len(x)
+    for k in [-3, 0, 2, 7]:
+        if k >= 0:
+            num = (cx[:n - k] * cy[k:]).sum()
+        else:
+            num = (cx[-k:] * cy[:n + k]).sum()
+        assert abs(out[k] - round(num / den, 9)) < 1e-9
+    # symmetry: ccf_{x,y}(k) == ccf_{y,x}(-k)
+    rev = ccf_daily(SF, type_x="purchase", type_y="view").set_index("lag")["ccf"]
+    for k in [-5, -1, 0, 4]:
+        assert abs(out[k] - rev[-k]) < 1e-9
+    assert (out.abs() <= 1.0 + 1e-9).all()
