@@ -3102,6 +3102,29 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_window_functions2(sf_dir):
+    """Second-wave per-user window functions (percent_rank +
+    full-frame first/last value) — stages.windows.window_functions2
+    (composes the sorted-block row_number machinery with one hash
+    aggregation and O(#keys) broadcast lookups)."""
+    from pgd_ray.stages.windows import window_functions2
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+    return window_functions2(ev, key="user_id", order="event_id",
+                             value="value")
+
+
+def _q_cube_events(sf_dir):
+    """GROUP BY CUBE over (event_type, day-of-week) — all four grains
+    from one finest-grain distributed aggregation
+    (stages.cube.cube_counts; rollup sentinels)."""
+    from pgd_ray.stages.cube import cube_counts
+
+    return cube_counts(sf_dir)
+
+
 def _q_ccf_daily(sf_dir):
     """Lead-lag cross-correlation of the view/purchase daily series
     at lags ±7 — stages.windows.ccf_daily (one (day, side)
@@ -3489,6 +3512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_scc": _q_tool_scc,
         "kaplan_meier": _q_kaplan_meier,
         "ccf_daily": _q_ccf_daily,
+        "cube_events": _q_cube_events,
+        "window_functions2": _q_window_functions2,
     }
 
 
@@ -7035,4 +7060,32 @@ SELECT lg.lag,
              / (SELECT d FROM den), 9) AS ccf
 FROM lg JOIN sq a ON 1 = 1 JOIN sq b ON b.rk = a.rk + lg.lag
 GROUP BY lg.lag ORDER BY lag""",
+        # stages.cube.cube_counts: GROUP BY CUBE with the rollup
+        # sentinels; dow 0 = Monday.
+        "cube_events": """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(dow, -1) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS value_sum
+FROM (SELECT event_type,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+             value
+      FROM events)
+GROUP BY CUBE (event_type, dow)""",
+        # stages.windows.window_functions2: percent_rank + FULL-FRAME
+        # first/last value (explicit UNBOUNDED frame).
+        "window_functions2": """
+SELECT user_id, event_id, value,
+       CAST(row_number() OVER w AS BIGINT) AS row_number,
+       ROUND(CASE WHEN COUNT(*) OVER p > 1
+                  THEN CAST(row_number() OVER w - 1 AS DOUBLE)
+                       / (COUNT(*) OVER p - 1)
+                  ELSE 0.0 END, 9) AS percent_rank,
+       first_value(value) OVER wf AS first_value,
+       last_value(value) OVER wf AS last_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       p AS (PARTITION BY user_id),
+       wf AS (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     }

@@ -140,3 +140,51 @@ def json_props_stats(sf_dir: str) -> pd.DataFrame:
     out["k_distinct"] = out["k_distinct"].astype(np.int64)
     out["k_mean"] = (out["k_sum"] / out["n"]).round(6)
     return out.sort_values("event_type", ignore_index=True)
+
+
+def cube_counts(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE over (event_type, day-of-week): counts and value
+    sums at ALL four grains — (type, dow), (type), (dow), () — the
+    GROUP BY CUBE completion of ``rollup_counts``.  One distributed
+    base aggregation at the finest grain (O(#types × 7) rows reach
+    the driver); coarser grains fold the base frame.  Rolled-up
+    levels use the rollup sentinels ('(all)' / -1); dow 0 = Monday
+    (the dow_seasonality convention).  Columns (event_type, dow, n,
+    value_sum round 6)."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // _DAY_US
+        return pa.table({"event_type": t["event_type"],
+                         "dow": (day + 4) % 7,
+                         "value": t["value"]})
+
+    base = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+        .to_pandas()
+    )
+    if base.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "dow": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "value_sum": pd.Series([], dtype=np.float64)})
+    by_type = base.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), value_sum=("value_sum", "sum"))
+    by_type["dow"] = np.int64(-1)
+    by_dow = base.groupby("dow", as_index=False).agg(
+        n=("n", "sum"), value_sum=("value_sum", "sum"))
+    by_dow["event_type"] = "(all)"
+    grand = pd.DataFrame({"event_type": ["(all)"], "dow": np.int64(-1),
+                          "n": [base["n"].sum()],
+                          "value_sum": [base["value_sum"].sum()]})
+    out = pd.concat([base, by_type, by_dow, grand], ignore_index=True)
+    out["dow"] = out["dow"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["value_sum"] = np.round(out["value_sum"].astype(np.float64), 6)
+    return out[["event_type", "dow", "n", "value_sum"]].sort_values(
+        ["event_type", "dow"], ignore_index=True)

@@ -1405,3 +1405,77 @@ def ccf_daily(sf_dir: str, type_x: str = "view",
         out.append(round(num / den, 9) if den > 0 and not np.isnan(num)
                    else np.nan)
     return pd.DataFrame({"lag": lags, "ccf": np.array(out)})
+
+
+def window_functions2(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    value: str,
+) -> ray.data.Dataset:
+    """Second wave of per-key SQL window functions over ``order``:
+    ``percent_rank`` ((rn−1)/(cnt−1), 0.0 for single-row keys),
+    ``first_value`` and ``last_value`` (full-partition frame — the
+    explicit ROWS UNBOUNDED PRECEDING/FOLLOWING frame, NOT SQL's
+    default running last_value).  Composes on ``window_functions``
+    (which supplies row_number via the sorted-block prefix pattern);
+    the per-key count and the boundary values come from ONE hash
+    aggregation + one filtered pass, broadcast as O(#keys) lookup
+    maps.  Same global-uniqueness contract on (key, order)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    base = window_functions(ds, key=key, order=order, value=value)
+
+    stats = (
+        ds.select_columns([key, order])
+        .groupby(key)
+        .aggregate(Count(alias_name="cnt"),
+                   Min(order, alias_name="o_min"),
+                   Max(order, alias_name="o_max"))
+        .to_pandas()
+    )
+    cnt_map = dict(zip(stats[key], stats["cnt"].astype(int)))
+    min_map = dict(zip(stats[key], stats["o_min"]))
+    max_map = dict(zip(stats[key], stats["o_max"]))
+
+    def boundary_vals(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = t[order].to_numpy(zero_copy_only=False)
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = np.array([min_map.get(x) for x in k])
+        mx = np.array([max_map.get(x) for x in k])
+        first = o == mn
+        last = o == mx
+        m = first | last
+        return pa.table({
+            "k": k[m], "is_first": first[m], "v": v[m],
+        })
+
+    bv = ds.select_columns([key, order, value]).map_batches(
+        boundary_vals, batch_format="pyarrow").to_pandas()
+    first_map = dict(zip(bv.loc[bv["is_first"], "k"],
+                         bv.loc[bv["is_first"], "v"]))
+    last_map = dict(zip(bv.loc[~bv["is_first"], "k"],
+                        bv.loc[~bv["is_first"], "v"]))
+    # a single-row key is both its first and last row (is_first wins
+    # the mask) — patch last_map from first_map for those keys
+    for kk, cc in cnt_map.items():
+        if cc == 1:
+            last_map[kk] = first_map[kk]
+
+    def decorate(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        rn = t["row_number"].to_numpy(zero_copy_only=False)
+        cnt = np.array([cnt_map[x] for x in k], dtype=np.int64)
+        pr = np.where(cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0)
+        return pa.table({
+            key: k,
+            order: t[order],
+            value: t[value],
+            "row_number": rn,
+            "percent_rank": np.round(pr, 9),
+            "first_value": np.array([first_map[x] for x in k]),
+            "last_value": np.array([last_map[x] for x in k]),
+        })
+
+    return base.map_batches(decorate, batch_format="pyarrow")

@@ -403,3 +403,43 @@ def test_trigram_counts_matches_pandas(tmp_path):
     assert got[["type_a", "type_b", "type_c"]].values.tolist() == \
         ref[["type_a", "type_b", "type_c"]].values.tolist()
     assert got["n_trigrams"].astype(int).tolist() == ref["n_trigrams"].tolist()
+
+
+def test_window_functions2_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pgd_ray.stages.windows import window_functions2
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.normal(size=n), 3),
+    })
+    # ensure at least one single-row key
+    df.loc[n - 1, "user_id"] = 999
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (window_functions2(ds, "user_id", "event_id", "value")
+           .to_pandas().sort_values(["user_id", "event_id"],
+                                    ignore_index=True))
+    ref = df.sort_values(["user_id", "event_id"], ignore_index=True)
+    g = ref.groupby("user_id")
+    ref["row_number"] = g.cumcount() + 1
+    cnt = g["event_id"].transform("count")
+    ref["percent_rank"] = np.where(
+        cnt > 1, (ref["row_number"] - 1) / np.maximum(cnt - 1, 1), 0.0
+    ).round(9)
+    ref["first_value"] = g["value"].transform("first")
+    ref["last_value"] = g["value"].transform("last")
+    for c in ("row_number",):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all()
+    for c in ("percent_rank", "first_value", "last_value"):
+        assert np.allclose(out[c], ref[c], atol=1e-9), c
+    # single-row key: pr 0, first == last == its value
+    one = out[out["user_id"] == 999]
+    assert len(one) == 1
+    assert one["percent_rank"].iloc[0] == 0.0
+    assert one["first_value"].iloc[0] == one["last_value"].iloc[0]
