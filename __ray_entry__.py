@@ -3102,6 +3102,16 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_users_any_half(sf_dir):
+    """(user, props.k) combinations present in EITHER event-time half
+    — SQL UNION (distinct set semantics), completing the set-op family
+    (stages/setops.py, same tagged-union shape)."""
+    from pgd_ray.stages.setops import union_distinct
+
+    first, second = _event_halves(sf_dir)
+    return union_distinct(first, second, ["user_id", "k"])
+
+
 def _q_window_functions2(sf_dir):
     """Second-wave per-user window functions (percent_rank +
     full-frame first/last value) — stages.windows.window_functions2
@@ -3514,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccf_daily": _q_ccf_daily,
         "cube_events": _q_cube_events,
         "window_functions2": _q_window_functions2,
+        "users_any_half": _q_users_any_half,
     }
 
 
@@ -6696,6 +6707,11 @@ SELECT DISTINCT user_id, k FROM pr, b WHERE tu >= b.mid""",
 WITH {_EV_MID_CTE}, {_EV_PAIR_CTE}
 SELECT DISTINCT user_id, k FROM pr, b WHERE tu < b.mid
 EXCEPT
+SELECT DISTINCT user_id, k FROM pr, b WHERE tu >= b.mid""",
+        "users_any_half": f"""
+WITH {_EV_MID_CTE}, {_EV_PAIR_CTE}
+SELECT DISTINCT user_id, k FROM pr, b WHERE tu < b.mid
+UNION
 SELECT DISTINCT user_id, k FROM pr, b WHERE tu >= b.mid""",
         # media_resize: source pixel (r,c,ch) of the synthetic image is
         # ((r*w + c)*3 + ch + L) % 256 with (w,h) closed forms of

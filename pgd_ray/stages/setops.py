@@ -66,3 +66,14 @@ def except_distinct(left: ray.data.Dataset, right: ray.data.Dataset,
     return _finish(
         _classified(left, right, cols), cols,
         lambda pc, mn, mx: pc.equal(mx, 1))
+
+
+def union_distinct(left: ray.data.Dataset, right: ray.data.Dataset,
+                   cols: list[str]) -> ray.data.Dataset:
+    """SQL ``SELECT cols FROM left UNION ... right`` (distinct set
+    semantics) — completes the set-operation family.  Same
+    tagged-union shape: per-batch distinct combiner on each side, ONE
+    hash groupby, keep everything."""
+    return _finish(
+        _classified(left, right, cols), cols,
+        lambda pc, mn, mx: pc.greater_equal(mx, 1))

@@ -53,3 +53,20 @@ def test_setops_full_overlap_and_empty_side():
     empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64)})
     got_e = _sorted(except_distinct(_ds(a, 2), _ds(empty, 1), ["k"]).to_pandas())
     assert got_e["k"].tolist() == [5, 6, 7]
+
+
+def test_union_distinct_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pgd_ray.stages.setops import union_distinct
+
+    a = pd.DataFrame({"x": [1, 1, 2, 3], "y": [0, 0, 1, 1]})
+    b = pd.DataFrame({"x": [2, 4, 4], "y": [1, 0, 0]})
+    out = union_distinct(ray.data.from_pandas(a).repartition(3),
+                         ray.data.from_pandas(b).repartition(2),
+                         ["x", "y"]).to_pandas()
+    got = set(map(tuple, out.to_numpy()))
+    want = set(map(tuple, a.to_numpy())) | set(map(tuple, b.to_numpy()))
+    assert got == want
