@@ -3102,6 +3102,51 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_simrank_tool(sf_dir):
+    """SimRank similarity over the tool co-occurrence graph (C=0.8,
+    5 rounds) — graph.linkpred.simrank (vocabulary-sized pair state;
+    the distributed stage is the transcript→edge derivation)."""
+    from pgd_ray.graph.linkpred import simrank
+
+    eds, csr, vocab = _tool_graph(sf_dir)
+    S = simrank(csr, C=0.8, iters=5)
+    iu, ju = np.triu_indices(csr.n, 1)
+    return pd.DataFrame({"tool_a": np.asarray(vocab, dtype=object)[iu],
+                         "tool_b": np.asarray(vocab, dtype=object)[ju],
+                         "simrank": np.round(S[iu, ju], 9)})
+
+
+def _simrank_sql(iters: int = 5) -> str:
+    parts = [
+        """sym AS (SELECT src AS u, dst AS v FROM e
+       UNION ALL SELECT dst, src FROM e)""",
+        """dg AS (SELECT vocab.tid AS v, CAST(COALESCE(c.d, 0) AS BIGINT) AS deg
+       FROM vocab LEFT JOIN (SELECT u, COUNT(*) AS d FROM sym GROUP BY u) c
+       ON c.u = vocab.tid)""",
+        "p AS (SELECT a.tid AS a, b.tid AS b FROM vocab a CROSS JOIN vocab b)",
+        """s0 AS (SELECT a, b, CASE WHEN a = b THEN CAST(1.0 AS DOUBLE)
+                          ELSE 0.0 END AS s FROM p)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""s{i} AS (
+  SELECT p.a, p.b,
+         CASE WHEN p.a = p.b THEN CAST(1.0 AS DOUBLE)
+              WHEN da.deg = 0 OR db.deg = 0 THEN 0.0
+              ELSE CAST(0.8 AS DOUBLE) / (da.deg * db.deg) *
+                   COALESCE((SELECT SUM(pr.s)
+                             FROM sym na, sym nb, s{i - 1} pr
+                             WHERE na.u = p.a AND nb.u = p.b
+                               AND pr.a = na.v AND pr.b = nb.v), 0.0)
+         END AS s
+  FROM p JOIN dg da ON da.v = p.a JOIN dg db ON db.v = p.b)""")
+    return (",\n".join(parts)
+            + f""",
+fin AS (SELECT va.tool AS tool_a, vb.tool AS tool_b, ROUND(x.s, 9) AS simrank
+        FROM s{iters} x JOIN vocab va ON va.tid = x.a
+        JOIN vocab vb ON vb.tid = x.b
+        WHERE x.a < x.b)""")
+
+
 def _q_users_any_half(sf_dir):
     """(user, props.k) combinations present in EITHER event-time half
     — SQL UNION (distinct set semantics), completing the set-op family
@@ -3525,6 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events": _q_cube_events,
         "window_functions2": _q_window_functions2,
         "users_any_half": _q_users_any_half,
+        "simrank_tool": _q_simrank_tool,
     }
 
 
@@ -7104,4 +7150,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
        p AS (PARTITION BY user_id),
        wf AS (PARTITION BY user_id ORDER BY event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+        # graph.linkpred.simrank: unrolled 5-round pairwise recursion
+        # over the tool graph; isolated endpoints pin 0.
+        "simrank_tool": f"WITH {_TE_CTE}, {_simrank_sql(5)} "
+                        "SELECT tool_a, tool_b, simrank FROM fin",
     }

@@ -230,3 +230,36 @@ def link_prediction(
     heads["jac"] = np.round(cn / (du + dv - cn), 6)
     heads["pa"] = (du * dv).astype(np.int64)
     return heads[["u", "v", "cn", "aa", "ra", "jac", "pa"]]
+
+
+def simrank(csr, C: float = 0.8, iters: int = 5) -> "np.ndarray":
+    """SimRank similarity matrix ("two nodes are similar if their
+    neighbors are similar") by fixed-round iteration over the
+    UNDIRECTED adjacency:
+
+        s(a,a) = 1
+        s(a,b) = C / (|N(a)|·|N(b)|) · Σ_{u∈N(a), v∈N(b)} s(u, v)
+
+    with s(a,b) = 0 when either endpoint is isolated.  Intended for
+    VOCABULARY-sized similarity graphs (the tool graph): the n×n pair
+    state is the algorithm's own output size, so this runs where that
+    state lives (cf. Lizorkin et al., WWW'08 — the partial-sums
+    optimization matters only past n ~ 10⁵, far above any tool
+    vocabulary).  The heavy distributed stage is the edge derivation
+    that produced ``csr``.  Returns the (n, n) float64 matrix after
+    ``iters`` rounds, UNROUNDED (callers round at the contract
+    boundary)."""
+    n = csr.n
+    deg = csr.degrees().astype(np.int64)
+    S = np.eye(n)
+    if n == 0:
+        return S
+    A = np.zeros((n, n))
+    for v in range(n):
+        A[v, csr.neighbors(v)] = 1.0
+    dd = deg[:, None] * deg[None, :]
+    scale = np.where(dd > 0, C / np.maximum(dd, 1), 0.0)
+    for _ in range(iters):
+        S = scale * (A @ S @ A.T)
+        np.fill_diagonal(S, 1.0)
+    return S
