@@ -3102,6 +3102,26 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_sssp_copurchase(sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford, 30 fixed
+    rounds) over basket-count edge weights from the min part —
+    graph.iterative.sssp_distances (per-edge-slot weights on the
+    actor executor; integer-exact)."""
+    from pgd_ray.graph.iterative import (SSSP_INF, slot_weights,
+                                         sssp_distances)
+    from pgd_ray.stages.basket import pair_counts
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    pc_df = pair_counts(sf_dir).to_pandas()
+    a = np.searchsorted(vids, pc_df["part_a"].to_numpy())
+    b = np.searchsorted(vids, pc_df["part_b"].to_numpy())
+    w = slot_weights(csr, a, b, pc_df["n_both"].to_numpy())
+    dist = sssp_distances(csr, w, source=0, rounds=30)
+    return pd.DataFrame({"v": vids,
+                         "dist": np.where(dist >= SSSP_INF, -1,
+                                          dist).astype(np.int64)})
+
+
 def _q_simrank_tool(sf_dir):
     """SimRank similarity over the tool co-occurrence graph (C=0.8,
     5 rounds) — graph.linkpred.simrank (vocabulary-sized pair state;
@@ -3571,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_functions2": _q_window_functions2,
         "users_any_half": _q_users_any_half,
         "simrank_tool": _q_simrank_tool,
+        "sssp_copurchase": _q_sssp_copurchase,
     }
 
 
@@ -7154,4 +7175,32 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
         # over the tool graph; isolated endpoints pin 0.
         "simrank_tool": f"WITH {_TE_CTE}, {_simrank_sql(5)} "
                         "SELECT tool_a, tool_b, simrank FROM fin",
+        # graph.iterative.sssp_distances: Bellman-Ford over the
+        # basket-weight graph; self-edges w=0 keep the INF sentinel
+        # exact, unreachable pins -1.
+        "sssp_copurchase": """
+WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              CAST(COUNT(*) AS BIGINT) AS w
+       FROM po a JOIN po b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+sw AS (SELECT src, dst, w FROM ew
+       UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+dw AS (SELECT src AS v FROM sw GROUP BY src),
+seed AS (SELECT MIN(v) AS sv FROM dw),
+swz AS (SELECT src, dst, w FROM sw
+        UNION ALL SELECT v, v, CAST(0 AS BIGINT) FROM dw),
+bf(it, v, d) AS (
+  SELECT 0, v, CASE WHEN v = (SELECT sv FROM seed)
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1152921504606846976 AS BIGINT) END
+  FROM dw
+  UNION ALL
+  SELECT bf.it + 1, swz.dst, MIN(bf.d + swz.w)
+  FROM bf JOIN swz ON swz.src = bf.v
+  WHERE bf.it < 30 GROUP BY bf.it + 1, swz.dst)
+SELECT v, CASE WHEN d >= 1152921504606846976
+               THEN CAST(-1 AS BIGINT) ELSE d END AS dist
+FROM bf WHERE it = 30""",
     }

@@ -146,11 +146,17 @@ def _mis_priority(ids: np.ndarray, rnd: int) -> np.ndarray:
 # per-block vertex programs (shared by both executors)
 # --------------------------------------------------------------------
 
-def _run_block(program, indptr, indices, state, extras, precomp, vlo, vhi):
+def _run_block(program, indptr, indices, state, extras, precomp, vlo, vhi,
+               weights=None):
     idx = indptr[vlo : vhi + 1] - indptr[vlo]
     gathered = indices[indptr[vlo] : indptr[vhi]]
     if program in ("pagerank", "ppr"):
         return _apply_program(program, state[vlo:vhi], precomp[gathered], idx, extras, vlo)
+    if program == "sssp":
+        # weighted relaxation: the neighbor value is dist[u] + w(u→v),
+        # with w aligned to the edge SLOT (same slice as `gathered`)
+        vals = state[gathered] + weights[indptr[vlo] : indptr[vhi]]
+        return _apply_program(program, state[vlo:vhi], vals, idx, extras, vlo)
     return _apply_program(program, state[vlo:vhi], state[gathered], idx, extras, vlo)
 
 
@@ -204,6 +210,11 @@ def _apply_program(program, own, vals, idx, extras, vlo=0):
         zv = (vals - mu) / nrm if nrm > 0 else np.zeros_like(vals)
         return (extras["c"] - deg) * zown + _seg_sum(zv, idx)
     if program == "cc":
+        return np.minimum(own, _seg_min(vals, idx, own))
+    if program == "sssp":
+        # Bellman-Ford synchronous relaxation (vals already carry the
+        # per-edge weight; see _run_block): dist[v] = min(dist[v],
+        # min_u dist[u] + w)
         return np.minimum(own, _seg_min(vals, idx, own))
     if program == "bfs":
         # frontier relaxation: dist[v] = min(dist[v], 1 + min_{u∈N(v)} dist[u]);
@@ -363,9 +374,10 @@ class _PullWorker:
     as top-level args are auto-resolved by Ray to plasma-backed
     read-only views — no copies."""
 
-    def __init__(self, indptr, indices):
+    def __init__(self, indptr, indices, weights=None):
         self.indptr = indptr
         self.indices = indices
+        self.weights = weights  # per-edge-slot array (sssp only)
 
     def ping(self):
         return True
@@ -373,7 +385,9 @@ class _PullWorker:
     def step(self, program, state, extras, blocks):
         precomp = _precompute(program, self.indptr, state, extras)
         return [
-            (vlo, _run_block(program, self.indptr, self.indices, state, extras, precomp, vlo, vhi))
+            (vlo, _run_block(program, self.indptr, self.indices, state,
+                             extras, precomp, vlo, vhi,
+                             weights=self.weights))
             for vlo, vhi in blocks
         ]
 
@@ -585,13 +599,16 @@ def sharded_pool(csr: CSRGraph, n_workers: int, range_csr=None) -> ShardedPool:
     return ShardedPool(csr, n_workers, range_csr=range_csr)
 
 
-def worker_pool(csr: CSRGraph, n_workers: int) -> list:
+def worker_pool(csr: CSRGraph, n_workers: int, weights_ref=None) -> list:
     """Spawn a persistent _PullWorker pool for a CSR.  Pass the result
     as ``workers=`` to several IterativeEngine runs (PageRank → CC →
     k-core on the same graph) to pay actor startup once; caller kills
-    the actors (ray.kill) when done."""
+    the actors (ray.kill) when done.  ``weights_ref`` (per-edge-slot
+    array, aligned to csr.indices) is only needed for the weighted
+    sssp program."""
     indptr_ref, indices_ref = csr.put32()
-    pool = [_PullWorker.remote(indptr_ref, indices_ref) for _ in range(max(1, n_workers))]
+    pool = [_PullWorker.remote(indptr_ref, indices_ref, weights_ref)
+            for _ in range(max(1, n_workers))]
     ray.get([w.ping.remote() for w in pool])  # force startup now, not in round 1
     return pool
 
@@ -631,10 +648,17 @@ class IterativeEngine:
         checkpoint_dir: str | Path | None = None,
         checkpoint_every: int = 5,
         workers: list | None = None,
+        weights_ref=None,
     ):
         self.csr = csr
         self.program = program
         self.engine = engine
+        self.weights_ref = weights_ref
+        if program == "sssp" and engine != "actors":
+            raise NotImplementedError(
+                "sssp (per-edge weights) runs on the actor executor; "
+                "the dataset/sharded executors carry vertex state only"
+            )
         self.n_workers = max(1, n_workers)
         self.blocks = _volume_blocks(csr, self.n_workers * blocks_per_worker)
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
@@ -647,7 +671,9 @@ class IterativeEngine:
 
     def _ensure_workers(self):
         if self._workers is None:
-            self._workers = worker_pool(self.csr, min(self.n_workers, max(1, len(self.blocks))))
+            self._workers = worker_pool(
+                self.csr, min(self.n_workers, max(1, len(self.blocks))),
+                weights_ref=self.weights_ref)
 
     def close(self):
         if self._workers and self._owns_workers:
@@ -1334,3 +1360,64 @@ def neighborhood_function(
 def max_core(csr: CSRGraph) -> int:
     k = kcore(csr)
     return int(k.max()) if len(k) else 0
+
+
+SSSP_INF = np.int64(1) << np.int64(60)
+
+
+def slot_weights(csr: CSRGraph, src: np.ndarray, dst: np.ndarray,
+                 w: np.ndarray) -> np.ndarray:
+    """Align per-undirected-edge integer weights (canonical (src, dst)
+    pairs) to the CSR's edge SLOTS (one value per directed adjacency
+    entry).  Raises if any adjacency slot has no weight row — the
+    weight table must cover the graph exactly."""
+    n = csr.n
+    lo = np.minimum(src, dst).astype(np.int64)
+    hi = np.maximum(src, dst).astype(np.int64)
+    keys = lo * n + hi
+    order = np.argsort(keys)
+    keys, wv = keys[order], np.asarray(w, dtype=np.int64)[order]
+    v_of_slot = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+    u_of_slot = csr.indices.astype(np.int64)
+    skey = (np.minimum(v_of_slot, u_of_slot) * n
+            + np.maximum(v_of_slot, u_of_slot))
+    pos = np.searchsorted(keys, skey)
+    if len(keys) == 0 or (pos >= len(keys)).any() or \
+            (keys[np.minimum(pos, len(keys) - 1)] != skey).any():
+        raise ValueError("slot_weights: weight table does not cover "
+                         "every adjacency slot")
+    return wv[pos]
+
+
+def sssp_distances(
+    csr: CSRGraph,
+    weights: np.ndarray,
+    source: int,
+    rounds: int = 30,
+    n_workers: int = 8,
+    workers: list | None = None,
+) -> np.ndarray:
+    """Weighted single-source shortest paths by synchronous
+    Bellman-Ford relaxation (``rounds`` fixed rounds — relaxation is
+    monotone, so extra rounds are no-ops once the fixpoint is
+    reached; fixed rounds keep the SQL mirror's recursion identical).
+    ``weights`` is the per-edge-slot int64 array from
+    ``slot_weights`` (nonnegative).  Unreachable vertices keep the
+    ``SSSP_INF`` sentinel.  Integer arithmetic end-to-end → exact."""
+    n = csr.n
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    w = np.ascontiguousarray(weights, dtype=np.int64)
+    if len(w) != len(csr.indices):
+        raise ValueError("weights must align to csr.indices slots")
+    if w.min(initial=0) < 0:
+        raise ValueError("sssp needs nonnegative weights")
+    state = np.full(n, SSSP_INF, dtype=np.int64)
+    state[int(source)] = 0
+    eng = IterativeEngine(csr, "sssp", n_workers=n_workers,
+                          weights_ref=ray.put(w), workers=workers)
+    try:
+        x, _ = eng.run(state, lambda s: {}, lambda d: d == 0.0, rounds)
+    finally:
+        eng.close()
+    return x
