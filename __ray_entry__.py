@@ -3102,6 +3102,17 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_cluster_validity(sf_dir):
+    """Calinski-Harabasz + Davies-Bouldin validity of the embedding
+    table's given labels — stages.clustering.cluster_validity (two
+    streamed passes, k·d-row shuffles)."""
+    from pgd_ray.stages.clustering import cluster_validity
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding", "label"])
+    return cluster_validity(ds)
+
+
 def _q_sssp_copurchase(sf_dir):
     """Weighted single-source shortest paths (Bellman-Ford, 30 fixed
     rounds) over basket-count edge weights from the min part —
@@ -3592,6 +3603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_any_half": _q_users_any_half,
         "simrank_tool": _q_simrank_tool,
         "sssp_copurchase": _q_sssp_copurchase,
+        "cluster_validity": _q_cluster_validity,
     }
 
 
@@ -7203,4 +7215,47 @@ bf(it, v, d) AS (
 SELECT v, CASE WHEN d >= 1152921504606846976
                THEN CAST(-1 AS BIGINT) ELSE d END AS dist
 FROM bf WHERE it = 30""",
+        # stages.clustering.cluster_validity: CH + DB indices of the
+        # given labels (centroids by AVG per (label, dim)).
+        "cluster_validity": """
+WITH x AS (SELECT vec_id, label,
+                  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS v,
+                  unnest(range(len(embedding))) AS dim
+           FROM embeddings),
+cen AS (SELECT label, dim, SUM(v) / COUNT(*) AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM x GROUP BY label, dim),
+g AS (SELECT dim, SUM(v) / (SELECT COUNT(*) FROM embeddings) AS gc
+      FROM x GROUP BY dim),
+pt AS (SELECT x.vec_id, x.label,
+              SUM((x.v - cen.c) * (x.v - cen.c)) AS sq
+       FROM x JOIN cen ON cen.label = x.label AND cen.dim = x.dim
+       GROUP BY x.vec_id, x.label),
+wl AS (SELECT label, SUM(sq) AS d2, SUM(sqrt(sq)) AS d1,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM pt GROUP BY label),
+cl AS (SELECT label, MAX(cnt) AS cnt FROM cen GROUP BY label),
+bt AS (SELECT SUM(cl.cnt * t.d2g) AS b
+       FROM cl JOIN (SELECT cen.label,
+                            SUM((cen.c - g.gc) * (cen.c - g.gc)) AS d2g
+                     FROM cen JOIN g ON g.dim = cen.dim
+                     GROUP BY cen.label) t ON t.label = cl.label),
+wt AS (SELECT SUM(d2) AS w FROM wl),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cl),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+sl AS (SELECT label, d1 / cnt AS s FROM wl),
+cdist AS (SELECT a.label AS i, b.label AS j,
+                 sqrt(SUM((a.c - b.c) * (a.c - b.c))) AS dij
+          FROM cen a JOIN cen b ON a.dim = b.dim AND a.label <> b.label
+          GROUP BY a.label, b.label),
+rr AS (SELECT cdist.i, MAX((si.s + sj.s) / cdist.dij) AS r
+       FROM cdist JOIN sl si ON si.label = cdist.i
+       JOIN sl sj ON sj.label = cdist.j
+       GROUP BY cdist.i)
+SELECT (SELECT k FROM kk) AS k, (SELECT n FROM nn) AS n,
+       ROUND(((SELECT b FROM bt) / ((SELECT k FROM kk) - 1))
+             / ((SELECT w FROM wt)
+                / ((SELECT n FROM nn) - (SELECT k FROM kk))), 6)
+         AS ch_index,
+       ROUND((SELECT AVG(r) FROM rr), 6) AS db_index""",
     }

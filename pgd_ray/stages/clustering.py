@@ -417,3 +417,100 @@ def dbscan(
         "label": labels,
         "is_core": is_core_all.astype(np.int64),
     })
+
+
+def cluster_validity(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Calinski-Harabasz and Davies-Bouldin validity indices of a
+    GIVEN labeling (the two scikit-learn-standard internal metrics
+    next to silhouette): CH = (B/(k−1)) / (W/(n−k)) with B/W the
+    between/within squared scatter; DB = mean_i max_{j≠i}
+    (s_i + s_j)/d_ij with s = mean Euclidean distance to the own
+    centroid and d = centroid distance.
+
+    Distribution: pass 1 per-label (count, Σvec) partials → k×d
+    centroids on the driver; pass 2 broadcast-centroid distance
+    partials (Σd², Σd per label).  Shuffles carry k·d rows per batch,
+    never vectors.  One row: (k, n, ch_index, db_index), rounded 6."""
+    from ray.data.aggregate import Sum
+
+    def p1(t: pa.Table) -> pa.Table:
+        X = _stack(t[vec_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(X) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "cnt": pa.array([], pa.int64())})
+        ulab, inv = np.unique(lab, return_inverse=True)
+        d = X.shape[1]
+        sums = np.zeros((len(ulab), d))
+        np.add.at(sums, inv, X)
+        cnt = np.bincount(inv)
+        return pa.table({
+            "label": np.repeat(ulab, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(ulab)),
+            "s": sums.ravel(),
+            "cnt": np.repeat(cnt, d).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(p1, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+           .to_pandas().sort_values(["label", "dim"], ignore_index=True))
+    labels = np.unique(agg["label"].to_numpy())
+    k = len(labels)
+    d = int(agg["dim"].max()) + 1
+    S = agg["s"].to_numpy().reshape(k, d)
+    cnt = agg["cnt"].to_numpy().reshape(k, d)[:, 0].astype(np.int64)
+    n = int(cnt.sum())
+    C = S / cnt[:, None]
+    g = S.sum(axis=0) / n  # global centroid
+
+    cref = ray.put((labels, C))
+
+    def p2(t: pa.Table) -> pa.Table:
+        from pgd_ray.graph.cache import get_cached
+
+        labs, cen = get_cached(cref)
+        X = _stack(t[vec_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(X) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.float64()),
+                             "d1": pa.array([], pa.float64())})
+        pos = np.searchsorted(labs, lab)
+        diff = X - cen[pos]
+        sq = (diff * diff).sum(axis=1)
+        dist = np.sqrt(sq)
+        d2 = np.zeros(len(labs))
+        d1 = np.zeros(len(labs))
+        np.add.at(d2, pos, sq)
+        np.add.at(d1, pos, dist)
+        return pa.table({"label": labs.astype(np.int64),
+                         "d2": d2, "d1": d1})
+
+    p2agg = (ds.map_batches(p2, batch_format="pyarrow")
+             .groupby("label")
+             .aggregate(Sum("d2", alias_name="d2"),
+                        Sum("d1", alias_name="d1"))
+             .to_pandas().sort_values("label", ignore_index=True))
+    W = float(p2agg["d2"].sum())
+    B = float((cnt * ((C - g) ** 2).sum(axis=1)).sum())
+    ch = (B / (k - 1)) / (W / (n - k)) if k > 1 and n > k and W > 0 else 0.0
+    s = p2agg["d1"].to_numpy() / cnt
+    db = 0.0
+    if k > 1:
+        ratios = np.zeros((k, k))
+        for i in range(k):
+            for j in range(k):
+                if i != j:
+                    dij = float(np.sqrt(((C[i] - C[j]) ** 2).sum()))
+                    ratios[i, j] = (s[i] + s[j]) / dij
+        db = float(ratios.max(axis=1).mean())
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(n)],
+                         "ch_index": [round(ch, 6)],
+                         "db_index": [round(db, 6)]})

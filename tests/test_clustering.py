@@ -189,3 +189,42 @@ def test_dbscan_matches_bruteforce():
     labs = set(got["label"]) - {-1}
     assert len(labs) == 2
     assert got.loc[got["vec_id"] == ids[22], "label"].iloc[0] == -1
+
+
+def test_cluster_validity_matches_sklearn_formulas():
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pgd_ray.stages.clustering import cluster_validity
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{SF}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    out = cluster_validity(ds)
+
+    ref = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    lab = ref["label"].to_numpy().astype(np.int64)
+    labels = np.unique(lab)
+    k, n = len(labels), len(X)
+    C = np.stack([X[lab == l].mean(axis=0) for l in labels])
+    g = X.mean(axis=0)
+    W = sum(((X[lab == l] - C[i]) ** 2).sum()
+            for i, l in enumerate(labels))
+    B = sum((lab == l).sum() * ((C[i] - g) ** 2).sum()
+            for i, l in enumerate(labels))
+    ch = (B / (k - 1)) / (W / (n - k))
+    s = np.array([np.linalg.norm(X[lab == l] - C[i], axis=1).mean()
+                  for i, l in enumerate(labels)])
+    db_terms = []
+    for i in range(k):
+        r = [(s[i] + s[j]) / np.linalg.norm(C[i] - C[j])
+             for j in range(k) if j != i]
+        db_terms.append(max(r))
+    db = float(np.mean(db_terms))
+
+    assert int(out["k"].iloc[0]) == k and int(out["n"].iloc[0]) == n
+    assert abs(out["ch_index"].iloc[0] - ch) < 1e-4 * max(1, abs(ch))
+    assert abs(out["db_index"].iloc[0] - db) < 1e-6
