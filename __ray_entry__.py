@@ -3102,6 +3102,15 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_type_user_jaccard(sf_dir):
+    """Audience-overlap Jaccard between event types' distinct-user
+    sets — stages.basket.type_user_jaccard (two hash aggregations +
+    a ≤2^T-row mask histogram)."""
+    from pgd_ray.stages.basket import type_user_jaccard
+
+    return type_user_jaccard(sf_dir)
+
+
 def _q_cluster_validity(sf_dir):
     """Calinski-Harabasz + Davies-Bouldin validity of the embedding
     table's given labels — stages.clustering.cluster_validity (two
@@ -3604,6 +3613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank_tool": _q_simrank_tool,
         "sssp_copurchase": _q_sssp_copurchase,
         "cluster_validity": _q_cluster_validity,
+        "type_user_jaccard": _q_type_user_jaccard,
     }
 
 
@@ -7258,4 +7268,21 @@ SELECT (SELECT k FROM kk) AS k, (SELECT n FROM nn) AS n,
                 / ((SELECT n FROM nn) - (SELECT k FROM kk))), 6)
          AS ch_index,
        ROUND((SELECT AVG(r) FROM rr), 6) AS db_index""",
+        # stages.basket.type_user_jaccard: distinct-user audience
+        # overlap; only intersecting pairs appear.
+        "type_user_jaccard": """
+WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na
+       FROM p GROUP BY 1),
+it AS (SELECT a.event_type AS ta, b.event_type AS tb,
+              CAST(COUNT(*) AS BIGINT) AS inter
+       FROM p a JOIN p b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT ta AS type_a, tb AS type_b, inter AS n_both,
+       sa.na AS n_a, sb.na AS n_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.na + sb.na - inter), 9)
+         AS jaccard
+FROM it JOIN sz sa ON sa.event_type = it.ta
+JOIN sz sb ON sb.event_type = it.tb""",
     }

@@ -122,3 +122,63 @@ def basket_lift(
         "n_both": nb,
         "lift": np.round(lift, 6),
     }).sort_values(["part_a", "part_b"], ignore_index=True)
+
+
+def type_user_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Jaccard similarity between event types' DISTINCT-user sets —
+    the audience-overlap affinity matrix.  Scale shape: one distinct
+    (type, user) hash aggregation → per-user type BITMASK as a second
+    hash aggregation (distinct pairs make Sum(bit) an exact OR) → a
+    ≤ 2^T-row mask histogram; every pairwise intersection folds from
+    the histogram on the driver.  Nothing ∝ users reaches the driver
+    beyond the histogram.  Columns (type_a, type_b, n_both, n_a, n_b,
+    jaccard) for intersecting pairs, type_a < type_b."""
+    from ray.data.aggregate import Count, Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    pairs = (ev.groupby(["event_type", "user_id"])
+             .aggregate(Count()).select_columns(["event_type", "user_id"])
+             .materialize())
+    types = sorted(pairs.groupby("event_type").aggregate(Count())
+                   .to_pandas()["event_type"])
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "b": np.array([bit[x] for x in et], dtype=np.int64),
+        })
+
+    masks = (pairs.map_batches(to_bits, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Sum("b", alias_name="mask")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        c = np.bincount(m, minlength=1 << len(types))
+        nz = np.flatnonzero(c)
+        return pa.table({"mask": nz.astype(np.int64),
+                         "cnt": c[nz].astype(np.int64)})
+
+    h = (masks.map_batches(hist, batch_format="pyarrow")
+         .groupby("mask").aggregate(Sum("cnt", alias_name="cnt"))
+         .to_pandas())
+    mask_arr = h["mask"].to_numpy(np.int64)
+    cnt_arr = h["cnt"].to_numpy(np.int64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            both = int(cnt_arr[(mask_arr & (1 << i) > 0)
+                               & (mask_arr & (1 << j) > 0)].sum())
+            if both == 0:
+                continue
+            na = int(cnt_arr[mask_arr & (1 << i) > 0].sum())
+            nb = int(cnt_arr[mask_arr & (1 << j) > 0].sum())
+            rows.append((ta, tb, both, na, nb,
+                         round(float(both) / (na + nb - both), 9)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_both",
+                                       "n_a", "n_b", "jaccard"])

@@ -99,3 +99,30 @@ def test_decayed_counts_matches_brute(tmp_path):
         want = np.exp(-(tmax - ts_us[et == t]).astype(float)
                       / 604_800_000_000.0).sum()
         assert abs(got[t] - want) < 1e-6
+
+
+def test_type_user_jaccard_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pgd_ray.stages.basket import type_user_jaccard
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    out = type_user_jaccard(SF)
+    types = sorted(sets)
+    expect = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                expect[(a, b)] = (inter, len(sets[a]), len(sets[b]),
+                                  inter / len(sets[a] | sets[b]))
+    assert len(out) == len(expect)
+    for r in out.itertuples(index=False):
+        e = expect[(r.type_a, r.type_b)]
+        assert (r.n_both, r.n_a, r.n_b) == e[:3]
+        assert abs(r.jaccard - round(e[3], 9)) < 1e-12
