@@ -3102,6 +3102,45 @@ def _q_users_churned(sf_dir):
     return except_distinct(first, second, ["user_id", "k"])
 
 
+def _q_percolation(sf_dir):
+    """Bond-percolation robustness profile of the co-purchase graph
+    (content-hash edge subsampling at 4 keep-rates + distributed CC
+    per level) — graph.percolation.percolation_profile."""
+    from pgd_ray.graph.percolation import percolation_profile
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    return percolation_profile(eds, vids,
+                               levels=(0.2, 0.4, 0.6, 0.8), seed=42)
+
+
+def _percolation_sql(levels=(0.2, 0.4, 0.6, 0.8), seed: int = 42) -> str:
+    """Per-level content-hash edge subsample (bit-exact _edgemix_sql
+    mirror) + recursive min-label CC + giant-component fold."""
+    parts, selects = [], []
+    for i, p in enumerate(levels):
+        thresh = int(p * 2.0 ** 64)
+        parts.append(f"""k{i} AS (SELECT src, dst FROM e
+  WHERE {_edgemix_sql(seed)} < CAST('{thresh}' AS HUGEINT))""")
+        parts.append(f"""s{i} AS (SELECT src, dst FROM k{i}
+  UNION ALL SELECT dst, src FROM k{i})""")
+        parts.append(f"v{i} AS (SELECT DISTINCT src AS v FROM s{i})")
+        parts.append(f"""w{i}(v, comp) AS (
+  SELECT v, v FROM v{i}
+  UNION
+  SELECT s{i}.dst, w{i}.comp FROM w{i} JOIN s{i} ON s{i}.src = w{i}.v)""")
+        parts.append(
+            f"c{i} AS (SELECT v, MIN(comp) AS comp FROM w{i} GROUP BY v)")
+        parts.append(
+            f"g{i} AS (SELECT comp, COUNT(*) AS sz FROM c{i} GROUP BY comp)")
+        selects.append(f"""SELECT CAST({p} AS DOUBLE) AS p,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i}) AS m_kept,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM v{i}) AS n_active,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM g{i}) AS n_components,
+  ROUND((SELECT CAST(MAX(sz) AS DOUBLE) FROM g{i})
+        / (SELECT COUNT(*) FROM v{i}), 9) AS giant_frac""")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_type_user_jaccard(sf_dir):
     """Audience-overlap Jaccard between event types' distinct-user
     sets — stages.basket.type_user_jaccard (two hash aggregations +
@@ -3614,6 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_copurchase": _q_sssp_copurchase,
         "cluster_validity": _q_cluster_validity,
         "type_user_jaccard": _q_type_user_jaccard,
+        "percolation": _q_percolation,
     }
 
 
@@ -7285,4 +7325,8 @@ SELECT ta AS type_a, tb AS type_b, inter AS n_both,
          AS jaccard
 FROM it JOIN sz sa ON sa.event_type = it.ta
 JOIN sz sb ON sb.event_type = it.tb""",
+        # graph.percolation.percolation_profile: content-hash bond
+        # percolation (engine hash mirrored by _edgemix_sql).
+        "percolation": f"WITH RECURSIVE {_E_CTE},\n"
+                       + _percolation_sql((0.2, 0.4, 0.6, 0.8), 42),
     }
