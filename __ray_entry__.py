@@ -3113,6 +3113,17 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_lang_confusion(sf_dir):
+    """Declared-vs-detected language confusion matrix —
+    text.analysis.lang_confusion (LangId pass + one hash join +
+    O(#langs²) aggregation)."""
+    from pgd_ray.text.analysis import lang_confusion
+
+    docs = _read(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text", "lang"])
+    return lang_confusion(docs)
+
+
 def _percolation_sql(levels=(0.2, 0.4, 0.6, 0.8), seed: int = 42) -> str:
     """Per-level content-hash edge subsample (bit-exact _edgemix_sql
     mirror) + recursive min-label CC + giant-component fold."""
@@ -3654,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_validity": _q_cluster_validity,
         "type_user_jaccard": _q_type_user_jaccard,
         "percolation": _q_percolation,
+        "lang_confusion": _q_lang_confusion,
     }
 
 
@@ -7329,4 +7341,27 @@ JOIN sz sb ON sb.event_type = it.tb""",
         # percolation (engine hash mirrored by _edgemix_sql).
         "percolation": f"WITH RECURSIVE {_E_CTE},\n"
                        + _percolation_sql((0.2, 0.4, 0.6, 0.8), 42),
+        # text.analysis.lang_confusion: declared lang × the lang_id
+        # CASE chain (same CTE as the lang_id oracle).
+        "lang_confusion": """
+WITH h AS (SELECT doc_id,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['das','den','der','die','ein','ist','mit','nicht','und','zu'], x))) AS de,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['a','and','for','in','is','it','of','that','the','to'], x))) AS en,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['el','es','la','las','los','por','que','un','una','y'], x))) AS es,
+  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      x -> list_contains(['des','est','et','la','le','les','pour','que','un','une'], x))) AS fr
+FROM documents),
+p AS (SELECT doc_id, CASE
+  WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+  WHEN de = greatest(de, en, es, fr) THEN 'de'
+  WHEN en = greatest(de, en, es, fr) THEN 'en'
+  WHEN es = greatest(de, en, es, fr) THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM h)
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -426,3 +426,27 @@ def source_shingle_overlap(
     return pd.DataFrame(rows, columns=[
         "source_a", "source_b", "n_a", "n_b", "n_both", "jaccard"]).astype(
         {"n_a": np.int64, "n_b": np.int64, "n_both": np.int64})
+
+
+def lang_confusion(docs: ray.data.Dataset,
+                   num_partitions: int = 8) -> pd.DataFrame:
+    """Confusion matrix of the declared ``lang`` column vs the
+    stopword-heuristic prediction — the detector-evaluation screen.
+    One LangId actor pass + ONE native hash join on doc_id + a tiny
+    (lang, lang_pred) count aggregation; output is O(#langs²) rows
+    (lang, lang_pred, n), ordered."""
+    from ray.data.aggregate import Count
+
+    pred = lang_id(docs).materialize()
+    truth = docs.select_columns(["doc_id", "lang"]).materialize()
+    j = truth.repartition(num_partitions).materialize().join(
+        pred.repartition(num_partitions).materialize(),
+        "inner", num_partitions,
+        on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    out = (j.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values(["lang", "lang_pred"],
+                                    ignore_index=True))
+    out["n"] = out["n"].astype(np.int64)
+    return out

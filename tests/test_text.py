@@ -373,3 +373,21 @@ def test_chunk_documents_windows_and_validation():
     assert (out["doc_id"] != 3).all()
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_lang_confusion_mass_conservation():
+    import numpy as np
+
+    from pgd_ray.text.analysis import lang_confusion
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    out = lang_confusion(docs)
+    # every document lands in exactly one cell
+    assert int(out["n"].sum()) == docs.count()
+    # diagonal dominance: the detector beats chance on this corpus
+    diag = out[out["lang"] == out["lang_pred"]]["n"].sum()
+    assert diag > 0.5 * out["n"].sum()
+    assert (out["n"] > 0).all()
