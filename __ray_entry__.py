@@ -3113,6 +3113,14 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_tool_pagerank(sf_dir):
+    """Directed PageRank on the tool-transition digraph (dangling =
+    self-loop, 32 fixed rounds) — stages.conv_stats.tool_pagerank."""
+    from pgd_ray.stages.conv_stats import tool_pagerank
+
+    return tool_pagerank(_transcripts_ds(sf_dir), alpha=0.85, iters=32)
+
+
 def _q_lang_confusion(sf_dir):
     """Declared-vs-detected language confusion matrix —
     text.analysis.lang_confusion (LangId pass + one hash join +
@@ -3666,6 +3674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_user_jaccard": _q_type_user_jaccard,
         "percolation": _q_percolation,
         "lang_confusion": _q_lang_confusion,
+        "tool_pagerank": _q_tool_pagerank,
     }
 
 
@@ -7364,4 +7373,30 @@ FROM h)
 SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents d JOIN p ON p.doc_id = d.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2""",
+        # stages.conv_stats.tool_pagerank: directed PR with
+        # dangling-self-loop contract; zero rows keep every target
+        # present in the aggregated recursion.
+        "tool_pagerank": f"""
+WITH RECURSIVE {_T_CTE},
+tv AS (SELECT DISTINCT tool FROM t),
+g AS (SELECT tool AS a,
+             LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+      FROM t),
+c0 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+       FROM g WHERE b IS NOT NULL GROUP BY 1, 2),
+cz AS (SELECT a, b, n FROM c0
+       UNION ALL SELECT tool, tool, 1 FROM tv
+       WHERE tool NOT IN (SELECT DISTINCT a FROM c0)
+       UNION ALL SELECT tool, tool, 0 FROM tv),
+ow AS (SELECT a, CAST(SUM(n) AS BIGINT) AS w FROM cz GROUP BY a),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tv),
+pr(it, v, s) AS (
+  SELECT 0, tool, 1.0 / (SELECT n FROM nn) FROM tv
+  UNION ALL
+  SELECT pr.it + 1, cz.b,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(pr.s * cz.n / ow.w)
+  FROM pr JOIN cz ON cz.a = pr.v JOIN ow ON ow.a = pr.v
+  WHERE pr.it < 32 GROUP BY pr.it + 1, cz.b)
+SELECT v AS tool, ROUND(s, 9) AS score FROM pr WHERE it = 32
+ORDER BY tool""",
     }

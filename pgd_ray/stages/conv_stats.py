@@ -394,3 +394,40 @@ def tool_scc(transcripts: ray.data.Dataset) -> pd.DataFrame:
     mutual = reach & reach.T
     scc_idx = np.argmax(mutual, axis=1)  # first True = smallest index
     return pd.DataFrame({"tool": names, "scc": names[scc_idx]})
+
+
+def tool_pagerank(transcripts: ray.data.Dataset, alpha: float = 0.85,
+                  iters: int = 32) -> pd.DataFrame:
+    """PageRank on the DIRECTED tool-transition digraph (the
+    importance ranking the undirected co-occurrence PageRank cannot
+    express — direction matters for "what do agents reach for
+    next").  Transition matrix P(a→b) = c(a,b)/Σ_b c(a,b); dangling
+    tools (no outgoing transition) self-loop — mass stays put (the
+    stated contract; no global dangling scalar, which keeps the SQL
+    recursion single-reference).  Fixed ``iters`` rounds of
+    x ← (1−α)/n + α·Pᵀx on the O(#tools²) count matrix from the
+    shared distributed transition plan.  Columns (tool, score
+    round 9), ordered by tool."""
+    c = _transition_counts(transcripts, "tool", "a", "b")
+    vocab = np.sort(
+        transcripts.select_columns(["tool"]).groupby("tool")
+        .aggregate(Count()).to_pandas()["tool"].to_numpy(object))
+    n = len(vocab)
+    if n == 0:
+        return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                             "score": pd.Series([], dtype=np.float64)})
+    P = np.zeros((n, n))
+    if not c.empty:
+        ia = np.searchsorted(vocab, c["a"].to_numpy(object))
+        ib = np.searchsorted(vocab, c["b"].to_numpy(object))
+        P[ia, ib] = c["n_trans"].to_numpy(np.float64)
+    out_w = P.sum(axis=1)
+    dangling = out_w == 0
+    P[dangling, dangling] = 1.0
+    out_w[dangling] = 1.0
+    P = P / out_w[:, None]
+    x = np.full(n, 1.0 / n)
+    base = (1.0 - alpha) / n
+    for _ in range(iters):
+        x = base + alpha * (P.T @ x)
+    return pd.DataFrame({"tool": vocab, "score": np.round(x, 9)})

@@ -93,3 +93,25 @@ def test_tool_scc_three_cycle():
             for i, t in enumerate(["B", "C", "A", "B"])]  # B->C->A->B
     out = tool_scc(_tr(rows)).set_index("tool")["scc"]
     assert set(out) == {"A"} and len(out) == 3
+
+
+def test_tool_pagerank_mass_and_sink():
+    from pgd_ray.stages.conv_stats import tool_pagerank
+    # chain A->B->C repeated: C is a sink (dangling)
+    rows = [("c%d" % k, i, "u", "x", t, i)
+            for k in range(3) for i, t in enumerate(["A", "B", "C"])]
+    out = tool_pagerank(_tr(rows), alpha=0.85, iters=64)
+    s = out.set_index("tool")["score"]
+    # mass conserved (dangling self-loop keeps total at 1)
+    assert abs(s.sum() - 1.0) < 1e-6
+    # downstream accumulates: C > B > A
+    assert s["C"] > s["B"] > s["A"]
+
+
+def test_tool_pagerank_symmetric_cycle_uniform():
+    from pgd_ray.stages.conv_stats import tool_pagerank
+    rows = [("c1", i, "u", "x", t, i)
+            for i, t in enumerate(["A", "B", "C", "A"])]  # A->B->C->A
+    out = tool_pagerank(_tr(rows), iters=128)
+    s = out["score"].to_numpy()
+    assert abs(s.max() - s.min()) < 1e-6  # cycle symmetry → uniform
