@@ -3113,6 +3113,15 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_user_burstiness(sf_dir):
+    """Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps —
+    stages.windows.user_burstiness (sorted-block per-user moment
+    partials + boundary stitch)."""
+    from pgd_ray.stages.windows import user_burstiness
+
+    return user_burstiness(sf_dir)
+
+
 def _q_tool_pagerank(sf_dir):
     """Directed PageRank on the tool-transition digraph (dangling =
     self-loop, 32 fixed rounds) — stages.conv_stats.tool_pagerank."""
@@ -3675,6 +3684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolation": _q_percolation,
         "lang_confusion": _q_lang_confusion,
         "tool_pagerank": _q_tool_pagerank,
+        "user_burstiness": _q_user_burstiness,
     }
 
 
@@ -7399,4 +7409,22 @@ pr(it, v, s) AS (
   WHERE pr.it < 32 GROUP BY pr.it + 1, cz.b)
 SELECT v AS tool, ROUND(s, 9) AS score FROM pr WHERE it = 32
 ORDER BY tool""",
+        # stages.windows.user_burstiness: Barabási B over second-scale
+        # gaps; population σ with the clamp both engines apply.
+        "user_burstiness": """
+WITH s0 AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+g AS (SELECT user_id,
+             CAST(tu - LAG(tu) OVER (PARTITION BY user_id
+                                     ORDER BY tu, event_id) AS DOUBLE)
+               / 1000000.0 AS gs
+      FROM s0),
+a AS (SELECT user_id, CAST(COUNT(gs) AS BIGINT) AS n,
+             SUM(gs) AS s1, SUM(gs * gs) AS s2
+      FROM g WHERE gs IS NOT NULL GROUP BY user_id)
+SELECT user_id, n AS n_gaps,
+       ROUND(s1 / n, 6) AS mean_gap_s,
+       ROUND((sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) - s1 / n)
+             / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) + s1 / n),
+             6) AS burstiness
+FROM a WHERE n >= 2 ORDER BY user_id""",
     }

@@ -1479,3 +1479,96 @@ def window_functions2(
         })
 
     return base.map_batches(decorate, batch_format="pyarrow")
+
+
+def user_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-user burstiness of inter-event gaps (Barabási's
+    B = (σ−μ)/(σ+μ), population σ): −1 = perfectly regular, 0 =
+    Poisson, →1 = extremely bursty.  Gaps in SECONDS as float64 (µs²
+    would overflow int64; second-scale squares stay inside float64's
+    exact-integer range for this corpus' spans).
+
+    Same sorted-block + boundary-stitch shape as ``inter_event_gaps``
+    but keyed per USER: interior users reduce to (n, Σg, Σg²)
+    partials in their block; the ≤ 2 block-edge users ship raw rows.
+    Output (user_id, n_gaps, mean_gap_s, burstiness) for users with
+    ≥ 2 gaps — O(#users) rows, the query's own output size."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+    )
+    srt = ev.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _moments(uid, tu) -> pd.DataFrame | None:
+        if len(uid) < 2:
+            return None
+        m = uid[1:] == uid[:-1]
+        if not m.any():
+            return None
+        gs = (tu[1:] - tu[:-1])[m].astype(np.float64) / 1e6
+        return (pd.DataFrame({"user_id": uid[1:][m], "g": gs, "g2": gs * gs})
+                .groupby("user_id", sort=False)
+                .agg(n=("g", "size"), s1=("g", "sum"), s2=("g2", "sum"))
+                .reset_index())
+
+    def _tbl(d) -> pa.Table:
+        if d is None or d.empty:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
+        return pa.table({"user_id": d["user_id"].to_numpy(np.int64),
+                         "n": d["n"].to_numpy(np.int64),
+                         "s1": d["s1"].to_numpy(np.float64),
+                         "s2": d["s2"].to_numpy(np.float64)})
+
+    def _tu(t: pa.Table) -> np.ndarray:
+        return (t["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _tbl(None)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        interior = (uid != uid[0]) & (uid != uid[-1])
+        return _tbl(_moments(uid[interior], _tu(t)[interior]))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["event_id", "ts", "user_id"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.select(cols).filter(
+            pa.array((uid == uid[0]) | (uid == uid[-1])))
+
+    parts = srt.map_batches(block, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    bdf = srt.map_batches(boundary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = bdf["user_id"].to_numpy(np.int64)
+        tu = (bdf["ts"].astype("datetime64[us]").astype(np.int64)
+              .to_numpy())
+        d = _moments(uid, tu)
+        if d is not None and len(d):
+            parts = pd.concat([parts, d.rename(columns={})], ignore_index=True)
+    if parts.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_gaps": pd.Series([], dtype=np.int64),
+                             "mean_gap_s": pd.Series([], dtype=np.float64),
+                             "burstiness": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby("user_id", as_index=False).agg(
+        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    agg = agg[agg["n"] >= 2]
+    n = agg["n"].to_numpy(np.float64)
+    mu = agg["s1"].to_numpy() / n
+    var = np.maximum(agg["s2"].to_numpy() / n - mu * mu, 0.0)
+    sig = np.sqrt(var)
+    b = (sig - mu) / (sig + mu)
+    return pd.DataFrame({"user_id": agg["user_id"].to_numpy(np.int64),
+                         "n_gaps": agg["n"].to_numpy(np.int64),
+                         "mean_gap_s": np.round(mu, 6),
+                         "burstiness": np.round(b, 6)}).sort_values(
+        "user_id", ignore_index=True)

@@ -65,3 +65,29 @@ def test_ks_identical_distribution_is_zero_on_self_split():
     # sanity bound: D in [0, 1]
     out = ks_value(SF)
     assert 0.0 <= float(out["d_stat"].iloc[0]) <= 1.0
+
+
+def test_user_burstiness_matches_brute():
+    import pandas as pd
+
+    from pgd_ray.stages.windows import user_burstiness
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev["tu"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "tu", "event_id"], kind="stable")
+    out = user_burstiness(SF).set_index("user_id")
+    for uid, g in ev.groupby("user_id"):
+        gs = np.diff(g["tu"].to_numpy()) / 1e6
+        if len(gs) < 2:
+            assert uid not in out.index
+            continue
+        mu = gs.mean()
+        sig = gs.std()  # population
+        b = (sig - mu) / (sig + mu)
+        r = out.loc[uid]
+        assert int(r["n_gaps"]) == len(gs)
+        assert abs(r["mean_gap_s"] - round(mu, 6)) < 1e-5
+        assert abs(r["burstiness"] - b) < 1e-5
+    # bounds
+    assert out["burstiness"].between(-1, 1).all()
