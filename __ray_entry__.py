@@ -3113,6 +3113,16 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_hapax_stats(sf_dir):
+    """Hapax-legomena lexical-richness profile —
+    text.analysis.hapax_stats (one vocab shuffle + a frequency
+    histogram fold; driver sees O(#distinct counts) rows)."""
+    from pgd_ray.text.analysis import hapax_stats
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return hapax_stats(docs)
+
+
 def _q_user_burstiness(sf_dir):
     """Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps —
     stages.windows.user_burstiness (sorted-block per-user moment
@@ -3685,6 +3695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "tool_pagerank": _q_tool_pagerank,
         "user_burstiness": _q_user_burstiness,
+        "hapax_stats": _q_hapax_stats,
     }
 
 
@@ -7427,4 +7438,22 @@ SELECT user_id, n AS n_gaps,
              / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) + s1 / n),
              6) AS burstiness
 FROM a WHERE n >= 2 ORDER BY user_id""",
+        # text.analysis.hapax_stats: vocab frequency histogram fold
+        # (same token contract as vocab_topk).
+        "hapax_stats": """
+WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+           FROM documents),
+t AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY tok),
+h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS v FROM t GROUP BY c)
+SELECT CAST(SUM(v) AS BIGINT) AS vocab_size,
+       CAST(SUM(c * v) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(CASE WHEN c = 1 THEN v END), 0) AS BIGINT)
+         AS n_hapax,
+       CAST(COALESCE(SUM(CASE WHEN c = 2 THEN v END), 0) AS BIGINT)
+         AS n_dis,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN c = 1 THEN v END), 0) AS DOUBLE)
+             / SUM(v), 9) AS hapax_frac,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN c = 2 THEN v END), 0) AS DOUBLE)
+             / SUM(v), 9) AS dis_frac
+FROM h""",
     }

@@ -450,3 +450,42 @@ def lang_confusion(docs: ray.data.Dataset,
                                     ignore_index=True))
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def hapax_stats(docs: ray.data.Dataset, concurrency=(1, 16)) -> pd.DataFrame:
+    """Hapax-legomena profile of the corpus vocabulary: how much of
+    the ``[A-Za-z]+`` vocabulary occurs exactly once / twice — the
+    classic lexical-richness / OCR-noise screen (a hapax fraction far
+    from ~0.4-0.6 flags boilerplate or shattered tokenization).
+
+    One distributed vocab pass (the ``vocab_topk`` partial-counts
+    shuffle) → a ≤ #distinct-counts histogram fold (second tiny
+    groupby) — the driver sees O(#distinct frequencies) rows, never
+    the vocabulary.  One row: (vocab_size, n_tokens, n_hapax, n_dis,
+    hapax_frac, dis_frac), fractions over the vocabulary, round 9."""
+    from ray.data.aggregate import Count, Sum
+
+    partial = docs.select_columns(["text"]).map_batches(
+        _TokenCounts, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency)
+    totals = partial.groupby("token").aggregate(Sum("n", alias_name="c"))
+    hist = (totals.groupby("c").aggregate(Count(alias_name="v"))
+            .to_pandas())
+    if hist.empty:
+        return pd.DataFrame({"vocab_size": [np.int64(0)],
+                             "n_tokens": [np.int64(0)],
+                             "n_hapax": [np.int64(0)],
+                             "n_dis": [np.int64(0)],
+                             "hapax_frac": [0.0], "dis_frac": [0.0]})
+    c = hist["c"].to_numpy(np.int64)
+    v = hist["v"].to_numpy(np.int64)
+    vocab = int(v.sum())
+    tokens = int((c * v).sum())
+    h1 = int(v[c == 1].sum())
+    h2 = int(v[c == 2].sum())
+    return pd.DataFrame({"vocab_size": [np.int64(vocab)],
+                         "n_tokens": [np.int64(tokens)],
+                         "n_hapax": [np.int64(h1)],
+                         "n_dis": [np.int64(h2)],
+                         "hapax_frac": [round(h1 / vocab, 9)],
+                         "dis_frac": [round(h2 / vocab, 9)]})

@@ -393,3 +393,31 @@ def test_lang_confusion_mass_conservation():
     # predicted
     assert set(out["lang_pred"]) <= {"de", "en", "es", "fr", "und"}
     assert (out["n"] > 0).all()
+
+
+def test_hapax_stats_matches_counter():
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pgd_ray.text.analysis import hapax_stats
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = hapax_stats(docs)
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["text"]).to_pandas()
+    cnt = collections.Counter()
+    for t in ref["text"].fillna(""):
+        cnt.update(re.findall(r"[A-Za-z]+", t))
+    vocab = len(cnt)
+    h1 = sum(1 for v in cnt.values() if v == 1)
+    h2 = sum(1 for v in cnt.values() if v == 2)
+    assert int(out["vocab_size"].iloc[0]) == vocab
+    assert int(out["n_tokens"].iloc[0]) == sum(cnt.values())
+    assert int(out["n_hapax"].iloc[0]) == h1
+    assert int(out["n_dis"].iloc[0]) == h2
+    assert abs(out["hapax_frac"].iloc[0] - round(h1 / vocab, 9)) < 1e-12
