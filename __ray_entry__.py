@@ -3179,6 +3179,49 @@ def _percolation_sql(levels=(0.2, 0.4, 0.6, 0.8), seed: int = 42) -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _q_attack(sf_dir):
+    """Targeted hub-removal robustness profile —
+    graph.percolation.attack_profile (top-degree removal sets,
+    broadcast-membership edge filter, distributed CC per level)."""
+    from pgd_ray.graph.percolation import attack_profile
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    return attack_profile(eds, vids, csr.degrees(),
+                          fracs=(0.01, 0.05, 0.1, 0.2))
+
+
+def _attack_sql(fracs=(0.01, 0.05, 0.1, 0.2)) -> str:
+    """Per-level top-degree removal + recursive min-label CC."""
+    parts, selects = [], []
+    for i, f in enumerate(fracs):
+        parts.append(f"""rm{i} AS (SELECT v FROM (
+  SELECT v, row_number() OVER (ORDER BY degree DESC, v) AS rn FROM d)
+  WHERE rn <= CAST(CEIL({f} * (SELECT COUNT(*) FROM d)) AS BIGINT))""")
+        parts.append(f"""ke{i} AS (SELECT src, dst FROM e
+  WHERE src NOT IN (SELECT v FROM rm{i})
+    AND dst NOT IN (SELECT v FROM rm{i}))""")
+        parts.append(f"""sy{i} AS (SELECT src, dst FROM ke{i}
+  UNION ALL SELECT dst, src FROM ke{i})""")
+        parts.append(f"va{i} AS (SELECT DISTINCT src AS v FROM sy{i})")
+        parts.append(f"""wa{i}(v, comp) AS (
+  SELECT v, v FROM va{i}
+  UNION
+  SELECT sy{i}.dst, wa{i}.comp FROM wa{i}
+  JOIN sy{i} ON sy{i}.src = wa{i}.v)""")
+        parts.append(
+            f"ca{i} AS (SELECT v, MIN(comp) AS comp FROM wa{i} GROUP BY v)")
+        parts.append(
+            f"ga{i} AS (SELECT comp, COUNT(*) AS sz FROM ca{i} GROUP BY comp)")
+        selects.append(f"""SELECT CAST({f} AS DOUBLE) AS frac,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM rm{i}) AS n_removed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ke{i}) AS m_kept,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM va{i}) AS n_active,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ga{i}) AS n_components,
+  ROUND((SELECT CAST(MAX(sz) AS DOUBLE) FROM ga{i})
+        / (SELECT COUNT(*) FROM va{i}), 9) AS giant_frac""")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_type_user_jaccard(sf_dir):
     """Audience-overlap Jaccard between event types' distinct-user
     sets — stages.basket.type_user_jaccard (two hash aggregations +
@@ -3696,6 +3739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_pagerank": _q_tool_pagerank,
         "user_burstiness": _q_user_burstiness,
         "hapax_stats": _q_hapax_stats,
+        "attack": _q_attack,
     }
 
 
@@ -7456,4 +7500,7 @@ SELECT CAST(SUM(v) AS BIGINT) AS vocab_size,
        ROUND(CAST(COALESCE(SUM(CASE WHEN c = 2 THEN v END), 0) AS DOUBLE)
              / SUM(v), 9) AS dis_frac
 FROM h""",
+        # graph.percolation.attack_profile: hub-removal robustness.
+        "attack": f"WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},\n"
+                  + _attack_sql((0.01, 0.05, 0.1, 0.2)),
     }

@@ -79,3 +79,52 @@ def percolation_profile(
                      round(float(sizes.max()) / n_active, 9)))
     return pd.DataFrame(rows, columns=["p", "m_kept", "n_active",
                                        "n_components", "giant_frac"])
+
+
+def attack_profile(
+    eds: ray.data.Dataset,
+    vids: np.ndarray,
+    degrees: np.ndarray,
+    fracs=(0.01, 0.05, 0.1, 0.2),
+    n_workers: int = 8,
+) -> pd.DataFrame:
+    """Targeted-attack robustness: remove the top ⌈f·n⌉ vertices by
+    (degree DESC, id ASC) and measure what survives — the classic
+    complement of random bond percolation (scale-free graphs shrug at
+    random failure and shatter under hub attack).  Per level: one
+    broadcast-membership edge filter + CSR + distributed CC.  Columns
+    (frac, n_removed, m_kept, n_active, n_components, giant_frac);
+    giant over ACTIVE surviving vertices."""
+    from pgd_ray.graph.csr import build_csr
+    from pgd_ray.graph.normalize import densify
+    from pgd_ray.graph.iterative import connected_components
+
+    eds = eds.materialize()
+    n = len(vids)
+    order = np.lexsort((vids, -degrees.astype(np.int64)))
+    rows = []
+    for f in fracs:
+        k = int(np.ceil(f * n))
+        removed = np.sort(vids[order[:k]])
+
+        def keep(t: pa.Table, removed=removed) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            bad = np.isin(s, removed) | np.isin(d, removed)
+            return t.filter(pa.array(~bad))
+
+        kept = eds.map_batches(keep, batch_format="pyarrow").materialize()
+        m_kept = int(kept.count())
+        if m_kept == 0:
+            rows.append((float(f), k, 0, 0, 0, 0.0))
+            continue
+        csr = build_csr(densify(kept, vids), n=n)
+        comp = connected_components(csr, n_workers=n_workers)
+        active = csr.degrees() > 0
+        n_active = int(active.sum())
+        _, sizes = np.unique(comp[active], return_counts=True)
+        rows.append((float(f), k, m_kept, n_active, len(sizes),
+                     round(float(sizes.max()) / n_active, 9)))
+    return pd.DataFrame(rows, columns=["frac", "n_removed", "m_kept",
+                                       "n_active", "n_components",
+                                       "giant_frac"])
