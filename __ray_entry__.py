@@ -3113,6 +3113,14 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_transition_entropy(sf_dir):
+    """Per-tool next-tool entropy + the chain's empirical entropy
+    rate — stages.conv_stats.transition_entropy."""
+    from pgd_ray.stages.conv_stats import transition_entropy
+
+    return transition_entropy(_transcripts_ds(sf_dir))
+
+
 def _q_hapax_stats(sf_dir):
     """Hapax-legomena lexical-richness profile —
     text.analysis.hapax_stats (one vocab shuffle + a frequency
@@ -3740,6 +3748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": _q_user_burstiness,
         "hapax_stats": _q_hapax_stats,
         "attack": _q_attack,
+        "transition_entropy": _q_transition_entropy,
     }
 
 
@@ -7503,4 +7512,24 @@ FROM h""",
         # graph.percolation.attack_profile: hub-removal robustness.
         "attack": f"WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},\n"
                   + _attack_sql((0.01, 0.05, 0.1, 0.2)),
+        # stages.conv_stats.transition_entropy: per-source next-tool
+        # entropy + the (w_a/N)-weighted entropy rate.
+        "transition_entropy": f"""
+WITH {_T_CTE},
+g AS (SELECT tool AS a,
+             LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+      FROM t),
+c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g WHERE b IS NOT NULL GROUP BY 1, 2),
+w AS (SELECT a, CAST(SUM(n) AS BIGINT) AS w FROM c GROUP BY a),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM c),
+h AS (SELECT c.a, -SUM((CAST(c.n AS DOUBLE) / w.w)
+                       * ln(CAST(c.n AS DOUBLE) / w.w)) AS ent
+      FROM c JOIN w ON w.a = c.a GROUP BY c.a),
+rt AS (SELECT SUM((CAST(w.w AS DOUBLE) / (SELECT n FROM tot)) * h.ent)
+         AS rate
+       FROM w JOIN h ON h.a = w.a)
+SELECT h.a AS tool, w.w AS n_out, ROUND(h.ent, 9) AS entropy,
+       ROUND((SELECT rate FROM rt), 9) AS entropy_rate
+FROM h JOIN w ON w.a = h.a ORDER BY tool""",
     }

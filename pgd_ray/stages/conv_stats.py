@@ -431,3 +431,34 @@ def tool_pagerank(transcripts: ray.data.Dataset, alpha: float = 0.85,
     for _ in range(iters):
         x = base + alpha * (P.T @ x)
     return pd.DataFrame({"tool": vocab, "score": np.round(x, 9)})
+
+
+def transition_entropy(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Empirical entropy of the tool-transition Markov chain: per
+    source tool, H_a = −Σ_b P(a,b)·ln P(a,b) with P = c(a,b)/Σ_b
+    c(a,b) (how predictable is the next tool given this one?), plus
+    the corpus entropy RATE Σ_a (w_a/N)·H_a repeated per row (the
+    window-sum mirror convention).  Driver fold over the O(#tools²)
+    counts from the shared distributed transition plan.  Columns
+    (tool, n_out, entropy, entropy_rate), ordered by tool; only tools
+    with ≥ 1 outgoing transition appear."""
+    c = _transition_counts(transcripts, "tool", "a", "b")
+    if c.empty:
+        return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                             "n_out": pd.Series([], dtype=np.int64),
+                             "entropy": pd.Series([], dtype=np.float64),
+                             "entropy_rate": pd.Series([], dtype=np.float64)})
+    w = c.groupby("a")["n_trans"].sum()
+    total = int(c["n_trans"].sum())
+    ents = {}
+    for a, g in c.groupby("a"):
+        p = g["n_trans"].to_numpy(np.float64) / float(w[a])
+        ents[a] = float(-(p * np.log(p)).sum())
+    rate = sum((float(w[a]) / total) * h for a, h in ents.items())
+    tools = sorted(ents)
+    return pd.DataFrame({
+        "tool": tools,
+        "n_out": [np.int64(w[a]) for a in tools],
+        "entropy": [round(ents[a], 9) for a in tools],
+        "entropy_rate": [round(rate, 9)] * len(tools),
+    })

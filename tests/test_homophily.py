@@ -115,3 +115,21 @@ def test_tool_pagerank_symmetric_cycle_uniform():
     out = tool_pagerank(_tr(rows), iters=128)
     s = out["score"].to_numpy()
     assert abs(s.max() - s.min()) < 1e-6  # cycle symmetry → uniform
+
+
+def test_transition_entropy_closed_forms():
+    import numpy as np
+
+    from pgd_ray.stages.conv_stats import transition_entropy
+    # A always -> B (deterministic, H=0); B -> A or C equally (H=ln 2)
+    rows = [("c1", i, "u", "x", t, i) for i, t in
+            enumerate(["A", "B", "A", "B", "C"])] + \
+           [("c2", i, "u", "x", t, i) for i, t in
+            enumerate(["A", "B", "A", "B", "A"])]
+    out = transition_entropy(_tr(rows)).set_index("tool")
+    assert abs(out.loc["A", "entropy"]) < 1e-12          # A->B only
+    assert abs(out.loc["B", "entropy"] - np.log(2)) < 1e-9
+    # rate = weighted mean of per-state entropies
+    w = out["n_out"].to_numpy(float)
+    expect = float((w / w.sum() * out["entropy"].to_numpy()).sum())
+    assert abs(out["entropy_rate"].iloc[0] - round(expect, 9)) < 1e-9
