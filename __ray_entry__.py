@@ -3113,6 +3113,15 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_w1_value(sf_dir):
+    """Exact 1-Wasserstein drift between the event-time halves of
+    events.value — stages.drift.w1_value (the ks_value prefix-sum
+    plan + an O(#blocks) next-value stitch)."""
+    from pgd_ray.stages.drift import w1_value
+
+    return w1_value(sf_dir)
+
+
 def _q_transition_entropy(sf_dir):
     """Per-tool next-tool entropy + the chain's empirical entropy
     rate — stages.conv_stats.transition_entropy."""
@@ -3749,6 +3758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": _q_hapax_stats,
         "attack": _q_attack,
         "transition_entropy": _q_transition_entropy,
+        "w1_value": _q_w1_value,
     }
 
 
@@ -7532,4 +7542,30 @@ rt AS (SELECT SUM((CAST(w.w AS DOUBLE) / (SELECT n FROM tot)) * h.ent)
 SELECT h.a AS tool, w.w AS n_out, ROUND(h.ent, 9) AS entropy,
        ROUND((SELECT rate FROM rt), 9) AS entropy_rate
 FROM h JOIN w ON w.a = h.a ORDER BY tool""",
+        # stages.drift.w1_value: ∫|F1−F2|dx over distinct values; the
+        # last row's LEAD is NULL and drops from SUM (the engine's
+        # zero term).
+        "w1_value": """
+WITH st AS (SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid
+            FROM events),
+b AS (SELECT value,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM st)
+                  THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL),
+g AS (SELECT value, SUM(a) AS c0, SUM(1 - a) AS c1 FROM b GROUP BY value),
+t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1 FROM g),
+c AS (SELECT value,
+             SUM(c0) OVER (ORDER BY value) AS cum0,
+             SUM(c1) OVER (ORDER BY value) AS cum1
+      FROM g),
+d AS (SELECT value,
+             ABS(CAST(cum0 AS DOUBLE) / (SELECT n0 FROM t)
+                 - CAST(cum1 AS DOUBLE) / (SELECT n1 FROM t)) AS diff,
+             LEAD(value) OVER (ORDER BY value) AS nv
+      FROM c)
+SELECT ROUND(SUM(diff * (nv - value)), 9) AS w1,
+       (SELECT n0 FROM t) AS n_first,
+       (SELECT n1 FROM t) AS n_second
+FROM d""",
     }

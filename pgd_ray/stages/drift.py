@@ -191,3 +191,96 @@ def ks_value(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"d_stat": [round(d, 9)], "at_value": [at],
                          "n_first": [np.int64(n0)],
                          "n_second": [np.int64(n1)]})
+
+
+def w1_value(sf_dir: str) -> pd.DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the two
+    event-time halves of ``events.value`` — the drift magnitude KS's
+    max-gap cannot express: W₁ = ∫|F₁−F₂| dx = Σ over sorted distinct
+    values of |F₁(v)−F₂(v)|·(v_next − v).
+
+    Same physical plan as ``ks_value`` (groupby(value) → sort →
+    distributed prefix sums) with one extra stitched datum: each
+    block's last row needs the NEXT block's first value, carried
+    through the O(#blocks) driver summary (the global last row's term
+    is 0 — the integral ends).  One row: (w1, n_first, n_second)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+    agg = ev.map_batches(
+        lambda t: pa.table(
+            {"tu": t["ts"].cast(pa.timestamp("us")).cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Min("tu"), Max("tu"))
+    lo_t, hi_t = int(agg["min(tu)"]), int(agg["max(tu)"])
+    mid = lo_t + (hi_t - lo_t) // 2
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        tu = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        ok = ~np.isnan(v)
+        v, tu = v[ok], tu[ok]
+        first = tu < mid
+        df = pd.DataFrame({"value": v,
+                           "c0": first.astype(np.int64),
+                           "c1": (~first).astype(np.int64)})
+        g = df.groupby("value", as_index=False, sort=False).sum()
+        return pa.table({"value": g["value"].to_numpy(),
+                         "c0": g["c0"].to_numpy(),
+                         "c1": g["c1"].to_numpy()})
+
+    grouped = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1"))
+    )
+    srt = grouped.sort("value").materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.float64()),
+                             "t0": pa.array([], pa.int64()),
+                             "t1": pa.array([], pa.int64())})
+        return pa.table({
+            "key": [float(t["value"][0].as_py())],
+            "t0": [int(t["c0"].to_numpy(zero_copy_only=False).sum())],
+            "t1": [int(t["c1"].to_numpy(zero_copy_only=False).sum())],
+        })
+
+    sm = srt.map_batches(summary, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    if sm.empty:
+        raise ValueError("w1_value: no non-null values")
+    sm = sm.sort_values("key", ignore_index=True)
+    n0, n1 = int(sm["t0"].sum()), int(sm["t1"].sum())
+    if n0 == 0 or n1 == 0:
+        raise ValueError("w1_value: one time half has no values")
+    off0 = dict(zip(sm["key"],
+                    np.concatenate(([0], np.cumsum(sm["t0"].to_numpy()[:-1])))))
+    off1 = dict(zip(sm["key"],
+                    np.concatenate(([0], np.cumsum(sm["t1"].to_numpy()[:-1])))))
+    keys = sm["key"].to_numpy()
+    # next block's first value, keyed by this block's first value
+    nxt = {float(keys[i]): float(keys[i + 1]) for i in range(len(keys) - 1)}
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.float64())})
+        v = t["value"].to_numpy(zero_copy_only=False)
+        a = t["c0"].to_numpy(zero_copy_only=False)
+        b = t["c1"].to_numpy(zero_copy_only=False)
+        cum0 = off0[float(v[0])] + np.cumsum(a)
+        cum1 = off1[float(v[0])] + np.cumsum(b)
+        diff = np.abs(cum0 / float(n0) - cum1 / float(n1))
+        nv = nxt.get(float(v[0]))
+        if nv is None:
+            gaps = np.concatenate((v[1:], [v[-1]])) - v  # last term 0
+        else:
+            gaps = np.concatenate((v[1:], [nv])) - v
+        return pa.table({"s": [float((diff * gaps).sum())]})
+
+    bs = srt.map_batches(block_sum, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    return pd.DataFrame({"w1": [round(float(bs["s"].sum()), 9)],
+                         "n_first": [np.int64(n0)],
+                         "n_second": [np.int64(n1)]})

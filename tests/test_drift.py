@@ -91,3 +91,21 @@ def test_user_burstiness_matches_brute():
         assert abs(r["burstiness"] - b) < 1e-5
     # bounds
     assert out["burstiness"].between(-1, 1).all()
+
+
+def test_w1_matches_scipy_style_brute():
+    from pgd_ray.stages.drift import w1_value
+
+    a, b = _halves()
+    # brute: integral of |F1-F2| over the pooled support
+    vals = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    w1 = float((np.abs(f1 - f2)[:-1] * np.diff(vals)).sum())
+
+    out = w1_value(SF)
+    assert abs(float(out["w1"].iloc[0]) - w1) < 1e-8
+    assert int(out["n_first"].iloc[0]) == len(a)
+    assert int(out["n_second"].iloc[0]) == len(b)
+    # W1 >= 0 and bounded by the support width
+    assert 0 <= out["w1"].iloc[0] <= vals[-1] - vals[0]
