@@ -3113,6 +3113,16 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_lexicon_screen(sf_dir):
+    """Blocklist lexicon screen (marketing-word default list) —
+    text.analysis.lexicon_screen (one stateless pass, C string
+    kernels)."""
+    from pgd_ray.text.analysis import lexicon_screen
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lexicon_screen(docs)
+
+
 def _q_w1_value(sf_dir):
     """Exact 1-Wasserstein drift between the event-time halves of
     events.value — stages.drift.w1_value (the ks_value prefix-sum
@@ -3759,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attack": _q_attack,
         "transition_entropy": _q_transition_entropy,
         "w1_value": _q_w1_value,
+        "lexicon_screen": _q_lexicon_screen,
     }
 
 
@@ -7568,4 +7579,21 @@ SELECT ROUND(SUM(diff * (nv - value)), 9) AS w1,
        (SELECT n0 FROM t) AS n_first,
        (SELECT n1 FROM t) AS n_second
 FROM d""",
+        # text.analysis.lexicon_screen: token-membership counts (the
+        # lang_id lookaround≡membership equivalence); keep compares
+        # the UNROUNDED fraction.
+        "lexicon_screen": """
+WITH b AS (SELECT doc_id,
+  CAST(length(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+    AS n_words,
+  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       x -> list_contains(['buy','click','deal','free','offer',
+                           'prize','subscribe','winner'], x)))
+    AS BIGINT) AS n_hits
+FROM documents)
+SELECT doc_id, n_words, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / greatest(n_words, 1), 9)
+         AS hit_frac,
+       (CAST(n_hits AS DOUBLE) / greatest(n_words, 1)) <= 0.05 AS keep
+FROM b""",
     }

@@ -489,3 +489,42 @@ def hapax_stats(docs: ray.data.Dataset, concurrency=(1, 16)) -> pd.DataFrame:
                          "n_dis": [np.int64(h2)],
                          "hapax_frac": [round(h1 / vocab, 9)],
                          "dis_frac": [round(h2 / vocab, 9)]})
+
+
+# default lexicon for the screen: mild profanity/spam markers — the
+# mechanism is the point; production swaps in its own list.
+SCREEN_LEXICON = ("click", "free", "winner", "prize", "buy",
+                  "subscribe", "offer", "deal")
+
+
+def lexicon_screen(docs: ray.data.Dataset, lexicon=SCREEN_LEXICON,
+                   max_frac: float = 0.05,
+                   concurrency=(1, 16)) -> ray.data.Dataset:
+    """Blocklist screen: per-doc count of lexicon-word tokens
+    (maximal [A-Za-z]+ runs, case-insensitive) and the keep rule
+    ``hits / max(word_count, 1) <= max_frac`` — the spam/boilerplate
+    filter shape every corpus pipeline carries (swap the default
+    marketing-word list for a real blocklist in production).  One
+    stateless pass, pandas C string kernels (the LangId alternation
+    trick — no per-row token loop).  Columns (doc_id, n_words,
+    n_hits, hit_frac, keep)."""
+    pattern = (r"(?<![a-zA-Z])(?:" + "|".join(sorted(set(lexicon)))
+               + r")(?![a-zA-Z])")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.lower()
+        words = text.str.count(r"[a-z]+").astype("int64")
+        hits = text.str.count(pattern).astype("int64")
+        frac = hits / np.maximum(words, 1)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_words": words,
+            "n_hits": hits,
+            "hit_frac": np.round(frac, 9),
+            "keep": frac <= max_frac,
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency[1] if isinstance(concurrency, tuple)
+        else concurrency)

@@ -421,3 +421,24 @@ def test_hapax_stats_matches_counter():
     assert int(out["n_hapax"].iloc[0]) == h1
     assert int(out["n_dis"].iloc[0]) == h2
     assert abs(out["hapax_frac"].iloc[0] - round(h1 / vocab, 9)) < 1e-12
+
+
+def test_lexicon_screen_hand_cases():
+    import pandas as pd
+    import ray.data
+
+    from pgd_ray.text.analysis import lexicon_screen
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["Buy now FREE prize",          # 4 words, 3 hits
+                 "a plain sentence here",       # 0 hits
+                 "clicker freebie",             # substrings don't hit
+                 ""],
+    }))
+    out = lexicon_screen(docs, max_frac=0.5).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["n_hits"]) == [3, 0, 0, 0]
+    assert list(out["n_words"]) == [4, 4, 2, 0]
+    assert not out.loc[0, "keep"]          # 0.75 > 0.5
+    assert out.loc[1, "keep"] and out.loc[2, "keep"] and out.loc[3, "keep"]
