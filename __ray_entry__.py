@@ -3113,6 +3113,36 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_dedup_agreement(sf_dir):
+    """Detector-agreement audit: docs flagged near-dup by the TEXT
+    pipeline (MinHash-LSH + exact-Jaccard verify ≥ 0.7) vs by the
+    EMBEDDING pipeline (cosine ≥ 0.45, doc_id == vec_id) — the
+    overlap tells you whether the two dedup signals are redundant or
+    complementary.  Both pair pipelines are the engine's distributed
+    stages; the audit folds their flagged-id sets.  One row
+    (n_text_dup, n_emb_dup, n_both, n_either, overlap_jaccard)."""
+    import numpy as np
+
+    from pgd_ray.text.dedup import candidate_pairs_minhash, embedding_neardup
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tp = candidate_pairs_minhash(docs, threshold=0.7)
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    ep = embedding_neardup(emb, threshold=0.45, dtype=np.float64)
+    tset = set(map(int, tp["doc_a"])) | set(map(int, tp["doc_b"]))
+    eset = set(map(int, ep["vec_a"])) | set(map(int, ep["vec_b"]))
+    both = len(tset & eset)
+    either = len(tset | eset)
+    return pd.DataFrame({
+        "n_text_dup": [np.int64(len(tset))],
+        "n_emb_dup": [np.int64(len(eset))],
+        "n_both": [np.int64(both)],
+        "n_either": [np.int64(either)],
+        "overlap_jaccard": [round(both / either, 9) if either else 0.0],
+    })
+
+
 def _q_lexicon_screen(sf_dir):
     """Blocklist lexicon screen (marketing-word default list) —
     text.analysis.lexicon_screen (one stateless pass, C string
@@ -3770,6 +3800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy": _q_transition_entropy,
         "w1_value": _q_w1_value,
         "lexicon_screen": _q_lexicon_screen,
+        "dedup_agreement": _q_dedup_agreement,
     }
 
 
@@ -7596,4 +7627,36 @@ SELECT doc_id, n_words, n_hits,
          AS hit_frac,
        (CAST(n_hits AS DOUBLE) / greatest(n_words, 1)) <= 0.05 AS keep
 FROM b""",
+        # dedup_agreement: exact-Jaccard text pairs (the minhash_dedup
+        # verify rule) × cosine embedding pairs; flagged-id set fold.
+        "dedup_agreement": r"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
+  FROM (SELECT doc_id,
+        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
+        FROM (SELECT doc_id,
+              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
+              FROM documents)) ),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+            (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.7),
+tf AS (SELECT DISTINCT u AS id FROM
+       (SELECT doc_a AS u FROM p UNION ALL SELECT doc_b FROM p)),
+pe AS (SELECT a.vec_id AS ea, b.vec_id AS eb
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.45),
+ef AS (SELECT DISTINCT u AS id FROM
+       (SELECT ea AS u FROM pe UNION ALL SELECT eb FROM pe)),
+bt AS (SELECT COUNT(*) AS c FROM tf JOIN ef ON ef.id = tf.id),
+ei AS (SELECT COUNT(*) AS c FROM
+       (SELECT id FROM tf UNION SELECT id FROM ef))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_text_dup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ef) AS n_emb_dup,
+       (SELECT CAST(c AS BIGINT) FROM bt) AS n_both,
+       (SELECT CAST(c AS BIGINT) FROM ei) AS n_either,
+       ROUND(CAST((SELECT c FROM bt) AS DOUBLE)
+             / (SELECT c FROM ei), 9) AS overlap_jaccard""",
     }
