@@ -298,10 +298,80 @@ def candidate_pairs_minhash_ds(
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         return _band_rows(b, bands, rows)
 
+    # bucket pair expansion WITHOUT map_groups: at complete-recall
+    # parameterizations (ngram_jaccard: 64 bands) the bucket count is
+    # O(bands·docs) and per-group Python/pandas overhead dominated the
+    # stage (~190 s at sf0.01).  Sorted-block shape instead: one sort
+    # by (band_id, band_hash), vectorized in-block segment expansion,
+    # and only the ≤ 2 buckets touching each block edge ship raw rows
+    # to the driver for the stitch — same pairs, no per-group tasks.
+    srt = (sigs.map_batches(explode, batch_format="pandas")
+           .sort(["band_id", "band_hash"]).materialize())
+
+    def _expand(ids: np.ndarray):
+        ids = np.unique(ids)
+        if len(ids) < 2:
+            return None
+        if pair_cap is not None and len(ids) > pair_cap:
+            return np.full(len(ids) - 1, ids[0]), ids[1:]
+        iu, ju = np.triu_indices(len(ids), 1)
+        return ids[iu], ids[ju]
+
+    def interior_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        bid = t["band_id"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        chg = np.flatnonzero((bid[1:] != bid[:-1])
+                             | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate(([0], chg))
+        ends = np.concatenate((chg, [len(bid)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if s == 0 or e == len(bid):
+                continue  # boundary bucket → stitched on the driver
+            p = _expand(doc[s:e])
+            if p is not None:
+                out_a.append(p[0])
+                out_b.append(p[1])
+        if not out_a:
+            return empty
+        return pa.table({"doc_a": np.concatenate(out_a).astype(np.int64),
+                         "doc_b": np.concatenate(out_b).astype(np.int64)})
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        cols = ["band_id", "band_hash", "doc_id"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        bid = t["band_id"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        m = ((bid == bid[0]) & (bh == bh[0])) | \
+            ((bid == bid[-1]) & (bh == bh[-1]))
+        return t.select(cols).filter(pa.array(m))
+
+    interior = srt.map_batches(interior_pairs, batch_format="pyarrow",
+                               batch_size=None)
+    bdf = srt.map_batches(boundary_rows, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    extra_a, extra_b = [], []
+    if len(bdf):
+        for _, g in bdf.groupby(["band_id", "band_hash"], sort=False):
+            p = _expand(g["doc_id"].to_numpy())
+            if p is not None:
+                extra_a.append(p[0])
+                extra_b.append(p[1])
+    parts = [interior]
+    if extra_a:
+        parts.append(ray.data.from_arrow(pa.table({
+            "doc_a": np.concatenate(extra_a).astype(np.int64),
+            "doc_b": np.concatenate(extra_b).astype(np.int64)})))
+    cand_pairs = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+
     cand = (
-        sigs.map_batches(explode, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs_fn(pair_cap), batch_format="pandas")
+        cand_pairs
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
         .materialize()
