@@ -3113,6 +3113,16 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_monthly_edge_overlap(sf_dir):
+    """Month-over-month co-purchase edge persistence (consecutive
+    observed months' Jaccard) — graph.temporal.monthly_edge_overlap
+    (distinct (month, edge) groupby → one (edge, month) sort →
+    adjacent-row counting with boundary-edge stitch)."""
+    from pgd_ray.graph.temporal import monthly_edge_overlap
+
+    return monthly_edge_overlap(sf_dir)
+
+
 def _q_dedup_agreement(sf_dir):
     """Detector-agreement audit: docs flagged near-dup by the TEXT
     pipeline (MinHash-LSH + exact-Jaccard verify ≥ 0.7) vs by the
@@ -3801,6 +3811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_value": _q_w1_value,
         "lexicon_screen": _q_lexicon_screen,
         "dedup_agreement": _q_dedup_agreement,
+        "monthly_edge_overlap": _q_monthly_edge_overlap,
     }
 
 
@@ -7659,4 +7670,34 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_text_dup,
        (SELECT CAST(c AS BIGINT) FROM ei) AS n_either,
        ROUND(CAST((SELECT c FROM bt) AS DOUBLE)
              / (SELECT c FROM ei), 9) AS overlap_jaccard""",
+        # graph.temporal.monthly_edge_overlap: consecutive observed
+        # months' distinct-edge Jaccard.
+        "monthly_edge_overlap": """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+om AS (SELECT o_orderkey,
+              CAST(date_part('year', o_orderdate) * 100
+                   + date_part('month', o_orderdate) AS BIGINT) AS month
+       FROM orders),
+e AS (SELECT DISTINCT om.month, a.l_partkey AS src, b.l_partkey AS dst
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN om ON om.o_orderkey = a.l_orderkey),
+mo AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY month),
+pr AS (SELECT m1.month AS ma,
+              (SELECT MIN(m2.month) FROM mo m2 WHERE m2.month > m1.month)
+                AS mb
+       FROM mo m1
+       WHERE EXISTS (SELECT 1 FROM mo m2 WHERE m2.month > m1.month)),
+bt AS (SELECT p.ma, p.mb, COUNT(*) AS n_both
+       FROM pr p JOIN e a ON a.month = p.ma
+       JOIN e b ON b.month = p.mb AND b.src = a.src AND b.dst = a.dst
+       GROUP BY p.ma, p.mb)
+SELECT p.ma AS month_a, p.mb AS month_b, na.n AS n_a, nb2.n AS n_b,
+       CAST(COALESCE(bt.n_both, 0) AS BIGINT) AS n_both,
+       ROUND(CAST(COALESCE(bt.n_both, 0) AS DOUBLE)
+             / (na.n + nb2.n - COALESCE(bt.n_both, 0)), 9) AS jaccard
+FROM pr p JOIN mo na ON na.month = p.ma
+JOIN mo nb2 ON nb2.month = p.mb
+LEFT JOIN bt ON bt.ma = p.ma AND bt.mb = p.mb
+ORDER BY month_a""",
     }

@@ -128,3 +128,143 @@ def monthly_graph_stats(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     rows = ray.get(futs)
     return pd.DataFrame(rows, columns=["month", "n_vertices", "n_edges",
                                        "n_triangles"]).astype(np.int64)
+
+
+def monthly_edge_overlap(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """Month-over-month co-purchase edge persistence: for every pair
+    of CONSECUTIVE observed months, the Jaccard overlap of their
+    distinct canonical edge sets — the graph-structure drift monitor
+    (a collapsing overlap means the co-occurrence structure is
+    churning).
+
+    Scale shape: one distinct (month, edge) groupby → one sort by
+    (edge, month).  An edge contributes to pair (mᵢ, mᵢ₊₁) iff both
+    months are present, and because mᵢ₊₁ is the globally NEXT observed
+    month they are then adjacent in the edge's sorted month list — so
+    per-block adjacent-row checks + the ≤ 2 boundary edges per block
+    count every overlap exactly once, no masks, no month-count limit.
+    Columns (month_a, month_b, n_a, n_b, n_both, jaccard)."""
+    from ray.data.aggregate import Count
+    from pgd_ray.stages.basket import order_part_incidence
+    from pgd_ray.util import read_parquet_clean
+
+    po = (order_part_incidence(sf_dir).materialize()
+          .repartition(num_partitions).materialize())
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def to_month(t: pa.Table) -> pa.Table:
+        d = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]"))
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = d.astype(np.int64) % 12 + 1
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "month": pa.array(y * 100 + m, pa.int64())})
+
+    om = (orders.map_batches(to_month, batch_format="pyarrow")
+          .repartition(num_partitions).materialize())
+    inc = po.join(
+        om, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).materialize()
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.select(["l_orderkey", "l_partkey"]).rename_columns(
+            ["okey", "part_b"])
+
+    right = po.map_batches(rn, batch_format="pyarrow").materialize()
+    j = inc.join(
+        right, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("okey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        m = t["month"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"month": m[keep], "part_a": a[keep],
+                         "part_b": b[keep]})
+
+    e = (j.map_batches(orient, batch_format="pyarrow")
+         .groupby(["month", "part_a", "part_b"])
+         .aggregate(Count())
+         .select_columns(["month", "part_a", "part_b"])
+         .materialize())
+
+    per_month = (e.groupby("month").aggregate(Count(alias_name="n"))
+                 .to_pandas().sort_values("month", ignore_index=True))
+    months = per_month["month"].to_numpy(np.int64)
+    n_of = dict(zip(months, per_month["n"].astype(int)))
+    nxt = {int(months[i]): int(months[i + 1])
+           for i in range(len(months) - 1)}
+
+    srt = e.sort(["part_a", "part_b", "month"]).materialize()
+
+    def adjacent(pa_arr, pb_arr, mo_arr) -> pd.DataFrame | None:
+        if len(mo_arr) < 2:
+            return None
+        same = (pa_arr[1:] == pa_arr[:-1]) & (pb_arr[1:] == pb_arr[:-1])
+        prev_m = mo_arr[:-1][same]
+        next_m = mo_arr[1:][same]
+        want = np.array([nxt.get(int(p), -1) for p in prev_m],
+                        dtype=np.int64)
+        hit = want == next_m
+        if not hit.any():
+            return None
+        return (pd.DataFrame({"ma": prev_m[hit]})
+                .groupby("ma").size().rename("c").reset_index())
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ma": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        m = t["month"].to_numpy(zero_copy_only=False)
+        first = (a == a[0]) & (b == b[0])
+        last = (a == a[-1]) & (b == b[-1])
+        interior = ~(first | last)
+        d = adjacent(a[interior], b[interior], m[interior])
+        if d is None:
+            return empty
+        return pa.table({"ma": d["ma"].to_numpy(np.int64),
+                         "c": d["c"].to_numpy(np.int64)})
+
+    def boundary(t: pa.Table) -> pa.Table:
+        cols = ["part_a", "part_b", "month"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        m = ((a == a[0]) & (b == b[0])) | ((a == a[-1]) & (b == b[-1]))
+        return t.select(cols).filter(pa.array(m))
+
+    parts = srt.map_batches(block, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    bdf = srt.map_batches(boundary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    both: dict = {}
+    for ma, c in zip(parts["ma"], parts["c"]):
+        both[int(ma)] = both.get(int(ma), 0) + int(c)
+    if len(bdf):
+        bdf = bdf.drop_duplicates().sort_values(
+            ["part_a", "part_b", "month"], ignore_index=True)
+        d = adjacent(bdf["part_a"].to_numpy(), bdf["part_b"].to_numpy(),
+                     bdf["month"].to_numpy(np.int64))
+        if d is not None:
+            for ma, c in zip(d["ma"], d["c"]):
+                both[int(ma)] = both.get(int(ma), 0) + int(c)
+    rows = []
+    for i in range(len(months) - 1):
+        ma, mb = int(months[i]), int(months[i + 1])
+        na, nb = n_of[ma], n_of[mb]
+        nb_both = both.get(ma, 0)
+        union = na + nb - nb_both
+        rows.append((ma, mb, na, nb, nb_both,
+                     round(nb_both / union, 9) if union else 0.0))
+    return pd.DataFrame(rows, columns=["month_a", "month_b", "n_a",
+                                       "n_b", "n_both", "jaccard"])

@@ -38,3 +38,37 @@ def test_monthly_graph_consistency():
         ref.append((int(mo), n, len(g), _tri_total(a, b)))
     refdf = pd.DataFrame(ref, columns=out.columns).astype(np.int64)
     assert out.equals(refdf)
+
+
+def test_monthly_edge_overlap_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pgd_ray.graph.temporal import monthly_edge_overlap
+
+    SF = "/root/testdata/sf0.001"
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    od["month"] = (od["o_orderdate"].dt.year * 100
+                   + od["o_orderdate"].dt.month).astype(np.int64)
+    po = li.drop_duplicates()
+    j = po.merge(po, on="l_orderkey").query("l_partkey_x < l_partkey_y")
+    j = j.merge(od[["o_orderkey", "month"]], left_on="l_orderkey",
+                right_on="o_orderkey")
+    sets = {m: set(zip(g["l_partkey_x"], g["l_partkey_y"]))
+            for m, g in j.groupby("month")}
+    months = sorted(sets)
+    out = monthly_edge_overlap(SF)
+    assert len(out) == len(months) - 1
+    for i in range(len(months) - 1):
+        a, b = sets[months[i]], sets[months[i + 1]]
+        r = out.iloc[i]
+        assert int(r["month_a"]) == months[i]
+        assert int(r["month_b"]) == months[i + 1]
+        assert int(r["n_a"]) == len(a) and int(r["n_b"]) == len(b)
+        assert int(r["n_both"]) == len(a & b)
+        exp = len(a & b) / len(a | b) if (a | b) else 0.0
+        assert abs(r["jaccard"] - round(exp, 9)) < 1e-12
