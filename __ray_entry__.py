@@ -3113,6 +3113,32 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_local_bridges(sf_dir):
+    """Granovetter local bridges: edges whose endpoints share NO
+    common neighbor (triangle count 0 — the weak ties long-range
+    information flows over).  One pass of the signature per-edge
+    triangle kernel folded to a summary row (m, n_local_bridges,
+    bridge_frac)."""
+    from ray.data.aggregate import Count, Sum
+
+    from pgd_ray.graph.graphlets import edge_triangles
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    tri = edge_triangles(dense, csr.range_csr or csr)
+
+    def fold(t):
+        tr = t["triangle"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"m": [len(tr)],
+                             "nb": [int((tr == 0).sum())]})
+
+    agg = tri.map_batches(fold, batch_format="pyarrow").to_pandas()
+    m = int(agg["m"].sum())
+    nb = int(agg["nb"].sum())
+    return pd.DataFrame({"m": [np.int64(m)],
+                         "n_local_bridges": [np.int64(nb)],
+                         "bridge_frac": [round(nb / m, 9) if m else 0.0]})
+
+
 def _q_monthly_edge_overlap(sf_dir):
     """Month-over-month co-purchase edge persistence (consecutive
     observed months' Jaccard) — graph.temporal.monthly_edge_overlap
@@ -3812,6 +3838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_screen": _q_lexicon_screen,
         "dedup_agreement": _q_dedup_agreement,
         "monthly_edge_overlap": _q_monthly_edge_overlap,
+        "local_bridges": _q_local_bridges,
     }
 
 
@@ -7700,4 +7727,18 @@ FROM pr p JOIN mo na ON na.month = p.ma
 JOIN mo nb2 ON nb2.month = p.mb
 LEFT JOIN bt ON bt.ma = p.ma AND bt.mb = p.mb
 ORDER BY month_a""",
+        # local bridges: zero-triangle edges (the edge_triangles CTE
+        # folded to a summary).
+        "local_bridges": f"""
+WITH {_E_CTE}, {_S_CTE},
+et AS (SELECT e.src, e.dst, CAST(COUNT(s2.dst) AS BIGINT) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(COALESCE(SUM(CASE WHEN triangle = 0 THEN 1 END), 0) AS BIGINT)
+         AS n_local_bridges,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN triangle = 0 THEN 1 END), 0)
+                  AS DOUBLE) / COUNT(*), 9) AS bridge_frac
+FROM et""",
     }
