@@ -3113,6 +3113,24 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_revenue_pareto(sf_dir):
+    """Top-decile revenue concentration — stages.rfm.revenue_pareto
+    (per-customer hash agg, histogram-refinement k-th-largest, one
+    tie-agnostic partial fold)."""
+    from pgd_ray.stages.rfm import revenue_pareto
+
+    return revenue_pareto(sf_dir, top_frac=0.1)
+
+
+def _q_tool_colift(sf_dir):
+    """Tool co-usage lift within conversations —
+    stages.conv_stats.tool_colift (distinct (conv, tool) → per-conv
+    bitmask → ≤2^T-row histogram fold)."""
+    from pgd_ray.stages.conv_stats import tool_colift
+
+    return tool_colift(_transcripts_ds(sf_dir))
+
+
 def _q_local_bridges(sf_dir):
     """Granovetter local bridges: edges whose endpoints share NO
     common neighbor (triangle count 0 — the weak ties long-range
@@ -3839,6 +3857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_agreement": _q_dedup_agreement,
         "monthly_edge_overlap": _q_monthly_edge_overlap,
         "local_bridges": _q_local_bridges,
+        "tool_colift": _q_tool_colift,
+        "revenue_pareto": _q_revenue_pareto,
     }
 
 
@@ -7741,4 +7761,41 @@ SELECT CAST(COUNT(*) AS BIGINT) AS m,
        ROUND(CAST(COALESCE(SUM(CASE WHEN triangle = 0 THEN 1 END), 0)
                   AS DOUBLE) / COUNT(*), 9) AS bridge_frac
 FROM et""",
+        # stages.conv_stats.tool_colift: conversation-level co-usage
+        # lift; only co-occurring pairs appear.
+        "tool_colift": f"""
+WITH {_T_CTE},
+p AS (SELECT DISTINCT conv_id, tool FROM t),
+nc AS (SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n FROM p),
+sz AS (SELECT tool, CAST(COUNT(*) AS BIGINT) AS na FROM p GROUP BY 1),
+it AS (SELECT a.tool AS ta, b.tool AS tb, CAST(COUNT(*) AS BIGINT) AS nb
+       FROM p a JOIN p b ON a.conv_id = b.conv_id AND a.tool < b.tool
+       GROUP BY 1, 2)
+SELECT ta AS tool_a, tb AS tool_b, it.nb AS n_both,
+       sa.na AS n_a, sb.na AS n_b, (SELECT n FROM nc) AS n_convs,
+       ROUND((CAST(it.nb AS DOUBLE) / (SELECT n FROM nc))
+             / ((CAST(sa.na AS DOUBLE) / (SELECT n FROM nc))
+                * (CAST(sb.na AS DOUBLE) / (SELECT n FROM nc))), 9)
+         AS lift
+FROM it JOIN sz sa ON sa.tool = it.ta JOIN sz sb ON sb.tool = it.tb""",
+        # stages.rfm.revenue_pareto: integer-cents top-decile share
+        # (tiebreak-agnostic top-k sum).
+        "revenue_pareto": """
+WITH pc AS (SELECT o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pc),
+kk AS (SELECT CAST(CEIL(0.1 * (SELECT n FROM nn)) AS BIGINT) AS k),
+rk AS (SELECT cents,
+              row_number() OVER (ORDER BY cents DESC, o_custkey) AS r
+       FROM pc)
+SELECT (SELECT n FROM nn) AS n_customers,
+       (SELECT k FROM kk) AS top_k,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM pc) AS total_cents,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM rk
+        WHERE r <= (SELECT k FROM kk)) AS top_cents,
+       ROUND(CAST((SELECT SUM(cents) FROM rk
+                   WHERE r <= (SELECT k FROM kk)) AS DOUBLE)
+             / (SELECT SUM(cents) FROM pc), 9) AS share""",
     }

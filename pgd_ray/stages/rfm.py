@@ -80,3 +80,62 @@ def rfm_segments(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out = base.to_pandas().sort_values("c_custkey", ignore_index=True)
     return out[["c_custkey", "recency_days", "frequency", "monetary",
                 "r_q", "f_q", "m_q"]]
+
+
+def revenue_pareto(sf_dir: str, top_frac: float = 0.1) -> pd.DataFrame:
+    """Revenue-concentration (Pareto) summary: what share of total
+    order revenue do the top ``top_frac`` of customers hold?
+    Integer-cents contract (floor(x·100 + 0.5) per order — the
+    portable half-up rule) so every sum is exact.
+
+    Distributed shape: one per-customer hash aggregation → the exact
+    k-th-largest revenue via the histogram-refinement rank engine (no
+    sort) → ONE partial pass folding (total, Σ above-threshold,
+    #above-threshold).  The tie algebra makes the top-k sum
+    tie-agnostic: top = Σ_{>thr} + (k − #_{>thr})·thr.  One row
+    (n_customers, top_k, total_cents, top_cents, share)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from pgd_ray.stages.quantiles import exact_ranks
+    from pgd_ray.util import read_parquet_clean
+
+    od = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": t["o_custkey"],
+                         "cents": np.floor(v * 100.0 + 0.5)
+                        .astype(np.int64)})
+
+    pc = (od.map_batches(to_cents, batch_format="pyarrow")
+          .groupby("c").aggregate(Sum("cents", alias_name="cents"))
+          .materialize())
+    n = int(pc.count())
+    if n == 0:
+        return pd.DataFrame({"n_customers": [np.int64(0)],
+                             "top_k": [np.int64(0)],
+                             "total_cents": [np.int64(0)],
+                             "top_cents": [np.int64(0)],
+                             "share": [0.0]})
+    k = int(math.ceil(top_frac * n))
+    ranks, _ = exact_ranks(pc, "cents", lambda nn: {nn - k})
+    thr = int(ranks[n - k])
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"total": [int(c.sum())],
+                         "gt_sum": [int(c[c > thr].sum())],
+                         "gt_cnt": [int((c > thr).sum())]})
+
+    f = pc.map_batches(fold, batch_format="pyarrow",
+                       batch_size=None).to_pandas()
+    total = int(f["total"].sum())
+    top = int(f["gt_sum"].sum()) + (k - int(f["gt_cnt"].sum())) * thr
+    return pd.DataFrame({"n_customers": [np.int64(n)],
+                         "top_k": [np.int64(k)],
+                         "total_cents": [np.int64(total)],
+                         "top_cents": [np.int64(top)],
+                         "share": [round(top / total, 9)]})

@@ -59,3 +59,30 @@ def test_global_ntile_duplicate_tiebreak_rejected():
         assert len(out) == 4  # single-block fallback: ran fine
     except ValueError as e:
         assert "unique tiebreak" in str(e)
+
+
+def test_revenue_pareto_matches_pandas():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pgd_ray.stages.rfm import revenue_pareto
+
+    SF = "/root/testdata/sf0.001"
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_totalprice"]).to_pandas()
+    od["cents"] = np.floor(od["o_totalprice"].to_numpy() * 100.0
+                           + 0.5).astype(np.int64)
+    pc = od.groupby("o_custkey")["cents"].sum().sort_values(
+        ascending=False)
+    n = len(pc)
+    k = int(np.ceil(0.1 * n))
+    top = int(pc.iloc[:k].sum())
+    total = int(pc.sum())
+
+    out = revenue_pareto(SF, top_frac=0.1)
+    assert int(out["n_customers"].iloc[0]) == n
+    assert int(out["top_k"].iloc[0]) == k
+    assert int(out["total_cents"].iloc[0]) == total
+    assert int(out["top_cents"].iloc[0]) == top
+    assert abs(out["share"].iloc[0] - round(top / total, 9)) < 1e-12
+    assert out["share"].iloc[0] >= 0.1  # top decile holds >= its share
