@@ -3113,6 +3113,16 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_containment_pairs(sf_dir):
+    """Broder containment annotation on near-dup pairs (J ≥ 0.45
+    recall contract) — text.dedup.containment_pairs (intersection
+    recovered from the verified Jaccard + per-doc shingle counts)."""
+    from pgd_ray.text.dedup import containment_pairs
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return containment_pairs(docs, j_threshold=0.45)
+
+
 def _q_revenue_pareto(sf_dir):
     """Top-decile revenue concentration — stages.rfm.revenue_pareto
     (per-customer hash agg, histogram-refinement k-th-largest, one
@@ -3859,6 +3869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_bridges": _q_local_bridges,
         "tool_colift": _q_tool_colift,
         "revenue_pareto": _q_revenue_pareto,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -7798,4 +7809,27 @@ SELECT (SELECT n FROM nn) AS n_customers,
        ROUND(CAST((SELECT SUM(cents) FROM rk
                    WHERE r <= (SELECT k FROM kk)) AS DOUBLE)
              / (SELECT SUM(cents) FROM pc), 9) AS share""",
+        # text.dedup.containment_pairs: the ngram_jaccard pair set
+        # annotated with both asymmetric containments.
+        "containment_pairs": r"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct([substr(x, i, 5) for i in range(1, greatest(length(x)-3, 2))]) AS gr
+  FROM (SELECT doc_id,
+        rpad(y, CAST(greatest(length(y), 5) AS INTEGER), ' ') AS x
+        FROM (SELECT doc_id,
+              regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g') AS y
+              FROM documents)) ),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.gr, b.gr)) AS i,
+             len(a.gr) AS la, len(b.gr) AS lb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+            (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))
+            >= 0.45)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard,
+       ROUND(CAST(i AS DOUBLE) / la, 6) AS cont_a,
+       ROUND(CAST(i AS DOUBLE) / lb, 6) AS cont_b
+FROM p""",
     }

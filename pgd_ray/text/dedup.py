@@ -759,3 +759,69 @@ def embedding_neardup(
     if out.empty:
         return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    j_threshold: float = 0.45,
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 64,
+) -> pd.DataFrame:
+    """Broder CONTAINMENT annotation on near-dup pairs: for every
+    pair with exact shingle Jaccard ≥ ``j_threshold`` (complete-recall
+    LSH parameterization, the ngram_jaccard contract), the asymmetric
+    containments C(a→b) = |A∩B|/|A| and C(b→a) = |A∩B|/|B| — the
+    subset-style-duplicate signal symmetric Jaccard hides (a doc
+    quoted whole inside a bigger one).  Stated recall bound: pairs
+    with high containment but Jaccard < j_threshold are NOT surfaced
+    (containment search proper needs a different index).
+
+    The intersection size is recovered exactly from the verified
+    Jaccard and the per-doc distinct-shingle counts
+    (i = round(J·(|A|+|B|)/(1+J)) — exact integer algebra through
+    float64), so no second verify pass touches the shingle sets;
+    sizes come from one streamed pass, collected for PAIR PARTICIPANTS
+    only.  Columns (doc_a, doc_b, jaccard, cont_a, cont_b) round 6."""
+    pairs = candidate_pairs_minhash(
+        docs, num_perm=num_perm, bands=bands, k=k,
+        threshold=j_threshold, pair_cap=None,
+    )
+    if pairs.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard",
+                                     "cont_a", "cont_b"])
+    cand = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
+                                     pairs["doc_b"].to_numpy()]))
+
+    def sizes(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(doc, cand)
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_sh": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(keep))
+        d2 = sub["doc_id"].to_numpy(zero_copy_only=False)
+        wh, wrow = _shingle_windows(sub["text"], k)
+        key = wrow.astype(np.int64) * (np.int64(1) << np.int64(48)) \
+            + wh.astype(np.int64)
+        uk = np.unique(key)
+        rows = uk >> np.int64(48)
+        cnt = np.bincount(rows.astype(np.int64), minlength=len(d2))
+        return pa.table({"doc_id": d2.astype(np.int64),
+                         "n_sh": cnt.astype(np.int64)})
+
+    sz = (docs.select_columns(["doc_id", "text"])
+          .map_batches(sizes, batch_format="pyarrow", batch_size=2048)
+          .to_pandas())
+    smap = dict(zip(sz["doc_id"].astype(int), sz["n_sh"].astype(int)))
+    ja = pairs["jaccard"].to_numpy(np.float64)
+    A = np.array([smap[int(d)] for d in pairs["doc_a"]], dtype=np.int64)
+    B = np.array([smap[int(d)] for d in pairs["doc_b"]], dtype=np.int64)
+    inter = np.rint(ja * (A + B) / (1.0 + ja)).astype(np.int64)
+    return pd.DataFrame({
+        "doc_a": pairs["doc_a"].astype(np.int64),
+        "doc_b": pairs["doc_b"].astype(np.int64),
+        "jaccard": np.round(ja, 6),
+        "cont_a": np.round(inter / A, 6),
+        "cont_b": np.round(inter / B, 6),
+    }).sort_values(["doc_a", "doc_b"], ignore_index=True)

@@ -442,3 +442,24 @@ def test_lexicon_screen_hand_cases():
     assert list(out["n_words"]) == [4, 4, 2, 0]
     assert not out.loc[0, "keep"]          # 0.75 > 0.5
     assert out.loc[1, "keep"] and out.loc[2, "keep"] and out.loc[3, "keep"]
+
+
+def test_containment_pairs_properties():
+    import numpy as np
+
+    from pgd_ray.text.dedup import containment_pairs
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = containment_pairs(docs, j_threshold=0.45)
+    assert len(out) > 0
+    # containment >= jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|), both <= 1
+    assert (out["cont_a"] >= out["jaccard"] - 1e-9).all()
+    assert (out["cont_b"] >= out["jaccard"] - 1e-9).all()
+    assert (out["cont_a"] <= 1 + 1e-9).all()
+    assert (out["cont_b"] <= 1 + 1e-9).all()
+    # harmonic identity: 1/J = 1/Ca + 1/Cb - 1
+    inv = 1 / out["cont_a"] + 1 / out["cont_b"] - 1
+    assert np.allclose(1 / out["jaccard"], inv, rtol=1e-3)
