@@ -172,6 +172,7 @@ def run_bench() -> dict:
     r3eops = _round3e_ops(dense, csr, vids, nw)
     r3fops = _round3f_ops(dense, csr, vids, nw)
     r3gops = _round3g_ops(dense, csr, vids, nw)
+    r3hops = _round3h_ops(dense, csr, vids, nw)
     total = sum(timings.values())
     result = {
         "metric": "sec total headline suite (copurchase graph: ETL+PR+tri+CC, transcript graphlets, synth suite)",
@@ -197,6 +198,7 @@ def run_bench() -> dict:
         "round3e_ops_sec": r3eops,
         "round3f_ops_sec": r3fops,
         "round3g_ops_sec": r3gops,
+        "round3h_ops_sec": r3hops,
         "window_calibration": {"start": cal_start, "end": _window_calibration()},
     }
     ray.shutdown()
@@ -992,6 +994,26 @@ def _round3f_ops(dense, csr, vids, nw: int) -> dict:
                       ("key_skew", "key_skew")]:
         t0 = time.perf_counter()
         res = E.queries()[key](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _round3h_ops(dense, csr, vids, nw: int) -> dict:
+    """Wall time of the session-6 second-wave operators (auxiliary):
+    weighted SSSP, robustness profiles, survival curve, cluster
+    validity, audience overlap, edge persistence, containment pairs,
+    Wasserstein drift and the revenue Pareto."""
+    import __ray_entry__ as E
+
+    out = {}
+    for name in ["sssp_copurchase", "percolation", "attack",
+                 "kaplan_meier", "cluster_validity", "type_user_jaccard",
+                 "monthly_edge_overlap", "containment_pairs",
+                 "w1_value", "revenue_pareto"]:
+        t0 = time.perf_counter()
+        res = E.queries()[name](SF_DIR)
         if hasattr(res, "materialize"):
             res.materialize()
         out[name] = round(time.perf_counter() - t0, 3)
