@@ -3113,6 +3113,27 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_distinct_triples(sf_dir):
+    """High-cardinality SELECT DISTINCT (user, type, day) through the
+    sort-based distinct operator — stages.distinct.distinct_rows (the
+    BASELINE.md hash-aggregate-vs-sort finding as a first-class op)."""
+    import pyarrow as pa
+
+    from pgd_ray.stages.distinct import distinct_rows
+
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["user_id", "event_type", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"], "day": day})
+
+    return distinct_rows(ev.map_batches(keyed, batch_format="pyarrow"),
+                         ["user_id", "event_type", "day"])
+
+
 def _q_containment_pairs(sf_dir):
     """Broder containment annotation on near-dup pairs (J ≥ 0.45
     recall contract) — text.dedup.containment_pairs (intersection
@@ -3870,6 +3891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_colift": _q_tool_colift,
         "revenue_pareto": _q_revenue_pareto,
         "containment_pairs": _q_containment_pairs,
+        "distinct_triples": _q_distinct_triples,
     }
 
 
@@ -7832,4 +7854,9 @@ SELECT doc_a, doc_b,
        ROUND(CAST(i AS DOUBLE) / la, 6) AS cont_a,
        ROUND(CAST(i AS DOUBLE) / lb, 6) AS cont_b
 FROM p""",
+        # stages.distinct.distinct_rows over (user, type, day).
+        "distinct_triples": """
+SELECT DISTINCT user_id, event_type,
+       epoch_us(ts) // 86400000000 AS day
+FROM events""",
     }

@@ -184,3 +184,29 @@ def test_percentile_cont_matches_numpy_linear():
     empty = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype=float)}))
     e = percentile_cont(empty, "v", [0.5])
     assert list(e.columns) == ["q", "value"] and np.isnan(e["value"][0])
+
+
+def test_distinct_rows_matches_pandas_with_boundary_dups():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pgd_ray.stages.distinct import distinct_rows
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 20, 5000),
+        "b": rng.integers(0, 5, 5000),
+    })
+    out = (distinct_rows(ray.data.from_pandas(df).repartition(16),
+                         ["a", "b"])
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    ref = (df.drop_duplicates().sort_values(["a", "b"],
+                                            ignore_index=True))
+    assert (out.to_numpy() == ref.to_numpy()).all()
+    # heavy-duplication case: one value spanning many blocks
+    df2 = pd.DataFrame({"a": np.zeros(10000, np.int64),
+                        "b": np.zeros(10000, np.int64)})
+    out2 = distinct_rows(ray.data.from_pandas(df2).repartition(8),
+                         ["a", "b"]).to_pandas()
+    assert len(out2) == 1
