@@ -3113,6 +3113,15 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_vocab_coverage(sf_dir):
+    """Top-k vocabulary occurrence coverage curve —
+    text.analysis.vocab_coverage (one vocab shuffle + ordered head)."""
+    from pgd_ray.text.analysis import vocab_coverage
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_coverage(docs, ks=(10, 100, 1000))
+
+
 def _q_distinct_triples(sf_dir):
     """High-cardinality SELECT DISTINCT (user, type, day) through the
     sort-based distinct operator — stages.distinct.distinct_rows (the
@@ -3892,6 +3901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto": _q_revenue_pareto,
         "containment_pairs": _q_containment_pairs,
         "distinct_triples": _q_distinct_triples,
+        "vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -7859,4 +7869,25 @@ FROM p""",
 SELECT DISTINCT user_id, event_type,
        epoch_us(ts) // 86400000000 AS day
 FROM events""",
+        # text.analysis.vocab_coverage: cumulative occurrence mass of
+        # the (count DESC, token) ranked vocabulary head.
+        "vocab_coverage": """
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
+             FROM documents),
+t AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM t),
+vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM t),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r FROM t),
+cm AS (SELECT r, SUM(c) OVER (ORDER BY r) AS cum FROM rk),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (10), (100), (1000)) t(k))
+SELECT ks.k,
+       CAST(LEAST(ks.k, (SELECT v FROM vs)) AS BIGINT) AS n_top,
+       CAST(COALESCE((SELECT cum FROM cm
+                      WHERE r = LEAST(ks.k, (SELECT v FROM vs))), 0)
+            AS BIGINT) AS covered,
+       (SELECT total FROM tot) AS total,
+       ROUND(CAST(COALESCE((SELECT cum FROM cm
+                            WHERE r = LEAST(ks.k, (SELECT v FROM vs))), 0)
+                  AS DOUBLE) / (SELECT total FROM tot), 9) AS coverage
+FROM ks ORDER BY ks.k""",
     }

@@ -528,3 +528,36 @@ def lexicon_screen(docs: ray.data.Dataset, lexicon=SCREEN_LEXICON,
         fn, batch_format="pandas", batch_size=4096,
         concurrency=concurrency[1] if isinstance(concurrency, tuple)
         else concurrency)
+
+
+def vocab_coverage(docs: ray.data.Dataset, ks=(10, 100, 1000),
+                   concurrency=(1, 16)) -> pd.DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    OCCURRENCES do the top-k vocabulary entries cover — the
+    tokenizer-budget planning number (a top-1k coverage near 1 means
+    a small vocab suffices; low coverage means a long tail).  One
+    distributed vocab pass (the vocab_topk shuffle) + one ordered head
+    of max(ks) rows + one total-count scalar.  Columns (k, n_top,
+    covered, total, coverage round 9); n_top ≤ k when the vocabulary
+    is smaller."""
+    from ray.data.aggregate import Sum
+
+    partial = docs.select_columns(["text"]).map_batches(
+        _TokenCounts, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency)
+    totals = (partial.groupby("token")
+              .aggregate(Sum("n", alias_name="c")).materialize())
+    total = int(totals.aggregate(Sum("c"))["sum(c)"] or 0)
+    top = (totals.sort(["c", "token"], descending=[True, False])
+           .limit(max(ks)).to_pandas())
+    cum = np.cumsum(top["c"].to_numpy(np.int64)) if len(top) else \
+        np.array([], np.int64)
+    rows = []
+    for k in ks:
+        n_top = min(k, len(cum))
+        covered = int(cum[n_top - 1]) if n_top else 0
+        rows.append((np.int64(k), np.int64(n_top), np.int64(covered),
+                     np.int64(total),
+                     round(covered / total, 9) if total else 0.0))
+    return pd.DataFrame(rows, columns=["k", "n_top", "covered",
+                                       "total", "coverage"])

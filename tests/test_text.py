@@ -463,3 +463,34 @@ def test_containment_pairs_properties():
     # harmonic identity: 1/J = 1/Ca + 1/Cb - 1
     inv = 1 / out["cont_a"] + 1 / out["cont_b"] - 1
     assert np.allclose(1 / out["jaccard"], inv, rtol=1e-3)
+
+
+def test_vocab_coverage_matches_counter():
+    import collections
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pgd_ray.text.analysis import vocab_coverage
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = vocab_coverage(docs, ks=(10, 100, 1000))
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["text"]).to_pandas()
+    cnt = collections.Counter()
+    for t in ref["text"].fillna(""):
+        cnt.update(re.findall(r"[A-Za-z]+", t))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    for i, k in enumerate((10, 100, 1000)):
+        top = sum(c for _, c in ranked[:k])
+        r = out.iloc[i]
+        assert int(r["covered"]) == top
+        assert int(r["total"]) == total
+        assert abs(r["coverage"] - round(top / total, 9)) < 1e-12
+    # monotone nondecreasing coverage
+    assert out["coverage"].is_monotonic_increasing
