@@ -3113,6 +3113,15 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_peak_concurrency(sf_dir):
+    """Peak concurrent sessions + earliest peak time —
+    stages.windows.peak_concurrency (distributed max-prefix sweep
+    over session interval deltas)."""
+    from pgd_ray.stages.windows import peak_concurrency
+
+    return peak_concurrency(sf_dir)
+
+
 def _q_vocab_coverage(sf_dir):
     """Top-k vocabulary occurrence coverage curve —
     text.analysis.vocab_coverage (one vocab shuffle + ordered head)."""
@@ -3902,6 +3911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "distinct_triples": _q_distinct_triples,
         "vocab_coverage": _q_vocab_coverage,
+        "peak_concurrency": _q_peak_concurrency,
     }
 
 
@@ -7890,4 +7900,28 @@ SELECT ks.k,
                             WHERE r = LEAST(ks.k, (SELECT v FROM vs))), 0)
                   AS DOUBLE) / (SELECT total FROM tot), 9) AS coverage
 FROM ks ORDER BY ks.k""",
+        # stages.windows.peak_concurrency: line sweep over session
+        # intervals (+1 at start, −1 at end+1; +1 first at ties).
+        "peak_concurrency": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > 1800000000
+                     THEN 1 ELSE 0 END AS new_s FROM o),
+g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+      FROM f),
+sess AS (SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+         FROM g GROUP BY user_id, sidx),
+d AS (SELECT start_ts AS t, 1 AS dl, 0 AS oo FROM sess
+      UNION ALL SELECT end_ts + 1, -1, 1 FROM sess),
+r AS (SELECT t, SUM(dl) OVER (ORDER BY t, oo
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d),
+pk AS (SELECT CAST(MAX(run) AS BIGINT) AS p FROM r)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+       (SELECT p FROM pk) AS peak,
+       (SELECT CAST(MIN(t) AS BIGINT) FROM r
+        WHERE run = (SELECT p FROM pk)) AS peak_at_us""",
     }

@@ -1572,3 +1572,72 @@ def user_burstiness(sf_dir: str) -> pd.DataFrame:
                          "mean_gap_s": np.round(mu, 6),
                          "burstiness": np.round(b, 6)}).sort_values(
         "user_id", ignore_index=True)
+
+
+def peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Peak number of CONCURRENT sessions (closed intervals
+    [start_ts, end_ts] from ``sessionize``) and the earliest time the
+    peak is reached — the capacity-planning sweep.
+
+    Distributed max-prefix: sessions → (+1 at start, −1 at end+1)
+    delta rows → one sort by (t, +1-before-−1) → per-block (sum,
+    max-prefix, time of first local max); the driver combines the
+    O(#blocks) summaries (global peak = max over blocks of block
+    offset + local max-prefix; earliest block achieving it supplies
+    the time).  One row (n_sessions, peak, peak_at_us)."""
+    sess = sessionize(sf_dir, gap_us=gap_us).materialize()
+    n_sessions = int(sess.count())
+    if n_sessions == 0:
+        return pd.DataFrame({"n_sessions": [np.int64(0)],
+                             "peak": [np.int64(0)],
+                             "peak_at_us": [np.int64(-1)]})
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t["start_ts"].to_numpy(zero_copy_only=False)
+        e = t["end_ts"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = t["session_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = u * (np.int64(1) << np.int64(22)) + ix  # unique tiebreak
+        return pa.table({
+            "t": np.concatenate([s, e + 1]).astype(np.int64),
+            "dl": np.concatenate([np.ones(len(s), np.int64),
+                                  -np.ones(len(e), np.int64)]),
+            # sort helpers: +1 rows before −1 rows at equal t; sid
+            # makes the total order unique so block summaries re-sort
+            # deterministically on the driver
+            "o": np.concatenate([np.zeros(len(s), np.int64),
+                                 np.ones(len(e), np.int64)]),
+            "sid": np.concatenate([sid, sid]),
+        })
+
+    srt = (sess.map_batches(deltas, batch_format="pyarrow")
+           .sort(["t", "o", "sid"]).materialize())
+
+    def block_prefix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"t0": pa.array([], pa.int64()),
+                             "o0": pa.array([], pa.int64()),
+                             "sid0": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "mx_at": pa.array([], pa.int64())})
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        oo = t["o"].to_numpy(zero_copy_only=False)
+        ss = t["sid"].to_numpy(zero_copy_only=False)
+        run = np.cumsum(dl)
+        i = int(np.argmax(run))  # first local max
+        return pa.table({"t0": [int(tt[0])], "o0": [int(oo[0])],
+                         "sid0": [int(ss[0])], "s": [int(dl.sum())],
+                         "mx": [int(run[i])], "mx_at": [int(tt[i])]})
+
+    sm = (srt.map_batches(block_prefix, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+          .sort_values(["t0", "o0", "sid0"], ignore_index=True))
+    offsets = np.concatenate(([0], np.cumsum(sm["s"].to_numpy()[:-1])))
+    totals = offsets + sm["mx"].to_numpy()
+    peak = int(totals.max())
+    first = int(np.argmax(totals == peak))
+    return pd.DataFrame({"n_sessions": [np.int64(n_sessions)],
+                         "peak": [np.int64(peak)],
+                         "peak_at_us": [np.int64(sm.loc[first, "mx_at"])]})

@@ -443,3 +443,29 @@ def test_window_functions2_matches_pandas():
     assert len(one) == 1
     assert one["percent_rank"].iloc[0] == 0.0
     assert one["first_value"].iloc[0] == one["last_value"].iloc[0]
+
+
+def test_peak_concurrency_matches_brute():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pgd_ray.stages.windows import peak_concurrency, sessionize
+
+    SF = "/root/testdata/sf0.001"
+    sess = sessionize(SF).to_pandas()
+    # brute sweep
+    pts = []
+    for s, e in zip(sess["start_ts"], sess["end_ts"]):
+        pts.append((int(s), 0, 1))
+        pts.append((int(e) + 1, 1, -1))
+    pts.sort()
+    run = peak = 0
+    peak_at = None
+    for t, _, d in pts:
+        run += d
+        if run > peak:
+            peak, peak_at = run, t
+    out = peak_concurrency(SF)
+    assert int(out["n_sessions"].iloc[0]) == len(sess)
+    assert int(out["peak"].iloc[0]) == peak
+    assert int(out["peak_at_us"].iloc[0]) == peak_at
