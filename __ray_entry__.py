@@ -3113,6 +3113,15 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_skyline_parts(sf_dir):
+    """Skyline (Pareto frontier) of parts on (min price, max size) —
+    stages.skyline.skyline_parts (per-block frontier → same exact
+    rule over the O(Σ local frontier) candidates)."""
+    from pgd_ray.stages.skyline import skyline_parts
+
+    return skyline_parts(sf_dir)
+
+
 def _q_peak_concurrency(sf_dir):
     """Peak concurrent sessions + earliest peak time —
     stages.windows.peak_concurrency (distributed max-prefix sweep
@@ -3912,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_triples": _q_distinct_triples,
         "vocab_coverage": _q_vocab_coverage,
         "peak_concurrency": _q_peak_concurrency,
+        "skyline_parts": _q_skyline_parts,
     }
 
 
@@ -7924,4 +7934,13 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
        (SELECT p FROM pk) AS peak,
        (SELECT CAST(MIN(t) AS BIGINT) FROM r
         WHERE run = (SELECT p FROM pk)) AS peak_at_us""",
+        # stages.skyline.skyline_parts: NOT EXISTS dominance.
+        "skyline_parts": """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY p_partkey""",
     }
