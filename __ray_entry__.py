@@ -3113,6 +3113,15 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_latency_quantiles(sf_dir):
+    """Per-role response-latency p50/p90/p99 (exact µs rank rule) —
+    stages.conv_stats.latency_quantiles (gap rows as a Dataset →
+    group-aware histogram-refinement quantiles)."""
+    from pgd_ray.stages.conv_stats import latency_quantiles
+
+    return latency_quantiles(_transcripts_ds(sf_dir), qs=(0.5, 0.9, 0.99))
+
+
 def _q_skyline_parts(sf_dir):
     """Skyline (Pareto frontier) of parts on (min price, max size) —
     stages.skyline.skyline_parts (per-block frontier → same exact
@@ -3922,6 +3931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "peak_concurrency": _q_peak_concurrency,
         "skyline_parts": _q_skyline_parts,
+        "latency_quantiles": _q_latency_quantiles,
     }
 
 
@@ -7943,4 +7953,22 @@ WHERE NOT EXISTS (
   WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
     AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
 ORDER BY p_partkey""",
+        # stages.conv_stats.latency_quantiles: per-role exact gap
+        # quantiles at the floor(q·(n−1)) rank rule.
+        "latency_quantiles": f"""
+WITH {_T_CTE},
+p AS (SELECT conv_id, role, turn_idx, epoch_us(ts) AS tu,
+             LAG(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev
+      FROM t),
+gp AS (SELECT role, tu - prev AS gap FROM p WHERE prev IS NOT NULL),
+rk AS (SELECT role, gap,
+              row_number() OVER (PARTITION BY role ORDER BY gap) - 1 AS r,
+              COUNT(*) OVER (PARTITION BY role) AS n
+       FROM gp),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+SELECT rk.role, qs.q, CAST(rk.gap AS BIGINT) AS value
+FROM qs JOIN rk ON rk.r = CAST(FLOOR(qs.q * (rk.n - 1)) AS BIGINT)
+ORDER BY rk.role, qs.q""",
     }

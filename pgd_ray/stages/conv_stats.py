@@ -518,3 +518,91 @@ def tool_colift(transcripts: ray.data.Dataset) -> pd.DataFrame:
             rows.append((ta, tb, both, na, nb, n_convs, round(lift, 9)))
     return pd.DataFrame(rows, columns=["tool_a", "tool_b", "n_both",
                                        "n_a", "n_b", "n_convs", "lift"])
+
+
+def latency_gap_rows(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """(role, gap) rows — one per consecutive-turn pair, gap in µs
+    credited to the LATER turn's role — as a DATASET (the quantile
+    engine's input; ``response_latency`` folds the same pairs to
+    means).  In-block pairs are emitted vectorized; the ≤ 1 junction
+    pair per block boundary is stitched from the O(#blocks) first/last
+    summaries and unioned as a tiny driver-built fragment."""
+    srt = transcripts.select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]
+    ).sort(["conv_id", "turn_idx"]).materialize()
+
+    def in_block(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pa.table({"role": pa.array([], pa.string()),
+                             "gap": pa.array([], pa.int64())})
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        same = conv[1:] == conv[:-1]
+        return pa.table({"role": pa.array(role[1:][same], pa.string()),
+                         "gap": pa.array((ts[1:] - ts[:-1])[same],
+                                         pa.int64())})
+
+    def edges(t: pa.Table) -> pa.Table:
+        # first/last ROW of each block (kind 1/2) — the
+        # response_latency junction convention
+        empty = pa.table({"kind": pa.array([], pa.int64()),
+                          "conv": pa.array([], pa.string()),
+                          "tidx": pa.array([], pa.int64()),
+                          "role": pa.array([], pa.string()),
+                          "tus": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        rows = [(1, 0), (2, t.num_rows - 1)]
+        return pa.table({
+            "kind": pa.array([k for k, _ in rows], pa.int64()),
+            "conv": pa.array([str(conv[i]) for _, i in rows], pa.string()),
+            "tidx": pa.array([int(tidx[i]) for _, i in rows], pa.int64()),
+            "role": pa.array([str(role[i]) for _, i in rows], pa.string()),
+            "tus": pa.array([int(ts[i]) for _, i in rows], pa.int64()),
+        })
+
+    inner = srt.map_batches(in_block, batch_format="pyarrow",
+                            batch_size=None)
+    bdf = srt.map_batches(edges, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    extra = []
+    if len(bdf):
+        firsts = bdf[bdf["kind"] == 1].reset_index(drop=True)
+        lasts = bdf[bdf["kind"] == 2].reset_index(drop=True)
+        order = np.lexsort((firsts["tidx"].to_numpy(),
+                            firsts["conv"].to_numpy()))
+        firsts = firsts.iloc[order].reset_index(drop=True)
+        lasts = lasts.iloc[order].reset_index(drop=True)
+        for i in range(1, len(firsts)):
+            if lasts.loc[i - 1, "conv"] == firsts.loc[i, "conv"]:
+                extra.append((str(firsts.loc[i, "role"]),
+                              int(firsts.loc[i, "tus"]
+                                  - lasts.loc[i - 1, "tus"])))
+    parts = [inner]
+    if extra:
+        parts.append(ray.data.from_pandas(pd.DataFrame(
+            extra, columns=["role", "gap"])))
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+
+
+def latency_quantiles(transcripts: ray.data.Dataset,
+                      qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """Per-role response-latency quantiles (exact, rank rule
+    floor(q·(n−1)), µs integers) — the agent-latency SLO view
+    ``response_latency``'s mean hides.  Composes ``latency_gap_rows``
+    with the group-aware histogram-refinement quantile engine (no
+    per-group sorts).  Columns (role, q, value)."""
+    from pgd_ray.stages.quantiles import grouped_quantiles
+
+    gaps = latency_gap_rows(transcripts)
+    out = grouped_quantiles(gaps, "role", "gap", list(qs))
+    out = out.rename(columns={"key": "role"}) if "key" in out.columns \
+        else out
+    return out.sort_values(["role", "q"], ignore_index=True)

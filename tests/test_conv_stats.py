@@ -117,3 +117,28 @@ def test_conv_docs_boundary_stitch_exact():
     assert out.loc["cA", "text"] == "\n".join(f"t{i}" for i in range(40))
     assert int(out.loc["cA", "n_turns"]) == 40
     assert out.loc["cB", "text"] == "solo"
+
+
+def test_latency_quantiles_matches_pandas():
+    import numpy as np
+
+    from pgd_ray.stages.conv_stats import latency_quantiles
+    from pgd_ray.sources.transcripts import derive_transcripts
+
+    SF = "/root/testdata/sf0.001"
+    tds = derive_transcripts(SF)
+    out = latency_quantiles(tds, qs=(0.5, 0.9)).set_index(["role", "q"])
+
+    df = tds.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+    tu = df["ts"].astype("datetime64[us]").astype(np.int64)
+    gaps = {}
+    for i in range(1, len(df)):
+        if df.loc[i, "conv_id"] == df.loc[i - 1, "conv_id"]:
+            gaps.setdefault(df.loc[i, "role"], []).append(
+                int(tu[i] - tu[i - 1]))
+    for role, g in gaps.items():
+        g = sorted(g)
+        for q in (0.5, 0.9):
+            exp = g[int(np.floor(q * (len(g) - 1)))]
+            assert int(out.loc[(role, q), "value"]) == exp, (role, q)
