@@ -3113,6 +3113,37 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_forman_curvature(sf_dir):
+    """Augmented Forman-Ricci curvature per edge,
+    F(e) = 4 − deg(u) − deg(v) + 3·tri(e) — the geometric
+    bottleneck/community screen (negative = bridge-like, positive =
+    clique-like).  One pass of the signature per-edge triangle kernel
+    + a broadcast-degree decorate (the edge_clustering shape)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from pgd_ray.graph.cache import get_cached
+    from pgd_ray.graph.graphlets import edge_triangles
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    tri = edge_triangles(dense, csr.range_csr or csr)
+    deg_ref = _ray.put(csr.degrees().astype(np.int64))
+
+    def decorate(t: pa.Table) -> pa.Table:
+        deg = get_cached(deg_ref)
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        tr = t["triangle"].to_numpy(zero_copy_only=False)
+        f = 4 - deg[s] - deg[d] + 3 * tr
+        return pa.table({"src": s, "dst": d,
+                         "curvature": f.astype(np.int64)})
+
+    out = tri.map_batches(decorate, batch_format="pyarrow").to_pandas()
+    out["src"] = vids[out["src"].to_numpy()]
+    out["dst"] = vids[out["dst"].to_numpy()]
+    return out.sort_values(["src", "dst"], ignore_index=True)
+
+
 def _q_latency_quantiles(sf_dir):
     """Per-role response-latency p50/p90/p99 (exact µs rank rule) —
     stages.conv_stats.latency_quantiles (gap rows as a Dataset →
@@ -3932,6 +3963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": _q_peak_concurrency,
         "skyline_parts": _q_skyline_parts,
         "latency_quantiles": _q_latency_quantiles,
+        "forman_curvature": _q_forman_curvature,
     }
 
 
@@ -7971,4 +8003,16 @@ qs AS (SELECT CAST(q AS DOUBLE) AS q
 SELECT rk.role, qs.q, CAST(rk.gap AS BIGINT) AS value
 FROM qs JOIN rk ON rk.r = CAST(FLOOR(qs.q * (rk.n - 1)) AS BIGINT)
 ORDER BY rk.role, qs.q""",
+        # Forman-Ricci curvature: 4 − deg(u) − deg(v) + 3·tri(e).
+        "forman_curvature": f"""
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
+et AS (SELECT e.src, e.dst, CAST(COUNT(s2.dst) AS BIGINT) AS triangle
+       FROM e LEFT JOIN s s1 ON s1.src = e.src
+              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
+       GROUP BY e.src, e.dst)
+SELECT et.src, et.dst,
+       CAST(4 - du.degree - dv.degree + 3 * et.triangle AS BIGINT)
+         AS curvature
+FROM et JOIN d du ON du.v = et.src JOIN d dv ON dv.v = et.dst
+ORDER BY et.src, et.dst""",
     }
