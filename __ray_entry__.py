@@ -3113,6 +3113,19 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_negative_edges(sf_dir):
+    """Deterministic negative-edge sample (500 from a 4000-counter
+    splitmix proposal stream) — graph.linkpred.negative_edges
+    (broadcast edge-key membership, counter-ordered head)."""
+    from pgd_ray.graph.linkpred import negative_edges
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    acc = negative_edges(csr, k=500, budget=4000)
+    return pd.DataFrame({"c": acc["c"].to_numpy(np.int64),
+                         "src": vids[acc["lo"].to_numpy()],
+                         "dst": vids[acc["hi"].to_numpy()]})
+
+
 def _q_forman_curvature(sf_dir):
     """Augmented Forman-Ricci curvature per edge,
     F(e) = 4 − deg(u) − deg(v) + 3·tri(e) — the geometric
@@ -3964,6 +3977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": _q_skyline_parts,
         "latency_quantiles": _q_latency_quantiles,
         "forman_curvature": _q_forman_curvature,
+        "negative_edges": _q_negative_edges,
     }
 
 
@@ -8015,4 +8029,27 @@ SELECT et.src, et.dst,
          AS curvature
 FROM et JOIN d du ON du.v = et.src JOIN d dv ON dv.v = et.dst
 ORDER BY et.src, et.dst""",
+        # graph.linkpred.negative_edges: bit-exact splitmix proposal
+        # stream, dense ids = ascending-rank of the vertex universe.
+        "negative_edges": f"""
+WITH {_E_CTE}, {_S_CTE},
+den AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS d
+        FROM (SELECT DISTINCT src AS v FROM s)),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM den),
+cs AS (SELECT CAST(gs.generate_series AS BIGINT) AS c
+       FROM generate_series(0, 3999) gs),
+prop AS (SELECT c,
+  CAST({_splitmix_sql('2*c', '0')} % (SELECT n FROM nn) AS BIGINT) AS u,
+  CAST({_splitmix_sql('2*c + 1', '0')} % (SELECT n FROM nn) AS BIGINT) AS v
+  FROM cs),
+ed AS (SELECT da.d AS lo, db.d AS hi
+       FROM e JOIN den da ON da.v = e.src JOIN den db ON db.v = e.dst),
+acc AS (SELECT c, LEAST(u, v) AS lo, GREATEST(u, v) AS hi
+        FROM prop WHERE u <> v),
+neg AS (SELECT acc.c, acc.lo, acc.hi FROM acc
+        LEFT JOIN ed ON ed.lo = acc.lo AND ed.hi = acc.hi
+        WHERE ed.lo IS NULL ORDER BY acc.c LIMIT 500)
+SELECT neg.c, dl.v AS src, dh.v AS dst
+FROM neg JOIN den dl ON dl.d = neg.lo JOIN den dh ON dh.d = neg.hi
+ORDER BY neg.c""",
     }

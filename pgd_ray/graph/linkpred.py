@@ -263,3 +263,61 @@ def simrank(csr, C: float = 0.8, iters: int = 5) -> "np.ndarray":
         S = scale * (A @ S @ A.T)
         np.fill_diagonal(S, 1.0)
     return S
+
+
+def negative_edges(csr, k: int = 500, budget: int | None = None):
+    """Deterministic NEGATIVE edge sampling (GNN/link-prediction
+    training data): propose pairs (splitmix64(2c) mod n,
+    splitmix64(2c+1) mod n) for counters c = 0.., reject self-loops
+    and existing edges, keep the first ``k`` accepted in counter
+    order — a pure function of the graph (retry/partition/rerun
+    invariant; duplicate pairs may repeat, as in any with-replacement
+    proposal stream).
+
+    Distribution: the counter range is a Dataset; each task checks
+    membership against the broadcast sorted canonical edge-key array
+    (one int64 per edge).  The driver sees ≤ budget accepted rows
+    (output-scale).  Returns (c, lo, hi) dense-id DataFrame."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pgd_ray.graph.cache import get_cached
+    from pgd_ray.text.hashing import splitmix64
+
+    n = csr.n
+    if budget is None:
+        budget = 8 * k
+    v_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+    u_of = csr.indices.astype(np.int64)
+    canon = v_of < u_of
+    keys = np.sort(v_of[canon] * n + u_of[canon])
+    key_ref = ray.put(keys)
+
+    def propose(t: pa.Table) -> pa.Table:
+        ks = get_cached(key_ref)
+        c = t["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (splitmix64(2 * c) % np.uint64(n)).astype(np.int64)
+        v = (splitmix64(2 * c + np.uint64(1)) % np.uint64(n)).astype(np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        ok = lo != hi
+        key = lo * n + hi
+        pos = np.searchsorted(ks, key)
+        valid = pos < len(ks)
+        exists = np.zeros(len(key), dtype=bool)
+        exists[valid] = ks[pos[valid]] == key[valid]
+        keep = ok & ~exists
+        return pa.table({"c": c[keep].astype(np.int64),
+                         "lo": lo[keep], "hi": hi[keep]})
+
+    acc = (ray.data.range(budget)
+           .map_batches(propose, batch_format="pyarrow",
+                        batch_size=65536)
+           .to_pandas())
+    acc = acc.sort_values("c", ignore_index=True).head(k)
+    if len(acc) < k:
+        raise ValueError(f"negative_edges: budget {budget} yielded "
+                         f"only {len(acc)} non-edges; raise budget")
+    return acc

@@ -100,3 +100,27 @@ def test_link_prediction_extended_scores_match_brute():
         assert abs(r.jac - round(r.cn / (deg[r.u] + deg[r.v] - r.cn), 6)) < 1e-9
         assert r.pa == deg[r.u] * deg[r.v]
         assert (min(r.u, r.v), max(r.u, r.v)) not in es
+
+
+def test_negative_edges_are_nonedges_and_deterministic():
+    import numpy as np
+
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+    from pgd_ray.graph.linkpred import negative_edges
+
+    rng = np.random.default_rng(2)
+    n = 100
+    iu, ju = np.triu_indices(n, 1)
+    keep = rng.random(len(iu)) < 0.1
+    src, dst = iu[keep], ju[keep]
+    csr = csr_from_edge_arrays(src, dst, n=n)
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    a = negative_edges(csr, k=50, budget=1000)
+    b = negative_edges(csr, k=50, budget=1000)
+    assert (a.to_numpy() == b.to_numpy()).all()  # deterministic
+    assert len(a) == 50
+    for lo, hi in zip(a["lo"], a["hi"]):
+        assert lo < hi
+        assert (int(lo), int(hi)) not in edge_set
+    # counter-ordered head: counters strictly increasing
+    assert (np.diff(a["c"].to_numpy()) > 0).all()
