@@ -3113,6 +3113,32 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _q_hour_heatmap(sf_dir):
+    """Day-of-week × hour-of-day event heatmap (dow 0 = Monday, the
+    dow_seasonality convention) — one hash aggregation, 168-row
+    output."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        tu = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = tu // 86_400_000_000
+        hour = (tu % 86_400_000_000) // 3_600_000_000
+        return pa.table({"dow": (day + 4) % 7, "hour": hour})
+
+    out = (ev.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["dow", "hour"]).aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values(["dow", "hour"], ignore_index=True))
+    out["dow"] = out["dow"].astype(np.int64)
+    out["hour"] = out["hour"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def _q_negative_edges(sf_dir):
     """Deterministic negative-edge sample (500 from a 4000-counter
     splitmix proposal stream) — graph.linkpred.negative_edges
@@ -3978,6 +4004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latency_quantiles": _q_latency_quantiles,
         "forman_curvature": _q_forman_curvature,
         "negative_edges": _q_negative_edges,
+        "hour_heatmap": _q_hour_heatmap,
     }
 
 
@@ -8052,4 +8079,10 @@ neg AS (SELECT acc.c, acc.lo, acc.hi FROM acc
 SELECT neg.c, dl.v AS src, dh.v AS dst
 FROM neg JOIN den dl ON dl.d = neg.lo JOIN den dh ON dh.d = neg.hi
 ORDER BY neg.c""",
+        # dow × hour heatmap; dow 0 = Monday.
+        "hour_heatmap": """
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     }
