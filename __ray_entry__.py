@@ -3113,6 +3113,50 @@ def _q_percolation(sf_dir):
                                levels=(0.2, 0.4, 0.6, 0.8), seed=42)
 
 
+def _fiedler_chain() -> str:
+    """The 64-round deflated-power-iteration Fiedler CTE chain (the
+    fiedler_copurchase mirror), ending in relation ``fs(v, score)``
+    (round-9) — shared by the fiedler query and the Cheeger sweep."""
+    zq = """SELECT fd.it + 1 AS it, fd.v,
+       (fd.y - AVG(fd.y) OVER ())
+         / sqrt(SUM(fd.y * fd.y) OVER ()
+                - (SELECT n FROM nn) * AVG(fd.y) OVER ()
+                  * AVG(fd.y) OVER ()) AS z
+FROM fd WHERE fd.it < 64"""
+    return f"""{_E_CTE}, {_S_CTE}, {_D_CTE},
+did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+cv AS (SELECT CAST(MAX(degree) + 1 AS DOUBLE) AS c FROM d),
+fd(it, v, y) AS (
+  SELECT 0, v, CAST(dv AS DOUBLE) FROM did
+  UNION ALL
+  SELECT z.it, z.v, ((SELECT c FROM cv) - d.degree) * z.z + nb.sz
+  FROM ({zq}) z
+  JOIN d ON d.v = z.v
+  JOIN (SELECT s.src AS v, zi.it, SUM(zi.z) AS sz
+        FROM s JOIN ({zq}) zi ON zi.v = s.dst
+        GROUP BY 1, 2) nb
+    ON nb.v = z.v AND nb.it = z.it),
+fs AS (SELECT f.v,
+       ROUND((f.y - AVG(f.y) OVER ())
+             / sqrt(SUM(f.y * f.y) OVER ()
+                    - (SELECT n FROM nn) * AVG(f.y) OVER ()
+                      * AVG(f.y) OVER ()), 9) AS score
+FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
+
+
+def _q_cheeger_cut(sf_dir):
+    """Best spectral sweep cut (prefix-conductance minimum over the
+    Fiedler order) — graph.community.cheeger_cut on the engine's
+    fiedler_vector."""
+    from pgd_ray.graph.community import cheeger_cut
+    from pgd_ray.graph.iterative import fiedler_vector
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    x = fiedler_vector(csr, iters=64)
+    return cheeger_cut(csr, x)
+
+
 def _q_hour_heatmap(sf_dir):
     """Day-of-week × hour-of-day event heatmap (dow 0 = Monday, the
     dow_seasonality convention) — one hash aggregation, 168-row
@@ -4005,6 +4049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forman_curvature": _q_forman_curvature,
         "negative_edges": _q_negative_edges,
         "hour_heatmap": _q_hour_heatmap,
+        "cheeger_cut": _q_cheeger_cut,
     }
 
 
@@ -5963,33 +6008,38 @@ LEFT JOIN did m2 ON m2.dv = f.mate""",
         # per-element expression the engine evaluates (subtract
         # window-mean, divide by sqrt(Σy² - n·μ²)), then
         # y' = (c - deg)·z + Σ_nbr z.
-        "fiedler_copurchase": (lambda zq: f"""
-WITH RECURSIVE {_E_CTE}, {_S_CTE}, {_D_CTE},
-did AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS dv FROM d),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
-cv AS (SELECT CAST(MAX(degree) + 1 AS DOUBLE) AS c FROM d),
-fd(it, v, y) AS (
-  SELECT 0, v, CAST(dv AS DOUBLE) FROM did
-  UNION ALL
-  SELECT z.it, z.v, ((SELECT c FROM cv) - d.degree) * z.z + nb.sz
-  FROM ({zq}) z
-  JOIN d ON d.v = z.v
-  JOIN (SELECT s.src AS v, zi.it, SUM(zi.z) AS sz
-        FROM s JOIN ({zq}) zi ON zi.v = s.dst
-        GROUP BY 1, 2) nb
-    ON nb.v = z.v AND nb.it = z.it)
-SELECT f.v,
-       ROUND((f.y - AVG(f.y) OVER ())
-             / sqrt(SUM(f.y * f.y) OVER ()
-                    - (SELECT n FROM nn) * AVG(f.y) OVER ()
-                      * AVG(f.y) OVER ()), 9) AS score
-FROM (SELECT v, y FROM fd WHERE it = 64) f""")(
-            """SELECT fd.it + 1 AS it, fd.v,
-       (fd.y - AVG(fd.y) OVER ())
-         / sqrt(SUM(fd.y * fd.y) OVER ()
-                - (SELECT n FROM nn) * AVG(fd.y) OVER ()
-                  * AVG(fd.y) OVER ()) AS z
-FROM fd WHERE fd.it < 64"""),
+        "fiedler_copurchase": f"WITH RECURSIVE {_fiedler_chain()}\n"
+                              "SELECT v, score FROM fs",
+        # cheeger_cut: sweep cut over the Fiedler order — prefix
+        # conductance minimum via the delta-array window sum.
+        "cheeger_cut": f"""
+WITH RECURSIVE {_fiedler_chain()},
+rkv AS (SELECT fs.v, fs.score,
+               CAST(row_number() OVER (ORDER BY fs.score, fs.v)
+                    AS BIGINT) AS r
+        FROM fs),
+tot AS (SELECT CAST(SUM(degree) AS BIGINT) AS t FROM d),
+vols AS (SELECT rkv.r, SUM(d.degree) OVER (ORDER BY rkv.r) AS vol
+         FROM rkv JOIN d ON d.v = rkv.v),
+epos AS (SELECT LEAST(ra.r, rb.r) AS lo, GREATEST(ra.r, rb.r) AS hi
+         FROM e JOIN rkv ra ON ra.v = e.src JOIN rkv rb ON rb.v = e.dst),
+dl AS (SELECT lo AS r, 1 AS dd FROM epos
+       UNION ALL SELECT hi, -1 FROM epos),
+dag AS (SELECT r, SUM(dd) AS sd FROM dl GROUP BY r),
+cuts AS (SELECT rkv.r AS k,
+                SUM(COALESCE(dag.sd, 0)) OVER (ORDER BY rkv.r) AS cut
+         FROM rkv LEFT JOIN dag ON dag.r = rkv.r),
+cond AS (SELECT cuts.k, CAST(cuts.cut AS BIGINT) AS cut_edges,
+                CAST(LEAST(vols.vol, (SELECT t FROM tot) - vols.vol)
+                     AS BIGINT) AS vol_small,
+                CAST(cuts.cut AS DOUBLE)
+                  / GREATEST(LEAST(vols.vol,
+                                   (SELECT t FROM tot) - vols.vol), 1)
+                  AS c
+         FROM cuts JOIN vols ON vols.r = cuts.k
+         WHERE cuts.k < (SELECT COUNT(*) FROM rkv))
+SELECT k, cut_edges, vol_small, ROUND(c, 9) AS conductance
+FROM cond ORDER BY c, k LIMIT 1""",
         # eigencen_copurchase: eigenvector centrality as 64 fixed
         # power-iteration rounds with per-round 2-norm normalization
         # (the window over the grouped step result), exactly the

@@ -151,3 +151,39 @@ def conductance_by_label(
         "label": uniq, "cut_edges": cut, "volume": vol,
         "conductance": np.round(phi, round_to),
     })
+
+
+def cheeger_cut(csr, scores: np.ndarray, round_to: int = 9) -> pd.DataFrame:
+    """Spectral sweep cut: order vertices by the (round-9) Fiedler
+    score, evaluate the conductance of every prefix cut, return the
+    best (the Cheeger-inequality certificate that the Fiedler vector
+    actually finds a sparse cut).  Vectorized delta-array sweep:
+    cut(k) = Σ_{r≤k} (+1 at an edge's low rank, −1 at its high rank);
+    vol(k) = prefix degree sum.  One row (k, cut_edges, vol_small,
+    conductance) — ties in conductance break to the smallest k.
+    Driver math over the broadcast-class CSR arrays (the same
+    residence the Fiedler iteration itself used)."""
+    n = csr.n
+    s9 = np.round(np.asarray(scores, dtype=np.float64), round_to)
+    order = np.lexsort((np.arange(n), s9))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(1, n + 1)  # 1-based, SQL row_number
+    v_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+    u_of = csr.indices.astype(np.int64)
+    canon = v_of < u_of
+    lo = np.minimum(rank[v_of[canon]], rank[u_of[canon]])
+    hi = np.maximum(rank[v_of[canon]], rank[u_of[canon]])
+    delta = np.zeros(n + 2, dtype=np.int64)
+    np.add.at(delta, lo, 1)
+    np.add.at(delta, hi, -1)
+    cuts = np.cumsum(delta[1:n])  # cut after prefix k for k=1..n-1
+    deg = csr.degrees().astype(np.int64)
+    vol = np.cumsum(deg[order])[: n - 1]
+    tot = int(deg.sum())
+    small = np.minimum(vol, tot - vol)
+    cond = cuts / np.maximum(small, 1).astype(np.float64)
+    k = int(np.argmin(cond)) + 1
+    return pd.DataFrame({"k": [np.int64(k)],
+                         "cut_edges": [np.int64(cuts[k - 1])],
+                         "vol_small": [np.int64(small[k - 1])],
+                         "conductance": [round(float(cond[k - 1]), 9)]})

@@ -50,3 +50,63 @@ def test_fiedler_engine_parity():
     d = fiedler_vector(csr, iters=32, n_workers=3, engine="dataset")
     assert np.allclose(a, s, atol=1e-9)
     assert np.allclose(a, d, atol=1e-9)
+
+
+def test_cheeger_cut_two_cliques_bridge():
+    import numpy as np
+
+    from pgd_ray.graph.community import cheeger_cut
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+    from pgd_ray.graph.iterative import fiedler_vector
+
+    # two K6 cliques joined by one bridge: the sweep must find the
+    # bridge cut (cut=1) with conductance 1/31
+    edges = []
+    for base in (0, 6):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((0, 6))
+    src = np.array([a for a, _ in edges])
+    dst = np.array([b for _, b in edges])
+    csr = csr_from_edge_arrays(src, dst, n=12)
+    x = fiedler_vector(csr, iters=64)
+    out = cheeger_cut(csr, x)
+    assert int(out["cut_edges"].iloc[0]) == 1
+    assert int(out["k"].iloc[0]) == 6
+    assert abs(out["conductance"].iloc[0] - round(1 / 31, 9)) < 1e-12
+
+
+def test_cheeger_brute_reference_random():
+    import numpy as np
+
+    from pgd_ray.graph.community import cheeger_cut
+    from pgd_ray.graph.csr import csr_from_edge_arrays
+    from pgd_ray.graph.iterative import fiedler_vector
+
+    rng = np.random.default_rng(4)
+    n = 40
+    iu, ju = np.triu_indices(n, 1)
+    keep = rng.random(len(iu)) < 0.12
+    src, dst = iu[keep], ju[keep]
+    csr = csr_from_edge_arrays(src, dst, n=n)
+    x = np.round(fiedler_vector(csr, iters=64), 9)
+    order = np.lexsort((np.arange(n), x))
+    deg = csr.degrees()
+    tot = int(deg.sum())
+    best = (np.inf, None)
+    pos = np.empty(n, int)
+    pos[order] = np.arange(n)
+    for k in range(1, n):
+        pref = set(order[:k].tolist())
+        cut = sum(1 for a, b in zip(src, dst)
+                  if (int(a) in pref) != (int(b) in pref))
+        vol = int(deg[order[:k]].sum())
+        small = min(vol, tot - vol)
+        c = cut / max(small, 1)
+        if c < best[0]:
+            best = (c, k, cut, small)
+    out = cheeger_cut(csr, x)
+    assert int(out["k"].iloc[0]) == best[1]
+    assert int(out["cut_edges"].iloc[0]) == best[2]
+    assert abs(out["conductance"].iloc[0] - round(best[0], 9)) < 1e-12
