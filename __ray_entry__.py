@@ -3145,6 +3145,39 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_coarsen_stats(sf_dir):
+    """One multilevel-coarsening round: contract the deterministic
+    maximal matching (heavy-edge contraction's structure step) and
+    report the coarse graph — (n, n_super, m, m_coarse, node_ratio,
+    edge_ratio).  The matching is the distributed stage; contraction
+    is one vectorized relabel + distinct over the broadcast-class
+    edge arrays."""
+    from pgd_ray.graph.matching import maximal_matching
+
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    mate = maximal_matching(csr)
+    n = csr.n
+    v = np.arange(n, dtype=np.int64)
+    sup = np.where(mate >= 0, np.minimum(v, mate), v)
+    v_of = np.repeat(v, np.diff(csr.indptr))
+    u_of = csr.indices.astype(np.int64)
+    canon = v_of < u_of
+    sa = sup[v_of[canon]]
+    sb = sup[u_of[canon]]
+    keep = sa != sb
+    lo = np.minimum(sa[keep], sb[keep])
+    hi = np.maximum(sa[keep], sb[keep])
+    m_coarse = len(np.unique(lo * n + hi))
+    m = int(canon.sum())
+    n_super = len(np.unique(sup))
+    return pd.DataFrame({
+        "n": [np.int64(n)], "n_super": [np.int64(n_super)],
+        "m": [np.int64(m)], "m_coarse": [np.int64(m_coarse)],
+        "node_ratio": [round(n_super / n, 9)],
+        "edge_ratio": [round(m_coarse / m, 9)],
+    })
+
+
 def _q_cheeger_cut(sf_dir):
     """Best spectral sweep cut (prefix-conductance minimum over the
     Fiedler order) — graph.community.cheeger_cut on the engine's
@@ -4050,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_edges": _q_negative_edges,
         "hour_heatmap": _q_hour_heatmap,
         "cheeger_cut": _q_cheeger_cut,
+        "coarsen_stats": _q_coarsen_stats,
     }
 
 
@@ -4352,7 +4386,7 @@ def oracle_sql() -> dict[str, str]:
     from pgd_ray.text.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
     _anf_aggs, _anf_merge = _anf_lane_sql()
-    return {
+    out = {
         "transcripts": f"WITH {_T_CTE} SELECT conv_id, turn_idx, role, text, tool, ts FROM t",
         "transcript_edges": f"WITH {_TE_CTE} SELECT src, dst FROM e",
         "edges_copurchase": f"WITH {_E_CTE} SELECT src, dst FROM e",
@@ -8136,3 +8170,23 @@ SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     }
+    # coarsen_stats reuses the full matching oracle as a derived
+    # table (its WITH RECURSIVE nests fine inside a subquery)
+    out["coarsen_stats"] = f"""
+WITH mt AS (SELECT * FROM ({out['matching_copurchase']}) q),
+{_E_CTE},
+sup AS (SELECT v, CASE WHEN mate >= 0 THEN LEAST(v, mate) ELSE v END AS s
+        FROM mt),
+ce AS (SELECT DISTINCT LEAST(sa.s, sb.s) AS lo, GREATEST(sa.s, sb.s) AS hi
+       FROM e JOIN sup sa ON sa.v = e.src JOIN sup sb ON sb.v = e.dst
+       WHERE sa.s <> sb.s),
+base AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sup) AS n,
+                (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM sup)
+                  AS n_super,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS m,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM ce) AS m_coarse)
+SELECT n, n_super, m, m_coarse,
+       ROUND(CAST(n_super AS DOUBLE) / n, 9) AS node_ratio,
+       ROUND(CAST(m_coarse AS DOUBLE) / m, 9) AS edge_ratio
+FROM base"""
+    return out

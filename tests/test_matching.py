@@ -47,3 +47,16 @@ def test_matching_deterministic_and_edge_cases():
     assert len(maximal_matching(empty)) == 0
     one = maximal_matching(_csr(2, {(0, 1)}))
     assert one[0] == 1 and one[1] == 0
+
+
+def test_coarsen_stats_properties():
+    import __ray_entry__ as em
+
+    out = em.queries()["coarsen_stats"]("/root/testdata/sf0.001")
+    n, ns = int(out["n"].iloc[0]), int(out["n_super"].iloc[0])
+    m, mc = int(out["m"].iloc[0]), int(out["m_coarse"].iloc[0])
+    # a maximal matching on a connected-ish graph contracts a large
+    # fraction; supervertices strictly fewer, at least n/2
+    assert n / 2 <= ns < n
+    assert 0 < mc < m
+    assert abs(out["node_ratio"].iloc[0] - round(ns / n, 9)) < 1e-12
