@@ -3145,6 +3145,26 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_rbo_rankings(sf_dir):
+    """Rank-biased overlap (p=0.9, truncated) between the BM25 and
+    cosine rankings (the RRF inputs) —
+    stages.similarity.rbo_rankings."""
+    import numpy as np
+
+    from pgd_ray.stages.similarity import rbo_rankings, topk_cosine
+    from pgd_ray.text.bm25 import bm25_rank
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bm = bm25_rank(docs, ["table", "sort", "hash"], k=20)
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 1").to_pandas()
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    cos = topk_cosine(emb, q, k=20, dtype=np.float64)
+    return rbo_rankings(bm["doc_id"].to_numpy(),
+                        cos["vec_id"].to_numpy(), p=0.9)
+
+
 def _q_coarsen_stats(sf_dir):
     """One multilevel-coarsening round: contract the deterministic
     maximal matching (heavy-edge contraction's structure step) and
@@ -4084,6 +4104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_heatmap": _q_hour_heatmap,
         "cheeger_cut": _q_cheeger_cut,
         "coarsen_stats": _q_coarsen_stats,
+        "rbo_rankings": _q_rbo_rankings,
     }
 
 
@@ -8170,6 +8191,27 @@ SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     }
+    # rbo_rankings reuses the rrf_fusion ranker chains: truncated
+    # rank-biased overlap at the dynamic depth min(|A|, |B|)
+    _rrf = out["rrf_fusion"]
+    _rank_ctes = _rrf[: _rrf.index(",\nu AS (")]  # ...rbm, q0, sims, rc0, rcos
+    out["rbo_rankings"] = f"""{_rank_ctes},
+kk AS (SELECT LEAST((SELECT COUNT(*) FROM rbm),
+                    (SELECT COUNT(*) FROM rcos)) AS k),
+ds AS (SELECT CAST(gs.generate_series AS BIGINT) AS d
+       FROM generate_series(1, 20) gs
+       WHERE gs.generate_series <= (SELECT k FROM kk)),
+ov AS (SELECT ds.d, COUNT(rc.id) AS inter
+       FROM ds
+       LEFT JOIN rbm rb ON rb.rk <= ds.d
+       LEFT JOIN rcos rc ON rc.id = rb.id AND rc.rk <= ds.d
+       GROUP BY ds.d)
+SELECT (SELECT CAST(k AS BIGINT) FROM kk) AS k,
+       CAST(0.9 AS DOUBLE) AS p,
+       ROUND(CAST((SELECT inter FROM ov WHERE d = (SELECT k FROM kk))
+                  AS DOUBLE) / (SELECT k FROM kk), 9) AS overlap_at_k,
+       ROUND((1 - 0.9) * (SELECT SUM(POW(0.9, d - 1) * inter / d)
+                          FROM ov), 9) AS rbo"""
     # coarsen_stats reuses the full matching oracle as a derived
     # table (its WITH RECURSIVE nests fine inside a subquery)
     out["coarsen_stats"] = f"""

@@ -553,3 +553,34 @@ def rrf_fusion(
         "rk_bm25": pd.Series([r[2] for r in rows], dtype=np.int64),
         "rk_cosine": pd.Series([r[3] for r in rows], dtype=np.int64),
     })
+
+
+def rbo_rankings(
+    a_ids: "np.ndarray",
+    b_ids: "np.ndarray",
+    p: float = 0.9,
+) -> pd.DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010, no
+    extrapolation): RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d
+    over the two ranked id lists — the top-weighted agreement number
+    for comparing retrieval systems (the RRF inputs, two engine
+    rankers, a before/after index change...).  Driver arithmetic over
+    two k-row lists by construction.  One row (k, p, overlap_at_k,
+    rbo round 9); overlap_at_k = |A_k ∩ B_k|/k."""
+    a = list(dict.fromkeys(int(x) for x in a_ids))
+    b = list(dict.fromkeys(int(x) for x in b_ids))
+    k = min(len(a), len(b))
+    sa, sb = set(), set()
+    rbo = 0.0
+    inter = 0
+    for d in range(1, k + 1):
+        sa.add(a[d - 1])
+        sb.add(b[d - 1])
+        inter = len(sa & sb)
+        rbo += (p ** (d - 1)) * inter / d
+    rbo *= (1.0 - p)
+    return pd.DataFrame({
+        "k": [np.int64(k)], "p": [p],
+        "overlap_at_k": [round(inter / k, 9) if k else 0.0],
+        "rbo": [round(rbo, 9)],
+    })

@@ -345,3 +345,23 @@ def test_resize_images_nn_semantics_and_roundtrip():
         assert out.loc[i, "pix_sum"] == int(want.astype(np.int64).sum())
         got = decode_bmp(bytes(out.loc[i, "payload"]))
         np.testing.assert_array_equal(got, want)
+
+
+def test_rbo_closed_forms():
+    import numpy as np
+
+    from pgd_ray.stages.similarity import rbo_rankings
+
+    # identical rankings -> truncated RBO = (1-p)·Σ p^{d-1} (inter=d)
+    a = np.arange(10)
+    out = rbo_rankings(a, a, p=0.9)
+    expect = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert abs(out["rbo"].iloc[0] - round(expect, 9)) < 1e-12
+    assert out["overlap_at_k"].iloc[0] == 1.0
+    # disjoint rankings -> 0
+    out2 = rbo_rankings(np.arange(10), np.arange(100, 110), p=0.9)
+    assert out2["rbo"].iloc[0] == 0.0
+    # reversal shares all elements at full depth but little at the top
+    out3 = rbo_rankings(np.arange(10), np.arange(10)[::-1], p=0.9)
+    assert out3["overlap_at_k"].iloc[0] == 1.0
+    assert 0 < out3["rbo"].iloc[0] < out["rbo"].iloc[0]
