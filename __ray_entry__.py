@@ -3145,6 +3145,34 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_centrality_spearman(sf_dir):
+    """Does PageRank just follow degree?  Spearman rank correlation
+    between the round-9 PageRank scores and vertex degree, via the
+    exact integer 2·avg-rank moments (the orbit_spearman contract).
+    One row (n, rho)."""
+    import math
+
+    pr = _q_pagerank_copurchase(sf_dir)
+    eds, dense, csr, vids = _copurchase_bundle(sf_dir)
+    deg = pd.DataFrame({"v": vids, "y": csr.degrees().astype(np.int64)})
+    o = pr.merge(deg, on="v")
+    n = len(o)
+    rx = (2 * o["score"].rank(method="average")).astype(np.int64) \
+        .to_numpy(dtype=object)
+    ry = (2 * o["y"].rank(method="average")).astype(np.int64) \
+        .to_numpy(dtype=object)
+    sx, sy = int(sum(rx)), int(sum(ry))
+    sxx = int(sum(rx * rx))
+    syy = int(sum(ry * ry))
+    sxy = int(sum(rx * ry))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    rho = (float(num) / math.sqrt(float(vx) * float(vy))
+           if vx > 0 and vy > 0 else 0.0)
+    return pd.DataFrame({"n": [np.int64(n)], "rho": [round(rho, 9)]})
+
+
 def _q_rbo_rankings(sf_dir):
     """Rank-biased overlap (p=0.9, truncated) between the BM25 and
     cosine rankings (the RRF inputs) —
@@ -4105,6 +4133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheeger_cut": _q_cheeger_cut,
         "coarsen_stats": _q_coarsen_stats,
         "rbo_rankings": _q_rbo_rankings,
+        "centrality_spearman": _q_centrality_spearman,
     }
 
 
@@ -8212,6 +8241,40 @@ SELECT (SELECT CAST(k AS BIGINT) FROM kk) AS k,
                   AS DOUBLE) / (SELECT k FROM kk), 9) AS overlap_at_k,
        ROUND((1 - 0.9) * (SELECT SUM(POW(0.9, d - 1) * inter / d)
                           FROM ov), 9) AS rbo"""
+    # centrality_spearman reuses the full pagerank oracle as a
+    # derived table; integer 2·avg-rank moments (orbit_spearman
+    # contract)
+    out["centrality_spearman"] = f"""
+WITH pr0 AS (SELECT * FROM ({out['pagerank_copurchase']}) q),
+{_E_CTE}, {_S_CTE}, {_D_CTE},
+o AS (SELECT pr0.v, pr0.score AS x, CAST(d.degree AS BIGINT) AS y
+      FROM pr0 JOIN d ON d.v = pr0.v),
+hx AS (SELECT x AS val, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1),
+wx AS (SELECT val,
+              CAST(2 * COALESCE(SUM(c) OVER (ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + c + 1 AS BIGINT) AS r2
+       FROM hx),
+hy AS (SELECT y AS val, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1),
+wy AS (SELECT val,
+              CAST(2 * COALESCE(SUM(c) OVER (ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + c + 1 AS BIGINT) AS r2
+       FROM hy),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(wx.r2) AS HUGEINT) AS sx,
+             CAST(SUM(wy.r2) AS HUGEINT) AS sy,
+             CAST(SUM(wx.r2 * wx.r2) AS HUGEINT) AS sxx,
+             CAST(SUM(wy.r2 * wy.r2) AS HUGEINT) AS syy,
+             CAST(SUM(wx.r2 * wy.r2) AS HUGEINT) AS sxy
+      FROM o JOIN wx ON wx.val = o.x JOIN wy ON wy.val = o.y)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                  THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                              * CAST(n*syy - sy*sy AS DOUBLE))
+                  ELSE 0.0 END, 9) AS rho
+FROM m"""
     # coarsen_stats reuses the full matching oracle as a derived
     # table (its WITH RECURSIVE nests fine inside a subquery)
     out["coarsen_stats"] = f"""

@@ -46,3 +46,21 @@ def test_orbit_spearman_vs_scipy_free_reference():
             rb = orb[cols[j]].rank(method="average")
             ref = np.corrcoef(ra, rb)[0, 1]
             assert abs(got.loc[(cols[i], cols[j]), "rho"] - ref) < 1e-9
+
+
+def test_centrality_spearman_scipy_reference():
+    import numpy as np
+    import __ray_entry__ as em
+
+    out = em.queries()["centrality_spearman"]("/root/testdata/sf0.001")
+    rho = float(out["rho"].iloc[0])
+    # PageRank on an undirected graph is strongly degree-driven
+    assert 0.8 < rho <= 1.0
+    # reference via pandas rank + pearson
+    import pandas as pd
+    pr = em.queries()["pagerank_copurchase"]("/root/testdata/sf0.001")
+    eds, dense, csr, vids = em._copurchase_bundle("/root/testdata/sf0.001")
+    deg = pd.DataFrame({"v": vids, "y": csr.degrees()})
+    o = pr.merge(deg, on="v")
+    ref = o["score"].rank().corr(o["y"].rank())
+    assert abs(rho - ref) < 1e-9
