@@ -3145,6 +3145,16 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_term_dispersion(sf_dir):
+    """Church-Gale term burstiness (cf/df) for the top-50 vocabulary
+    — text.analysis.term_dispersion (two-step-distinct df pass + the
+    vocab cf shuffle)."""
+    from pgd_ray.text.analysis import term_dispersion
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return term_dispersion(docs, n=50)
+
+
 def _q_centrality_spearman(sf_dir):
     """Does PageRank just follow degree?  Spearman rank correlation
     between the round-9 PageRank scores and vertex degree, via the
@@ -4134,6 +4144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coarsen_stats": _q_coarsen_stats,
         "rbo_rankings": _q_rbo_rankings,
         "centrality_spearman": _q_centrality_spearman,
+        "term_dispersion": _q_term_dispersion,
     }
 
 
@@ -8219,6 +8230,21 @@ SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
        CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
+        # text.analysis.term_dispersion: cf/df burstiness, top-50 by
+        # (cf DESC, token).
+        "term_dispersion": """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
+             FROM documents),
+cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+       FROM tok GROUP BY token),
+dfx AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token),
+top AS (SELECT cf.token, cf.cf, dfx.df
+        FROM cf JOIN dfx ON dfx.token = cf.token
+        ORDER BY cf.cf DESC, cf.token LIMIT 50)
+SELECT token, cf, df, ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+FROM top""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

@@ -561,3 +561,52 @@ def vocab_coverage(docs: ray.data.Dataset, ks=(10, 100, 1000),
                      round(covered / total, 9) if total else 0.0))
     return pd.DataFrame(rows, columns=["k", "n_top", "covered",
                                        "total", "coverage"])
+
+
+def term_dispersion(docs: ray.data.Dataset, n: int = 50,
+                    concurrency=(1, 16)) -> pd.DataFrame:
+    """Term burstiness for the top-``n`` vocabulary by collection
+    frequency: cf (total occurrences), df (distinct docs containing),
+    and cf/df — Church-Gale burstiness (content words clump, function
+    words spread).  One pass emits per-batch (token, cf-partial) AND
+    per-batch-distinct (token, doc) pairs (the two-step-distinct
+    pattern, hot-token safe) → two hash aggregations → ordered head.
+    Columns (token, cf, df, burstiness round 6), ordered (cf DESC,
+    token)."""
+    from ray.data.aggregate import Count, Sum
+
+    partial = docs.select_columns(["text"]).map_batches(
+        _TokenCounts, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency)
+    cf = partial.groupby("token").aggregate(Sum("n", alias_name="cf"))
+
+    tok_re = re.compile(WORD_RE)
+
+    def doc_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        # one C-level findall per doc, distinct within doc
+        lists = b["text"].fillna("").map(tok_re.findall)
+        lens, dids, toks = [], [], []
+        for did, ts in zip(b["doc_id"], lists):
+            u = set(ts)
+            dids.extend([did] * len(u))
+            toks.extend(u)
+        return pd.DataFrame({"doc_id": np.asarray(dids, dtype=np.int64),
+                             "token": np.asarray(toks, dtype=object)}) \
+            if toks else pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "token": pd.Series([], dtype=object)})
+
+    df_counts = (docs.select_columns(["doc_id", "text"])
+                 .map_batches(doc_pairs, batch_format="pandas",
+                              batch_size=4096, concurrency=16)
+                 .groupby(["doc_id", "token"]).aggregate(Count())
+                 .groupby("token").aggregate(Count(alias_name="df")))
+
+    top = (cf.sort(["cf", "token"], descending=[True, False])
+           .limit(n).to_pandas())
+    dfp = df_counts.to_pandas()
+    out = top.merge(dfp, on="token", how="left")
+    out["cf"] = out["cf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    out["burstiness"] = np.round(out["cf"] / out["df"], 6)
+    return out[["token", "cf", "df", "burstiness"]]

@@ -494,3 +494,32 @@ def test_vocab_coverage_matches_counter():
         assert abs(r["coverage"] - round(top / total, 9)) < 1e-12
     # monotone nondecreasing coverage
     assert out["coverage"].is_monotonic_increasing
+
+
+def test_term_dispersion_matches_counter():
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pgd_ray.text.analysis import term_dispersion
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+    out = term_dispersion(docs, n=20)
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["text"]).to_pandas()
+    cf = collections.Counter()
+    df = collections.Counter()
+    for t in ref["text"].fillna(""):
+        toks = re.findall(r"[A-Za-z]+", t)
+        cf.update(toks)
+        df.update(set(toks))
+    for r in out.itertuples(index=False):
+        assert cf[r.token] == r.cf
+        assert df[r.token] == r.df
+        assert abs(r.burstiness - round(r.cf / r.df, 6)) < 1e-12
+    # burstiness >= 1 always (cf >= df)
+    assert (out["burstiness"] >= 1).all()
