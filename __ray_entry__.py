@@ -3145,6 +3145,15 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_lateness_profile(sf_dir):
+    """Watermark-planning lateness profile (arrival order = event_id)
+    — stages.windows.lateness_profile (distributed prefix-max +
+    log2-second bucket fold)."""
+    from pgd_ray.stages.windows import lateness_profile
+
+    return lateness_profile(sf_dir)
+
+
 def _q_term_dispersion(sf_dir):
     """Church-Gale term burstiness (cf/df) for the top-50 vocabulary
     — text.analysis.term_dispersion (two-step-distinct df pass + the
@@ -4145,6 +4154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rbo_rankings": _q_rbo_rankings,
         "centrality_spearman": _q_centrality_spearman,
         "term_dispersion": _q_term_dispersion,
+        "lateness_profile": _q_lateness_profile,
     }
 
 
@@ -8245,6 +8255,25 @@ top AS (SELECT cf.token, cf.cf, dfx.df
         ORDER BY cf.cf DESC, cf.token LIMIT 50)
 SELECT token, cf, df, ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
 FROM top""",
+        # stages.windows.lateness_profile: running-max lateness in
+        # log2-second buckets (-1 = on-time).
+        "lateness_profile": """
+WITH s0 AS (SELECT event_id, epoch_us(ts) AS tu FROM events),
+r AS (SELECT event_id, tu,
+             MAX(tu) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mx
+      FROM s0),
+l AS (SELECT CASE WHEN mx IS NULL OR mx - tu <= 0 THEN -1
+             ELSE CAST(FLOOR(LOG2(GREATEST((mx - tu) // 1000000, 1)))
+                       AS BIGINT) END AS bucket
+      FROM r),
+g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY bucket),
+t AS (SELECT SUM(n) AS tot FROM g)
+SELECT bucket, n,
+       ROUND(CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE)
+             / (SELECT tot FROM t), 9) AS cum_frac
+FROM g ORDER BY bucket""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

@@ -1641,3 +1641,74 @@ def peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     return pd.DataFrame({"n_sessions": [np.int64(n_sessions)],
                          "peak": [np.int64(peak)],
                          "peak_at_us": [np.int64(sm.loc[first, "mx_at"])]})
+
+
+def lateness_profile(sf_dir: str) -> pd.DataFrame:
+    """Out-of-order-ness profile of the event stream: treating
+    ``event_id`` as ARRIVAL order, an event's lateness is
+    max(event time seen so far) − its own event time — the number a
+    streaming pipeline needs to pick its watermark delay.  Output:
+    per log2-second lateness bucket (bucket −1 = on-time/new-max),
+    the event count and the running share, plus p99-style coverage
+    readable off the cumulative column.
+
+    Distributed prefix-max (the packing pattern): one sort by
+    event_id, per-block (first id, max ts) summaries, O(#blocks)
+    driver offsets (prefix max of block maxima), second vectorized
+    pass computing each event's lateness against its block's carry-in
+    — then a ≤ 64-bucket histogram fold.  Columns (bucket, n,
+    cum_frac round 9)."""
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+    srt = ev.sort("event_id").materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "first_id": [int(t["event_id"][0].as_py())],
+            "mx": [int(ts.max())]})
+
+    sm = srt.map_batches(summary, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    sm = sm.sort_values("first_id", ignore_index=True)
+    # sentinel −2^62: below any epoch-µs yet far from int64 min, so
+    # sentinel − ts cannot wrap positive
+    carry = np.concatenate(
+        ([-(np.int64(1) << np.int64(62))],
+         np.maximum.accumulate(sm["mx"].to_numpy())[:-1]))
+    carry_map = dict(zip(sm["first_id"].astype(int), carry))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        prefix = np.maximum.accumulate(
+            np.concatenate(([carry_map[int(eid[0])]], ts))[:-1])
+        late_us = prefix - ts
+        onb = late_us <= 0
+        sec = np.maximum(late_us // 1_000_000, 1)
+        bucket = np.where(onb, -1,
+                          np.floor(np.log2(sec)).astype(np.int64))
+        c = np.bincount(bucket + 1, minlength=66)
+        nz = np.flatnonzero(c)
+        return pa.table({"bucket": (nz - 1).astype(np.int64),
+                         "n": c[nz].astype(np.int64)})
+
+    parts = srt.map_batches(bucketize, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    agg = parts.groupby("bucket", as_index=False)["n"].sum() \
+        .sort_values("bucket", ignore_index=True)
+    total = int(agg["n"].sum())
+    cum = np.cumsum(agg["n"].to_numpy())
+    return pd.DataFrame({"bucket": agg["bucket"].astype(np.int64),
+                         "n": agg["n"].astype(np.int64),
+                         "cum_frac": np.round(cum / total, 9)})

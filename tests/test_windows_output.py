@@ -469,3 +469,29 @@ def test_peak_concurrency_matches_brute():
     assert int(out["n_sessions"].iloc[0]) == len(sess)
     assert int(out["peak"].iloc[0]) == peak
     assert int(out["peak_at_us"].iloc[0]) == peak_at
+
+
+def test_lateness_profile_matches_brute():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pgd_ray.stages.windows import lateness_profile
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    ev = ev.sort_values("event_id", ignore_index=True)
+    tu = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    buckets = {}
+    mx = None
+    for t in tu:
+        if mx is None or mx - t <= 0:
+            b = -1
+        else:
+            sec = max((mx - t) // 1_000_000, 1)
+            b = int(np.floor(np.log2(sec)))
+        buckets[b] = buckets.get(b, 0) + 1
+        mx = t if mx is None else max(mx, t)
+    out = lateness_profile(SF)
+    assert dict(zip(out["bucket"], out["n"])) == buckets
+    assert abs(out["cum_frac"].iloc[-1] - 1.0) < 1e-9
