@@ -3145,6 +3145,15 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_conv_typicality(sf_dir):
+    """Per-conversation mean NLL under the corpus tool-transition
+    chain — stages.conv_stats.conv_typicality (the agent-anomaly
+    screen; broadcast log-P table + conv-keyed sorted-block fold)."""
+    from pgd_ray.stages.conv_stats import conv_typicality
+
+    return conv_typicality(_transcripts_ds(sf_dir))
+
+
 def _q_lateness_profile(sf_dir):
     """Watermark-planning lateness profile (arrival order = event_id)
     — stages.windows.lateness_profile (distributed prefix-max +
@@ -4155,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centrality_spearman": _q_centrality_spearman,
         "term_dispersion": _q_term_dispersion,
         "lateness_profile": _q_lateness_profile,
+        "conv_typicality": _q_conv_typicality,
     }
 
 
@@ -8274,6 +8284,23 @@ SELECT bucket, n,
        ROUND(CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE)
              / (SELECT tot FROM t), 9) AS cum_frac
 FROM g ORDER BY bucket""",
+        # stages.conv_stats.conv_typicality: mean transition NLL per
+        # conversation under the corpus MLE chain.
+        "conv_typicality": f"""
+WITH {_T_CTE},
+g AS (SELECT conv_id, tool AS a,
+             LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+      FROM t),
+c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g WHERE b IS NOT NULL GROUP BY 1, 2),
+w AS (SELECT a, CAST(SUM(n) AS BIGINT) AS w FROM c GROUP BY a),
+lp AS (SELECT c.a, c.b, ln(CAST(c.n AS DOUBLE) / w.w) AS lp
+       FROM c JOIN w ON w.a = c.a),
+pc AS (SELECT g.conv_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(lp.lp) AS s
+       FROM g JOIN lp ON lp.a = g.a AND lp.b = g.b
+       WHERE g.b IS NOT NULL GROUP BY g.conv_id)
+SELECT conv_id, n AS n_trans, ROUND(-s / n, 9) AS nll
+FROM pc ORDER BY conv_id""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

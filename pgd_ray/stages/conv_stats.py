@@ -606,3 +606,91 @@ def latency_quantiles(transcripts: ray.data.Dataset,
     out = out.rename(columns={"key": "role"}) if "key" in out.columns \
         else out
     return out.sort_values(["role", "q"], ignore_index=True)
+
+
+def conv_typicality(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Conversation typicality under the corpus's own tool-transition
+    Markov chain: per conversation, the mean negative log-likelihood
+    of its transitions, nll = −(1/n)·Σ ln P(tool_i → tool_{i+1}) with
+    P = corpus MLE — high nll flags agent behavior unlike the rest of
+    the corpus (the anomaly screen).  Two passes over the shared
+    sorted table: the transition-count plan builds P (O(#tools²),
+    broadcast), then a per-conversation fold of ln-P partials (conv
+    boundary pairs stitched exactly like response_latency).  Columns
+    (conv_id, n_trans, nll round 9) for conversations with ≥ 1
+    transition, ordered by conv_id."""
+    c = _transition_counts(transcripts, "tool", "a", "b")
+    if c.empty:
+        return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                             "n_trans": pd.Series([], dtype=np.int64),
+                             "nll": pd.Series([], dtype=np.float64)})
+    w = c.groupby("a")["n_trans"].sum()
+    logp = {(a, b): float(np.log(n / w[a]))
+            for a, b, n in zip(c["a"], c["b"], c["n_trans"])}
+
+    srt = transcripts.select_columns(
+        ["conv_id", "turn_idx", "tool"]
+    ).sort(["conv_id", "turn_idx"]).materialize()
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.int64()),
+                          "conv": pa.array([], pa.string()),
+                          "tidx": pa.array([], pa.int64()),
+                          "tool": pa.array([], pa.string()),
+                          "s": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = conv[1:] == conv[:-1]
+        lp = np.array([logp[(a, b)] for a, b in
+                       zip(tool[:-1][same], tool[1:][same])])
+        cv = conv[1:][same]
+        kinds, convs, tidxs, tools, ss, ns = [], [], [], [], [], []
+        if len(cv):
+            df = pd.DataFrame({"c": cv, "lp": lp})
+            g = df.groupby("c", sort=False)["lp"].agg(["sum", "size"])
+            for cid, row in g.iterrows():
+                kinds.append(0); convs.append(str(cid)); tidxs.append(0)
+                tools.append(""); ss.append(float(row["sum"]))
+                ns.append(int(row["size"]))
+        for kind, i in ((1, 0), (2, t.num_rows - 1)):
+            kinds.append(kind); convs.append(str(conv[i]))
+            tidxs.append(int(tidx[i])); tools.append(str(tool[i]))
+            ss.append(0.0); ns.append(0)
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "conv": pa.array(convs, pa.string()),
+                         "tidx": pa.array(tidxs, pa.int64()),
+                         "tool": pa.array(tools, pa.string()),
+                         "s": pa.array(ss, pa.float64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    parts = srt.map_batches(block, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    acc: dict = {}
+    if not parts.empty:
+        for cid, s, n in zip(parts.loc[parts["kind"] == 0, "conv"],
+                             parts.loc[parts["kind"] == 0, "s"],
+                             parts.loc[parts["kind"] == 0, "n"]):
+            a, b = acc.get(cid, (0.0, 0))
+            acc[cid] = (a + float(s), b + int(n))
+        firsts = parts[parts["kind"] == 1].reset_index(drop=True)
+        lasts = parts[parts["kind"] == 2].reset_index(drop=True)
+        order = np.lexsort((firsts["tidx"].to_numpy(),
+                            firsts["conv"].to_numpy()))
+        firsts = firsts.iloc[order].reset_index(drop=True)
+        lasts = lasts.iloc[order].reset_index(drop=True)
+        for i in range(1, len(firsts)):
+            if lasts.loc[i - 1, "conv"] == firsts.loc[i, "conv"]:
+                cid = firsts.loc[i, "conv"]
+                a, b = acc.get(cid, (0.0, 0))
+                acc[cid] = (a + logp[(lasts.loc[i - 1, "tool"],
+                                      firsts.loc[i, "tool"])], b + 1)
+    rows = [(cid, np.int64(n), round(-s / n, 9))
+            for cid, (s, n) in sorted(acc.items()) if n]
+    return pd.DataFrame(rows, columns=["conv_id", "n_trans", "nll"]) \
+        if rows else pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                   "n_trans": pd.Series([], dtype=np.int64),
+                                   "nll": pd.Series([], dtype=np.float64)})

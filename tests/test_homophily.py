@@ -135,3 +135,25 @@ def test_transition_entropy_closed_forms():
     w = out["n_out"].to_numpy(float)
     expect = float((w / w.sum() * out["entropy"].to_numpy()).sum())
     assert abs(out["entropy_rate"].iloc[0] - expect) < 2e-9
+
+
+def test_conv_typicality_closed_form():
+    import numpy as np
+
+    from pgd_ray.stages.conv_stats import conv_typicality
+    # chain A->B in c1 twice, B->C once in c2; corpus P(A->B)=1,
+    # P(B->C)=1 -> every conversation has nll 0... make it non-trivial:
+    rows = [
+        ("c1", 0, "u", "x", "A", 0), ("c1", 1, "u", "x", "B", 1),
+        ("c1", 2, "u", "x", "A", 2),
+        ("c2", 0, "u", "x", "A", 0), ("c2", 1, "u", "x", "C", 1),
+    ]
+    # transitions: A->B (1), B->A (1), A->C (1); P(A->B)=0.5,
+    # P(A->C)=0.5, P(B->A)=1
+    out = conv_typicality(_tr(rows)).set_index("conv_id")
+    ln2 = float(np.log(2))
+    # c1: A->B (ln .5), B->A (ln 1) -> nll = (ln2 + 0)/2
+    assert abs(out.loc["c1", "nll"] - round(ln2 / 2, 9)) < 1e-9
+    assert int(out.loc["c1", "n_trans"]) == 2
+    # c2: A->C -> nll = ln2
+    assert abs(out.loc["c2", "nll"] - round(ln2, 9)) < 1e-9
