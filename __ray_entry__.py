@@ -3145,6 +3145,15 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_anova_value_type(sf_dir):
+    """One-way ANOVA F of value across event types —
+    stages.regress.anova_value_by_type (one distributed moment
+    pass)."""
+    from pgd_ray.stages.regress import anova_value_by_type
+
+    return anova_value_by_type(sf_dir)
+
+
 def _q_conv_typicality(sf_dir):
     """Per-conversation mean NLL under the corpus tool-transition
     chain — stages.conv_stats.conv_typicality (the agent-anomaly
@@ -4165,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dispersion": _q_term_dispersion,
         "lateness_profile": _q_lateness_profile,
         "conv_typicality": _q_conv_typicality,
+        "anova_value_type": _q_anova_value_type,
     }
 
 
@@ -8301,6 +8311,20 @@ pc AS (SELECT g.conv_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(lp.lp) AS s
        WHERE g.b IS NOT NULL GROUP BY g.conv_id)
 SELECT conv_id, n AS n_trans, ROUND(-s / n, 9) AS nll
 FROM pc ORDER BY conv_id""",
+        # stages.regress.anova_value_by_type: one-way F from group
+        # moments.
+        "anova_value_type": """
+WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(value) AS s1, SUM(value * value) AS s2
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(s1) AS ts1 FROM g),
+x AS (SELECT (SELECT k FROM t) AS k, (SELECT n FROM t) AS n,
+             SUM(n * POW(s1 / n - (SELECT ts1 / n FROM t), 2)) AS ssb,
+             SUM(s2 - s1 * s1 / n) AS ssw
+      FROM g)
+SELECT k, n, ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+FROM x""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

@@ -78,3 +78,41 @@ def grouped_ols(sf_dir: str) -> pd.DataFrame:
         "slope": np.round(slope, 6),
         "intercept": np.round(intercept, 6),
     }).sort_values("event_type", ignore_index=True)
+
+
+def anova_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-statistic of ``value`` across event types —
+    the "does this grouping matter at all?" screen next to the χ²
+    (independence) and OLS (trend) stages.  F = (SSB/(k−1)) /
+    (SSW/(n−k)) from one distributed (type, n, Σv, Σv²) moment pass.
+    One row (k, n, f_stat round 6)."""
+    from ray.data.aggregate import Count, Sum
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "v": v, "v2": v * v})
+
+    g = (ev.map_batches(moments, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Count(alias_name="n"),
+                    Sum("v", alias_name="s1"),
+                    Sum("v2", alias_name="s2"))
+         .to_pandas())
+    k = len(g)
+    n = int(g["n"].sum())
+    s1 = g["s1"].to_numpy(np.float64)
+    s2 = g["s2"].to_numpy(np.float64)
+    ng = g["n"].to_numpy(np.float64)
+    grand = s1.sum() / n
+    ssb = float((ng * (s1 / ng - grand) ** 2).sum())
+    ssw = float((s2 - s1 * s1 / ng).sum())
+    f = (ssb / (k - 1)) / (ssw / (n - k)) if k > 1 and n > k and ssw > 0 \
+        else 0.0
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(n)],
+                         "f_stat": [round(f, 6)]})

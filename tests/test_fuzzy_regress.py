@@ -86,3 +86,26 @@ def test_grouped_ols_matches_polyfit(tmp_path):
         assert abs(got.loc[t, "slope"] - sl) < 1e-5
         assert abs(got.loc[t, "intercept"] - ic) < 1e-5
         assert int(got.loc[t, "n"]) == int(m.sum())
+
+
+def test_anova_matches_scipy_formula():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pgd_ray.stages.regress import anova_value_by_type
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    groups = [g["value"].to_numpy(float)
+              for _, g in ev.groupby("event_type")]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    out = anova_value_by_type(SF)
+    assert int(out["k"].iloc[0]) == k and int(out["n"].iloc[0]) == n
+    assert abs(out["f_stat"].iloc[0] - f) < 1e-4 * max(1, abs(f))
+    assert out["f_stat"].iloc[0] >= 0
