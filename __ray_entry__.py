@@ -3145,6 +3145,14 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_role_pair_latency(sf_dir):
+    """Mean response gap per (previous role → responding role) pair —
+    stages.conv_stats.role_pair_latency."""
+    from pgd_ray.stages.conv_stats import role_pair_latency
+
+    return role_pair_latency(_transcripts_ds(sf_dir))
+
+
 def _q_anova_value_type(sf_dir):
     """One-way ANOVA F of value across event types —
     stages.regress.anova_value_by_type (one distributed moment
@@ -4175,6 +4183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lateness_profile": _q_lateness_profile,
         "conv_typicality": _q_conv_typicality,
         "anova_value_type": _q_anova_value_type,
+        "role_pair_latency": _q_role_pair_latency,
     }
 
 
@@ -8325,6 +8334,23 @@ x AS (SELECT (SELECT k FROM t) AS k, (SELECT n FROM t) AS n,
       FROM g)
 SELECT k, n, ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
 FROM x""",
+        # stages.conv_stats.role_pair_latency: gap credited to the
+        # (prev role, next role) pair; integer µs sums, /1e6 at the
+        # end (the response_latency contract).
+        "role_pair_latency": f"""
+WITH {_T_CTE},
+p AS (SELECT conv_id, role, turn_idx, epoch_us(ts) AS tu,
+             LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role,
+             LAG(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_tu
+      FROM t)
+SELECT prev_role AS role_a, role AS role_b,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(tu - prev_tu) AS DOUBLE) / 1000000.0
+             / COUNT(*), 6) AS mean_gap_s
+FROM p WHERE prev_role IS NOT NULL
+GROUP BY 1, 2 ORDER BY role_a, role_b""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

@@ -694,3 +694,84 @@ def conv_typicality(transcripts: ray.data.Dataset) -> pd.DataFrame:
         if rows else pd.DataFrame({"conv_id": pd.Series([], dtype=object),
                                    "n_trans": pd.Series([], dtype=np.int64),
                                    "nll": pd.Series([], dtype=np.float64)})
+
+
+def role_pair_latency(transcripts: ray.data.Dataset) -> pd.DataFrame:
+    """Response-latency MATRIX: mean gap seconds per (previous role →
+    responding role) pair — the finer view ``response_latency``
+    aggregates away (is assistant-after-tool slower than
+    assistant-after-user?).  Same sorted-block plan with pair-keyed
+    integer partials and the ≤ 1 junction pair per boundary.  Columns
+    (role_a, role_b, n_gaps, mean_gap_s round 6), ordered."""
+    srt = transcripts.select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]
+    ).sort(["conv_id", "turn_idx"]).materialize()
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.int64()),
+                          "ra": pa.array([], pa.string()),
+                          "rb": pa.array([], pa.string()),
+                          "conv": pa.array([], pa.string()),
+                          "tidx": pa.array([], pa.int64()),
+                          "gap": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        same = conv[1:] == conv[:-1]
+        kinds, ras, rbs, convs, tidxs, gaps, ns = ([] for _ in range(7))
+        if same.any():
+            df = pd.DataFrame({"a": role[:-1][same], "b": role[1:][same],
+                               "g": (ts[1:] - ts[:-1])[same]})
+            g = df.groupby(["a", "b"], sort=False)["g"].agg(["sum", "size"])
+            for (a, b), row in g.iterrows():
+                kinds.append(0); ras.append(str(a)); rbs.append(str(b))
+                convs.append(""); tidxs.append(0)
+                gaps.append(int(row["sum"])); ns.append(int(row["size"]))
+        for kind, i in ((1, 0), (2, t.num_rows - 1)):
+            kinds.append(kind); ras.append(str(role[i])); rbs.append("")
+            convs.append(str(conv[i])); tidxs.append(int(tidx[i]))
+            gaps.append(int(ts[i])); ns.append(0)
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "ra": pa.array(ras, pa.string()),
+                         "rb": pa.array(rbs, pa.string()),
+                         "conv": pa.array(convs, pa.string()),
+                         "tidx": pa.array(tidxs, pa.int64()),
+                         "gap": pa.array(gaps, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    parts = srt.map_batches(block, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    acc: dict = {}
+    if not parts.empty:
+        for a, b, g, n in zip(parts.loc[parts["kind"] == 0, "ra"],
+                              parts.loc[parts["kind"] == 0, "rb"],
+                              parts.loc[parts["kind"] == 0, "gap"],
+                              parts.loc[parts["kind"] == 0, "n"]):
+            s, c = acc.get((a, b), (0, 0))
+            acc[(a, b)] = (s + int(g), c + int(n))
+        firsts = parts[parts["kind"] == 1].reset_index(drop=True)
+        lasts = parts[parts["kind"] == 2].reset_index(drop=True)
+        order = np.lexsort((firsts["tidx"].to_numpy(),
+                            firsts["conv"].to_numpy()))
+        firsts = firsts.iloc[order].reset_index(drop=True)
+        lasts = lasts.iloc[order].reset_index(drop=True)
+        for i in range(1, len(firsts)):
+            if lasts.loc[i - 1, "conv"] == firsts.loc[i, "conv"]:
+                key = (lasts.loc[i - 1, "ra"], firsts.loc[i, "ra"])
+                s, c = acc.get(key, (0, 0))
+                acc[key] = (s + int(firsts.loc[i, "gap"]
+                                    - lasts.loc[i - 1, "gap"]), c + 1)
+    rows = [(a, b, np.int64(c), round(s / 1e6 / c, 6))
+            for (a, b), (s, c) in sorted(acc.items()) if c]
+    return pd.DataFrame(rows, columns=["role_a", "role_b", "n_gaps",
+                                       "mean_gap_s"]) \
+        if rows else pd.DataFrame(
+            {"role_a": pd.Series([], dtype=object),
+             "role_b": pd.Series([], dtype=object),
+             "n_gaps": pd.Series([], dtype=np.int64),
+             "mean_gap_s": pd.Series([], dtype=np.float64)})

@@ -142,3 +142,26 @@ def test_latency_quantiles_matches_pandas():
         for q in (0.5, 0.9):
             exp = g[int(np.floor(q * (len(g) - 1)))]
             assert int(out.loc[(role, q), "value"]) == exp, (role, q)
+
+
+def test_role_pair_latency_mass_matches_response_latency():
+    import numpy as np
+
+    from pgd_ray.stages.conv_stats import (response_latency,
+                                           role_pair_latency)
+    from pgd_ray.sources.transcripts import derive_transcripts
+
+    SF = "/root/testdata/sf0.001"
+    tds = derive_transcripts(SF)
+    pair = role_pair_latency(tds)
+    flat = response_latency(tds)
+    # folding the pair matrix over role_a reproduces the flat view
+    agg = pair.groupby("role_b").apply(
+        lambda g: (g["n_gaps"].sum(),
+                   (g["mean_gap_s"] * g["n_gaps"]).sum()
+                   / g["n_gaps"].sum()),
+        include_groups=False)
+    for r in flat.itertuples(index=False):
+        n, mean = agg[r.role]
+        assert int(n) == r.n_gaps
+        assert abs(mean - r.mean_gap_s) < 1e-4
