@@ -3145,6 +3145,16 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_source_dup_rate(sf_dir):
+    """Per-source exact-duplicate rate — text.dedup.source_dup_rate
+    (128-bit content-hash distinct per source, two hash
+    aggregations)."""
+    from pgd_ray.text.dedup import source_dup_rate
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_dup_rate(docs)
+
+
 def _q_role_pair_latency(sf_dir):
     """Mean response gap per (previous role → responding role) pair —
     stages.conv_stats.role_pair_latency."""
@@ -4184,6 +4194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_typicality": _q_conv_typicality,
         "anova_value_type": _q_anova_value_type,
         "role_pair_latency": _q_role_pair_latency,
+        "source_dup_rate": _q_source_dup_rate,
     }
 
 
@@ -8351,6 +8362,15 @@ SELECT prev_role AS role_a, role AS role_b,
              / COUNT(*), 6) AS mean_gap_s
 FROM p WHERE prev_role IS NOT NULL
 GROUP BY 1, 2 ORDER BY role_a, role_b""",
+        # text.dedup.source_dup_rate: exact-dup rate per source; md5
+        # distinct mirrors the engine's 128-bit content hash (both
+        # are injective on this corpus by construction).
+        "source_dup_rate": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+             / COUNT(*), 9) AS dup_frac
+FROM documents GROUP BY source ORDER BY source""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

@@ -906,3 +906,36 @@ def containment_pairs(
         "cont_a": np.round(inter / A, 6),
         "cont_b": np.round(inter / B, 6),
     }).sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def source_dup_rate(docs: ray.data.Dataset) -> pd.DataFrame:
+    """Per-source exact-duplicate rate: (source, n_docs, n_distinct,
+    dup_frac) — the data-quality panel ("which feed is pasting the
+    same page?").  Same 128-bit content-hash contract as
+    ``exact_dedup``; one (source, h) distinct aggregation + one
+    per-source count, both hash aggregations over combiner-friendly
+    keys.  dup_frac = 1 − distinct/docs, round 9."""
+    from ray.data.aggregate import Count
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        data, s, e = arrow_string_bytes(t["text"])
+        h1, h2 = poly_segment_hash128(data, s, e)
+        return pa.table({"source": t["source"],
+                         "h1": h1.view(np.int64),
+                         "h2": h2.view(np.int64)})
+
+    hashed = (docs.select_columns(["source", "text"])
+              .map_batches(add_hash, batch_format="pyarrow",
+                           batch_size=4096).materialize())
+    totals = (hashed.groupby("source").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    distinct = (hashed.groupby(["source", "h1", "h2"]).aggregate(Count())
+                .groupby("source").aggregate(Count(alias_name="d"))
+                .to_pandas())
+    out = totals.merge(distinct, on="source").sort_values(
+        "source", ignore_index=True)
+    n = out["n"].astype(np.int64)
+    d = out["d"].astype(np.int64)
+    return pd.DataFrame({"source": out["source"],
+                         "n_docs": n, "n_distinct": d,
+                         "dup_frac": np.round(1.0 - d / n, 9)})

@@ -523,3 +523,22 @@ def test_term_dispersion_matches_counter():
         assert abs(r.burstiness - round(r.cf / r.df, 6)) < 1e-12
     # burstiness >= 1 always (cf >= df)
     assert (out["burstiness"] >= 1).all()
+
+
+def test_source_dup_rate_matches_pandas():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pgd_ray.text.dedup import source_dup_rate
+    from pgd_ray.util import read_parquet_clean
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{SF}/documents.parquet",
+                              columns=["source", "text"])
+    out = source_dup_rate(docs).set_index("source")
+    ref = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["source", "text"]).to_pandas()
+    for src, g in ref.groupby("source"):
+        assert int(out.loc[src, "n_docs"]) == len(g)
+        assert int(out.loc[src, "n_distinct"]) == g["text"].nunique()
+    assert out["dup_frac"].between(0, 1).all()
