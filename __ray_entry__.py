@@ -3145,6 +3145,15 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_type_daily_corr(sf_dir):
+    """Pearson correlation matrix of event types' daily series —
+    stages.windows.type_daily_corr (union-of-days alignment, missing
+    = 0)."""
+    from pgd_ray.stages.windows import type_daily_corr
+
+    return type_daily_corr(sf_dir)
+
+
 def _q_source_dup_rate(sf_dir):
     """Per-source exact-duplicate rate — text.dedup.source_dup_rate
     (128-bit content-hash distinct per source, two hash
@@ -4195,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_value_type": _q_anova_value_type,
         "role_pair_latency": _q_role_pair_latency,
         "source_dup_rate": _q_source_dup_rate,
+        "type_daily_corr": _q_type_daily_corr,
     }
 
 
@@ -8371,6 +8381,34 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
              / COUNT(*), 9) AS dup_frac
 FROM documents GROUP BY source ORDER BY source""",
+        # stages.windows.type_daily_corr: Pearson over union-of-days
+        # aligned series, missing (type, day) = 0.
+        "type_daily_corr": """
+WITH dd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM dd),
+tys AS (SELECT DISTINCT event_type FROM dd),
+grid AS (SELECT t.event_type, d.day,
+                CAST(COALESCE(dd.n, 0) AS DOUBLE) AS x
+         FROM tys t CROSS JOIN days d
+         LEFT JOIN dd ON dd.event_type = t.event_type AND dd.day = d.day),
+mu AS (SELECT event_type, AVG(x) AS m FROM grid GROUP BY 1),
+c AS (SELECT g.event_type, g.day, g.x - mu.m AS cx
+      FROM grid g JOIN mu ON mu.event_type = g.event_type),
+pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+              SUM(a.cx * b.cx) AS sxy
+       FROM c a JOIN c b ON a.day = b.day
+         AND a.event_type < b.event_type
+       GROUP BY 1, 2),
+ss AS (SELECT event_type, SUM(cx * cx) AS s2 FROM c GROUP BY 1)
+SELECT pr.ta AS type_a, pr.tb AS type_b,
+       ROUND(CASE WHEN sa.s2 > 0 AND sb.s2 > 0
+                  THEN pr.sxy / sqrt(sa.s2 * sb.s2)
+                  ELSE 0.0 END, 9) AS r
+FROM pr JOIN ss sa ON sa.event_type = pr.ta
+JOIN ss sb ON sb.event_type = pr.tb
+ORDER BY type_a, type_b""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)

@@ -1712,3 +1712,42 @@ def lateness_profile(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"bucket": agg["bucket"].astype(np.int64),
                          "n": agg["n"].astype(np.int64),
                          "cum_frac": np.round(cum / total, 9)})
+
+
+def type_daily_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation matrix of the event types' DAILY count
+    series (the co-movement screen ccf_daily gives for one pair at
+    lag 0, here for every pair): series aligned on the union of
+    observed days, missing (type, day) = 0.  One distributed
+    (type, day) aggregation → O(#types × #days) driver moments.
+    Columns (type_a, type_b, r round 9), pairs a < b."""
+    from ray.data.aggregate import Count
+
+    from pgd_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)) // 86_400_000_000
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    daily = (ev.map_batches(keyed, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    piv = daily.pivot_table(index="day", columns="event_type",
+                            values="n", aggfunc="sum").fillna(0.0)
+    piv = piv.sort_index()
+    types = sorted(piv.columns)
+    rows = []
+    for i, a in enumerate(types):
+        x = piv[a].to_numpy(np.float64)
+        cx = x - x.mean()
+        for b in types[i + 1:]:
+            y = piv[b].to_numpy(np.float64)
+            cy = y - y.mean()
+            den = float(np.sqrt((cx * cx).sum() * (cy * cy).sum()))
+            r = float((cx * cy).sum()) / den if den > 0 else 0.0
+            rows.append((a, b, round(r, 9)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "r"])

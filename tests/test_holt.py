@@ -64,3 +64,21 @@ def test_ccf_matches_brute_and_symmetry():
     for k in [-5, -1, 0, 4]:
         assert abs(out[k] - rev[-k]) < 1e-9
     assert (out.abs() <= 1.0 + 1e-9).all()
+
+
+def test_type_daily_corr_matches_pandas():
+    from pgd_ray.stages.windows import type_daily_corr
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+                 // 86_400_000_000)
+    piv = (ev.groupby(["day", "event_type"]).size().unstack(fill_value=0)
+           .sort_index())
+    out = type_daily_corr(SF).set_index(["type_a", "type_b"])
+    types = sorted(piv.columns)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ref = piv[a].astype(float).corr(piv[b].astype(float))
+            assert abs(out.loc[(a, b), "r"] - ref) < 1e-9
+    assert out["r"].between(-1, 1).all()
