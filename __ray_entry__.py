@@ -3145,6 +3145,28 @@ fs AS (SELECT f.v,
 FROM (SELECT v, y FROM fd WHERE it = 64) f)"""
 
 
+def _q_norm_quantiles(sf_dir):
+    """Exact quantiles of the embedding L2 norms (the
+    norm-collapse/outlier health check) — one streamed norm pass into
+    the histogram-refinement rank engine (no sort)."""
+    import pyarrow as pa
+
+    from pgd_ray.stages.quantiles import exact_quantiles
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        from pgd_ray.stages.similarity import _stack_embeddings
+
+        m = _stack_embeddings(t["embedding"], np.float64)
+        return pa.table({"norm": np.sqrt((m * m).sum(axis=1))})
+
+    nds = emb.map_batches(norms, batch_format="pyarrow")
+    out = exact_quantiles(nds, "norm", [0.01, 0.25, 0.5, 0.75, 0.99])
+    out["value"] = np.round(out["value"].astype(float), 6)
+    return out
+
+
 def _q_type_daily_corr(sf_dir):
     """Pearson correlation matrix of event types' daily series —
     stages.windows.type_daily_corr (union-of-days alignment, missing
@@ -4205,6 +4227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_pair_latency": _q_role_pair_latency,
         "source_dup_rate": _q_source_dup_rate,
         "type_daily_corr": _q_type_daily_corr,
+        "norm_quantiles": _q_norm_quantiles,
     }
 
 
@@ -8409,6 +8432,19 @@ SELECT pr.ta AS type_a, pr.tb AS type_b,
 FROM pr JOIN ss sa ON sa.event_type = pr.ta
 JOIN ss sb ON sb.event_type = pr.tb
 ORDER BY type_a, type_b""",
+        # embedding-norm exact quantiles (floor(q·(n−1)) rank rule).
+        "norm_quantiles": """
+WITH x AS (SELECT sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), v -> v * v))) AS norm
+           FROM embeddings),
+rk AS (SELECT norm, row_number() OVER (ORDER BY norm) - 1 AS r,
+              COUNT(*) OVER () AS n
+       FROM x),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) t(q))
+SELECT qs.q, ROUND(rk.norm, 6) AS value
+FROM qs JOIN rk ON rk.r = CAST(FLOOR(qs.q * (rk.n - 1)) AS BIGINT)
+ORDER BY qs.q""",
     }
     # rbo_rankings reuses the rrf_fusion ranker chains: truncated
     # rank-biased overlap at the dynamic depth min(|A|, |B|)
