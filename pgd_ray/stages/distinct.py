@@ -36,6 +36,66 @@ def grouped_distinct_count(
     return pairs.groupby(key_col).aggregate(Count(alias_name=alias))
 
 
+def dedup_sorted_blocks(
+    srt: ray.data.Dataset, cols: list[str]
+) -> ray.data.Dataset:
+    """Adjacent-row dedup over a Dataset already globally sorted by
+    ``cols``, correct across block boundaries.
+
+    The boundary stitch is keyed by **block position**, not by row
+    value: each physical block's drop-my-first-row decision is made by
+    comparing its first row against the *physically previous*
+    non-empty block's last row, in block order.  (An earlier version
+    keyed the decision by the first-row VALUE applied to any block
+    whose first row matched — which silently dropped a distinct value
+    when a duplicate run exactly filled a whole block, and depended on
+    an unstable re-sort of the summaries.  See ADVICE r3.)
+
+    Driver state is O(#blocks) boundary tuples; each block is deduped
+    remotely (one Ray task per block), so nothing row-scale lands on
+    the driver.  ``srt`` must be materialized (it is, post-sort)."""
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+
+    @ray.remote
+    def _bounds(t):
+        t = pa.Table.from_batches(t.to_batches(), schema=t.schema) \
+            if not isinstance(t, pa.Table) else t
+        if t.num_rows == 0:
+            return None
+        return (tuple(t[c][0].as_py() for c in cols),
+                tuple(t[c][t.num_rows - 1].as_py() for c in cols))
+
+    sums = ray.get([_bounds.remote(r) for r in refs])
+    drop = []
+    prev_last = None
+    for s in sums:
+        if s is None:
+            drop.append(False)
+            continue
+        first, last = s
+        drop.append(prev_last is not None and first == prev_last)
+        prev_last = last
+
+    @ray.remote
+    def _dedup(t, drop_first: bool):
+        if t.num_rows == 0:
+            return t
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[0] = not drop_first
+        if t.num_rows > 1:
+            neq = np.zeros(t.num_rows - 1, dtype=bool)
+            for a in arrs:
+                neq |= a[1:] != a[:-1]
+            keep[1:] = neq
+        return t.filter(pa.array(keep))
+
+    out = [_dedup.remote(r, d) for r, d in zip(refs, drop)]
+    return ray.data.from_arrow_refs(out)
+
+
 def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """High-cardinality SELECT DISTINCT as a first-class operator.
 
@@ -43,50 +103,8 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     key cardinality approaches the row count (measured 638 s for a
     30M-row two-key dedup vs ~10 s for the sort — see BASELINE.md):
     this is the engine's sort-based path — one global sort on
-    ``cols``, vectorized adjacent-row dedup per block, and an
-    O(#blocks) first/last-row summary so a value straddling a block
-    boundary is kept exactly once (the flagged block drops its
-    already-deduped first row).  Returns a Dataset of the distinct
-    rows."""
+    ``cols``, vectorized adjacent-row dedup per block, stitched across
+    block boundaries by block position (``dedup_sorted_blocks``).
+    Returns a Dataset of the distinct rows."""
     srt = ds.select_columns(cols).sort(cols).materialize()
-
-    def summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({f"f_{c}": pa.array([], t.schema.field(c).type)
-                             for c in cols}
-                            | {f"l_{c}": pa.array([], t.schema.field(c).type)
-                               for c in cols})
-        out = {}
-        for c in cols:
-            col = t[c]
-            out[f"f_{c}"] = [col[0].as_py()]
-            out[f"l_{c}"] = [col[t.num_rows - 1].as_py()]
-        return pa.table(out)
-
-    sm = srt.map_batches(summary, batch_format="pyarrow",
-                         batch_size=None).to_pandas()
-    drop_first = set()
-    if len(sm) and f"f_{cols[0]}" in sm.columns:
-        sm = sm.sort_values([f"f_{c}" for c in cols], ignore_index=True)
-        for i in range(1, len(sm)):
-            first_i = tuple(sm.loc[i, f"f_{c}"] for c in cols)
-            last_prev = tuple(sm.loc[i - 1, f"l_{c}"] for c in cols)
-            if first_i == last_prev:
-                drop_first.add(first_i)
-
-    def block_dedup(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
-        keep = np.zeros(t.num_rows, dtype=bool)
-        keep[0] = True
-        neq = np.zeros(t.num_rows - 1, dtype=bool)
-        for a in arrs:
-            neq |= a[1:] != a[:-1]
-        keep[1:] = neq
-        if tuple(a[0] for a in arrs) in drop_first:
-            keep[0] = False
-        return t.filter(pa.array(keep))
-
-    return srt.map_batches(block_dedup, batch_format="pyarrow",
-                           batch_size=None)
+    return dedup_sorted_blocks(srt, cols)

@@ -379,47 +379,15 @@ def candidate_pairs_minhash_ds(
     # pair dedup WITHOUT a hash aggregate: Ray's groupby().aggregate
     # over tens of millions of two-key rows measured ~60× slower than
     # a sort (638 s vs ~10 s on the 30M-pair sf0.1 candidate set).
-    # Sorted blocks dedup adjacent rows vectorized; a pair straddling
-    # a block boundary is caught by the O(#blocks) first/last summary
-    # (a flagged block drops its first — already block-deduped — row).
-    psort = cand_pairs.sort(["doc_a", "doc_b"]).materialize()
+    # Sorted blocks dedup adjacent rows vectorized; the boundary
+    # stitch is keyed by block POSITION (dedup_sorted_blocks), so a
+    # pair whose duplicate copies fill an entire block is still kept
+    # exactly once — complete recall holds.
+    from pgd_ray.stages.distinct import dedup_sorted_blocks
 
-    def pair_summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"fa": pa.array([], pa.int64()),
-                             "fb": pa.array([], pa.int64()),
-                             "la": pa.array([], pa.int64()),
-                             "lb": pa.array([], pa.int64())})
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        return pa.table({"fa": [int(a[0])], "fb": [int(b[0])],
-                         "la": [int(a[-1])], "lb": [int(b[-1])]})
-
-    sm = psort.map_batches(pair_summary, batch_format="pyarrow",
-                           batch_size=None).to_pandas()
-    drop_first = set()
-    if "fa" in sm.columns and len(sm):
-        sm = sm.sort_values(["fa", "fb"], ignore_index=True)
-    else:
-        sm = sm.iloc[0:0].reindex(columns=["fa", "fb", "la", "lb"])
-    for i in range(1, len(sm)):
-        if (sm.loc[i, "fa"], sm.loc[i, "fb"]) == \
-                (sm.loc[i - 1, "la"], sm.loc[i - 1, "lb"]):
-            drop_first.add((int(sm.loc[i, "fa"]), int(sm.loc[i, "fb"])))
-
-    def block_dedup(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.select(["doc_a", "doc_b"])
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        if (int(a[0]), int(b[0])) in drop_first:
-            keep[0] = False
-        return t.select(["doc_a", "doc_b"]).filter(pa.array(keep))
-
-    cand = psort.map_batches(block_dedup, batch_format="pyarrow",
-                             batch_size=None).materialize()
+    psort = cand_pairs.select_columns(["doc_a", "doc_b"]) \
+        .sort(["doc_a", "doc_b"]).materialize()
+    cand = dedup_sorted_blocks(psort, ["doc_a", "doc_b"]).materialize()
     if cand.count() == 0:
         return _empty_pairs_ds()
 

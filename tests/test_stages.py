@@ -210,3 +210,36 @@ def test_distinct_rows_matches_pandas_with_boundary_dups():
     out2 = distinct_rows(ray.data.from_pandas(df2).repartition(8),
                          ["a", "b"]).to_pandas()
     assert len(out2) == 1
+
+
+def test_dedup_sorted_blocks_block_position_stitch():
+    """Regression for ADVICE r3 (distinct.py / dedup.py): the boundary
+    stitch must be keyed by block POSITION, not first-row value.  A
+    duplicate run exactly filling a whole block must survive exactly
+    once, and adversarial block layouts (empty blocks, consecutive
+    identical full blocks) must not drop or duplicate values."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pgd_ray.stages.distinct import dedup_sorted_blocks
+
+    def run(blocks):
+        tables = [pa.table({"a": pa.array(b, pa.int64())}) for b in blocks]
+        ds = ray.data.from_arrow_refs([ray.put(t) for t in tables])
+        out = dedup_sorted_blocks(ds, ["a"]).to_pandas()
+        return sorted(out["a"].tolist())
+
+    # old-bug case: value 7 exactly fills the middle block — the
+    # value-keyed stitch dropped it from BOTH block 2 and block 3
+    assert run([[1, 7], [7, 7], [7, 9]]) == [1, 7, 9]
+    # run crossing a boundary
+    assert run([[3, 3], [3, 5]]) == [3, 5]
+    # empty block between two blocks of the same value
+    assert run([[4], [], [4]]) == [4]
+    # two consecutive blocks entirely one value
+    assert run([[2, 2], [2, 2], [6]]) == [2, 6]
+    # no dups at all
+    assert run([[1, 2], [3, 4]]) == [1, 2, 3, 4]
+    # single block
+    assert run([[5, 5, 8]]) == [5, 8]
