@@ -8222,7 +8222,8 @@ SELECT ks.k,
                   AS DOUBLE) / (SELECT total FROM tot), 9) AS coverage
 FROM ks ORDER BY ks.k""",
         # stages.windows.peak_concurrency: line sweep over session
-        # intervals (+1 at start, −1 at end+1; +1 first at ties).
+        # intervals (+1 at start, −1 at end+1; −1 FIRST at ties — the
+        # exclusive-end convention, matching the engine).
         "peak_concurrency": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
 o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
@@ -8235,8 +8236,8 @@ g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
       FROM f),
 sess AS (SELECT user_id, sidx, MIN(ts) AS start_ts, MAX(ts) AS end_ts
          FROM g GROUP BY user_id, sidx),
-d AS (SELECT start_ts AS t, 1 AS dl, 0 AS oo FROM sess
-      UNION ALL SELECT end_ts + 1, -1, 1 FROM sess),
+d AS (SELECT start_ts AS t, 1 AS dl, 1 AS oo FROM sess
+      UNION ALL SELECT end_ts + 1, -1, 0 FROM sess),
 r AS (SELECT t, SUM(dl) OVER (ORDER BY t, oo
                               ROWS UNBOUNDED PRECEDING) AS run
       FROM d),

@@ -1401,9 +1401,14 @@ def sssp_distances(
     Bellman-Ford relaxation (``rounds`` fixed rounds — relaxation is
     monotone, so extra rounds are no-ops once the fixpoint is
     reached; fixed rounds keep the SQL mirror's recursion identical).
-    ``weights`` is the per-edge-slot int64 array from
-    ``slot_weights`` (nonnegative).  Unreachable vertices keep the
-    ``SSSP_INF`` sentinel.  Integer arithmetic end-to-end → exact."""
+    ``rounds`` is a caller-supplied bound that must exceed the graph's
+    weighted hop diameter: if the FINAL executed round still relaxed
+    any distance the result may be overstated, and a RuntimeWarning is
+    emitted (ADVICE r3 — the early-exit predicate alone cannot detect
+    non-convergence).  ``weights`` is the per-edge-slot int64 array
+    from ``slot_weights`` (nonnegative).  Unreachable vertices keep
+    the ``SSSP_INF`` sentinel.  Integer arithmetic end-to-end →
+    exact."""
     n = csr.n
     if n == 0:
         return np.array([], dtype=np.int64)
@@ -1418,6 +1423,18 @@ def sssp_distances(
                           weights_ref=ray.put(w), workers=workers)
     try:
         x, _ = eng.run(state, lambda s: {}, lambda d: d == 0.0, rounds)
+        if (len(eng.metrics) >= rounds and eng.metrics
+                and eng.metrics[-1]["delta"] != 0.0):
+            import warnings
+
+            warnings.warn(
+                f"sssp_distances: round bound {rounds} exhausted while "
+                "distances were still relaxing — result may overstate "
+                "shortest paths; raise `rounds` above the graph's "
+                "weighted hop diameter",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     finally:
         eng.close()
     return x

@@ -124,16 +124,108 @@ def basket_lift(
     }).sort_values(["part_a", "part_b"], ignore_index=True)
 
 
+# past this vocabulary size the mask path's int64 bit (1 << i) nears
+# overflow (hard limit 63) and the driver's T²-pair fold over the mask
+# histogram stops being cheap — switch to the pairwise aggregation
+MASK_VOCAB_LIMIT = 32
+
+
+def mask_overlap_counts(
+    pairs: ray.data.Dataset, key_col: str, item_col: str, items: list
+) -> tuple[pd.DataFrame, dict, int]:
+    """Pairwise distinct-key overlap counts between every two items.
+
+    ``pairs`` must be the DISTINCT ``(key_col, item_col)`` Dataset.
+    Returns ``(pair_df[item_a, item_b, n_both], n_item dict,
+    n_keys)`` with only co-occurring (n_both > 0) pairs, item_a <
+    item_b in ``items`` order.
+
+    Two shapes behind one contract (ADVICE r3):
+
+    - ``T <= MASK_VOCAB_LIMIT``: per-key item bitmask (Sum of distinct
+      bits = exact OR) → mask histogram via ``np.unique`` (∝ observed
+      masks, NOT 2^T — the old ``np.bincount(minlength=2**T)``
+      allocated 8·2^T bytes per batch) → driver fold.
+    - larger vocabularies: per-key sorted item list via ``map_groups``
+      emitting within-key pairs, then one pair-count hash aggregation
+      — no bitmask, no 2^T anywhere, overflow-free.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    idx = {t: i for i, t in enumerate(items)}
+    T = len(items)
+    if T <= MASK_VOCAB_LIMIT:
+        bit = {t: np.int64(1) << np.int64(i) for t, i in idx.items()}
+
+        def to_bits(t: pa.Table) -> pa.Table:
+            et = pd.Series(t[item_col].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "k": t[key_col],
+                "b": et.map(bit).to_numpy(np.int64),
+            })
+
+        masks = (pairs.map_batches(to_bits, batch_format="pyarrow")
+                 .groupby("k").aggregate(Sum("b", alias_name="mask")))
+
+        def hist(t: pa.Table) -> pa.Table:
+            m = t["mask"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(m, return_counts=True)
+            return pa.table({"mask": u.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+        h = (masks.map_batches(hist, batch_format="pyarrow")
+             .groupby("mask").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+        mask_arr = h["mask"].to_numpy(np.int64)
+        cnt_arr = h["cnt"].to_numpy(np.int64)
+        n_keys = int(cnt_arr.sum())
+        n_item = {t: int(cnt_arr[(mask_arr >> i) & 1 > 0].sum())
+                  for t, i in idx.items()}
+        rows = []
+        for i, ta in enumerate(items):
+            ai = (mask_arr >> i) & 1 > 0
+            for j in range(i + 1, T):
+                both = int(cnt_arr[ai & ((mask_arr >> j) & 1 > 0)].sum())
+                if both:
+                    rows.append((ta, items[j], both))
+        pair_df = pd.DataFrame(rows,
+                               columns=["item_a", "item_b", "n_both"])
+        return pair_df, n_item, n_keys
+
+    # ---- large-vocabulary fallback: pairwise aggregation ----
+    n_item = {r[item_col]: int(r["n"]) for r in
+              pairs.groupby(item_col).aggregate(Count(alias_name="n"))
+              .to_pandas().to_dict("records")}
+    n_keys = int(pairs.groupby(key_col).aggregate(Count()).count())
+
+    def key_pairs(g: pa.Table) -> pa.Table:
+        it = sorted(g[item_col].to_pylist(), key=lambda x: idx[x])
+        a, b = [], []
+        for i in range(len(it)):
+            for j in range(i + 1, len(it)):
+                a.append(it[i])
+                b.append(it[j])
+        return pa.table({"item_a": pa.array(a, pa.string()),
+                         "item_b": pa.array(b, pa.string())})
+
+    pcnt = (pairs.groupby(key_col)
+            .map_groups(key_pairs, batch_format="pyarrow")
+            .groupby(["item_a", "item_b"])
+            .aggregate(Count(alias_name="n_both"))
+            .to_pandas()
+            .sort_values(["item_a", "item_b"], ignore_index=True))
+    return pcnt[["item_a", "item_b", "n_both"]], n_item, n_keys
+
+
 def type_user_jaccard(sf_dir: str) -> pd.DataFrame:
     """Jaccard similarity between event types' DISTINCT-user sets —
     the audience-overlap affinity matrix.  Scale shape: one distinct
-    (type, user) hash aggregation → per-user type BITMASK as a second
-    hash aggregation (distinct pairs make Sum(bit) an exact OR) → a
-    ≤ 2^T-row mask histogram; every pairwise intersection folds from
-    the histogram on the driver.  Nothing ∝ users reaches the driver
-    beyond the histogram.  Columns (type_a, type_b, n_both, n_a, n_b,
-    jaccard) for intersecting pairs, type_a < type_b."""
-    from ray.data.aggregate import Count, Sum
+    (type, user) hash aggregation, then ``mask_overlap_counts`` (mask
+    histogram for small vocabularies, pairwise aggregation beyond
+    ``MASK_VOCAB_LIMIT``).  Nothing ∝ users reaches the driver.
+    Columns (type_a, type_b, n_both, n_a, n_b, jaccard) for
+    intersecting pairs, type_a < type_b."""
+    from ray.data.aggregate import Count
 
     from pgd_ray.util import read_parquet_clean
 
@@ -144,41 +236,12 @@ def type_user_jaccard(sf_dir: str) -> pd.DataFrame:
              .materialize())
     types = sorted(pairs.groupby("event_type").aggregate(Count())
                    .to_pandas()["event_type"])
-    bit = {t: 1 << i for i, t in enumerate(types)}
-
-    def to_bits(t: pa.Table) -> pa.Table:
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "user_id": t["user_id"],
-            "b": np.array([bit[x] for x in et], dtype=np.int64),
-        })
-
-    masks = (pairs.map_batches(to_bits, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Sum("b", alias_name="mask")))
-
-    def hist(t: pa.Table) -> pa.Table:
-        m = t["mask"].to_numpy(zero_copy_only=False)
-        c = np.bincount(m, minlength=1 << len(types))
-        nz = np.flatnonzero(c)
-        return pa.table({"mask": nz.astype(np.int64),
-                         "cnt": c[nz].astype(np.int64)})
-
-    h = (masks.map_batches(hist, batch_format="pyarrow")
-         .groupby("mask").aggregate(Sum("cnt", alias_name="cnt"))
-         .to_pandas())
-    mask_arr = h["mask"].to_numpy(np.int64)
-    cnt_arr = h["cnt"].to_numpy(np.int64)
+    pair_df, n_item, _ = mask_overlap_counts(
+        pairs, "user_id", "event_type", types)
     rows = []
-    for i, ta in enumerate(types):
-        for j in range(i + 1, len(types)):
-            tb = types[j]
-            both = int(cnt_arr[(mask_arr & (1 << i) > 0)
-                               & (mask_arr & (1 << j) > 0)].sum())
-            if both == 0:
-                continue
-            na = int(cnt_arr[mask_arr & (1 << i) > 0].sum())
-            nb = int(cnt_arr[mask_arr & (1 << j) > 0].sum())
-            rows.append((ta, tb, both, na, nb,
-                         round(float(both) / (na + nb - both), 9)))
+    for ta, tb, both in pair_df.itertuples(index=False):
+        na, nb = n_item[ta], n_item[tb]
+        rows.append((ta, tb, int(both), na, nb,
+                     round(float(both) / (na + nb - both), 9)))
     return pd.DataFrame(rows, columns=["type_a", "type_b", "n_both",
                                        "n_a", "n_b", "jaccard"])

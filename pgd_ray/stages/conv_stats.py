@@ -468,54 +468,28 @@ def tool_colift(transcripts: ray.data.Dataset) -> pd.DataFrame:
     """Tool co-USAGE lift within conversations (ANY co-occurrence,
     not adjacency — the complement of ``tool_transitions``):
     lift(a,b) = P(a,b together) / (P(a)·P(b)) over conversations.
-    Same mask-histogram shape as the audience-overlap Jaccard: one
-    distinct (conv, tool) hash aggregation → per-conv tool bitmask
-    (Sum of distinct bits = OR) → ≤ 2^T-row histogram → all pairwise
-    counts fold on the driver.  Columns (tool_a, tool_b, n_both,
-    n_a, n_b, n_convs, lift) for co-occurring pairs, a < b."""
-    from ray.data.aggregate import Count as _Cnt, Sum as _Sum
+    One distinct (conv, tool) hash aggregation, then
+    ``stages.basket.mask_overlap_counts`` — mask-histogram shape for
+    small tool vocabularies, pairwise aggregation beyond
+    ``MASK_VOCAB_LIMIT`` (no 2^T allocation / int64 bit overflow).
+    Columns (tool_a, tool_b, n_both, n_a, n_b, n_convs, lift) for
+    co-occurring pairs, a < b."""
+    from ray.data.aggregate import Count as _Cnt
+
+    from pgd_ray.stages.basket import mask_overlap_counts
 
     pairs = (transcripts.select_columns(["conv_id", "tool"])
              .groupby(["conv_id", "tool"]).aggregate(_Cnt())
              .select_columns(["conv_id", "tool"]).materialize())
     tools = sorted(pairs.groupby("tool").aggregate(_Cnt())
                    .to_pandas()["tool"])
-    bit = {t: 1 << i for i, t in enumerate(tools)}
-
-    def to_bits(t: pa.Table) -> pa.Table:
-        tl = t["tool"].to_numpy(zero_copy_only=False)
-        return pa.table({"conv_id": t["conv_id"],
-                         "b": np.array([bit[x] for x in tl],
-                                       dtype=np.int64)})
-
-    masks = (pairs.map_batches(to_bits, batch_format="pyarrow")
-             .groupby("conv_id").aggregate(_Sum("b", alias_name="mask")))
-
-    def hist(t: pa.Table) -> pa.Table:
-        m = t["mask"].to_numpy(zero_copy_only=False)
-        c = np.bincount(m, minlength=1 << len(tools))
-        nz = np.flatnonzero(c)
-        return pa.table({"mask": nz.astype(np.int64),
-                         "cnt": c[nz].astype(np.int64)})
-
-    h = (masks.map_batches(hist, batch_format="pyarrow")
-         .groupby("mask").aggregate(_Sum("cnt", alias_name="cnt"))
-         .to_pandas())
-    mask_arr = h["mask"].to_numpy(np.int64)
-    cnt_arr = h["cnt"].to_numpy(np.int64)
-    n_convs = int(cnt_arr.sum())
+    pair_df, n_item, n_convs = mask_overlap_counts(
+        pairs, "conv_id", "tool", tools)
     rows = []
-    for i, ta in enumerate(tools):
-        for j in range(i + 1, len(tools)):
-            tb = tools[j]
-            both = int(cnt_arr[(mask_arr & (1 << i) > 0)
-                               & (mask_arr & (1 << j) > 0)].sum())
-            if both == 0:
-                continue
-            na = int(cnt_arr[mask_arr & (1 << i) > 0].sum())
-            nb = int(cnt_arr[mask_arr & (1 << j) > 0].sum())
-            lift = (both / n_convs) / ((na / n_convs) * (nb / n_convs))
-            rows.append((ta, tb, both, na, nb, n_convs, round(lift, 9)))
+    for ta, tb, both in pair_df.itertuples(index=False):
+        na, nb = n_item[ta], n_item[tb]
+        lift = (both / n_convs) / ((na / n_convs) * (nb / n_convs))
+        rows.append((ta, tb, int(both), na, nb, n_convs, round(lift, 9)))
     return pd.DataFrame(rows, columns=["tool_a", "tool_b", "n_both",
                                        "n_a", "n_b", "n_convs", "lift"])
 

@@ -1602,11 +1602,14 @@ def peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
             "t": np.concatenate([s, e + 1]).astype(np.int64),
             "dl": np.concatenate([np.ones(len(s), np.int64),
                                   -np.ones(len(e), np.int64)]),
-            # sort helpers: +1 rows before −1 rows at equal t; sid
-            # makes the total order unique so block summaries re-sort
-            # deterministically on the driver
-            "o": np.concatenate([np.zeros(len(s), np.int64),
-                                 np.ones(len(e), np.int64)]),
+            # sort helpers: −1 (exclusive end) rows BEFORE +1 rows at
+            # equal t — the standard convention for end events at
+            # end+1, else a session starting exactly at a prior
+            # session's end+1 is transiently double-counted and the
+            # peak overstated (ADVICE r3); sid makes the total order
+            # unique so block summaries re-sort deterministically
+            "o": np.concatenate([np.ones(len(s), np.int64),
+                                 np.zeros(len(e), np.int64)]),
             "sid": np.concatenate([sid, sid]),
         })
 

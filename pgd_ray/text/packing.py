@@ -67,10 +67,14 @@ def pack_assignments(
     def summary(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"min_doc": pa.array([], pa.int64()),
-                             "total": pa.array([], pa.int64())})
+                             "max_doc": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64()),
+                             "has_dup": pa.array([], pa.bool_())})
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         n = t["n_tokens"].to_numpy(zero_copy_only=False)
-        return pa.table({"min_doc": [int(d[0])], "total": [int(n.sum())]})
+        return pa.table({"min_doc": [int(d[0])], "max_doc": [int(d[-1])],
+                         "total": [int(n.sum())],
+                         "has_dup": [bool((d[1:] == d[:-1]).any())]})
 
     sm = srt.map_batches(
         summary, batch_format="pyarrow", batch_size=None
@@ -87,13 +91,16 @@ def pack_assignments(
     block_start = dict(
         zip(sm["min_doc"], np.concatenate(([0], np.cumsum(totals[:-1]))))
     )
-    # blocks are keyed by their min doc_id: a duplicated doc_id that
-    # straddles a block boundary would make two blocks share a key and
+    # blocks are keyed by their min doc_id, so duplicate doc_ids would
     # silently corrupt start_tok — enforce the unique-doc_id contract
-    if len(block_start) != len(sm):
+    # completely: sorted input makes duplicates adjacent, so they show
+    # up either inside one block (has_dup) or as non-strictly-
+    # increasing block boundaries (min_doc[i] <= max_doc[i-1]).
+    mins = sm["min_doc"].to_numpy()
+    maxs = sm["max_doc"].to_numpy()
+    if bool(sm["has_dup"].any()) or bool((mins[1:] <= maxs[:-1]).any()):
         raise ValueError(
-            "pack_assignments requires globally unique doc_ids "
-            "(duplicate ids straddle a sorted-block boundary)"
+            "pack_assignments requires globally unique doc_ids"
         )
 
     def assign(t: pa.Table, block_start=block_start) -> pa.Table:

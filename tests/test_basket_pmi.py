@@ -126,3 +126,37 @@ def test_type_user_jaccard_matches_pandas():
         e = expect[(r.type_a, r.type_b)]
         assert (r.n_both, r.n_a, r.n_b) == e[:3]
         assert abs(r.jaccard - round(e[3], 9)) < 1e-12
+
+
+def test_mask_overlap_counts_fallback_matches_mask_path():
+    """Regression (ADVICE r3): vocabularies past MASK_VOCAB_LIMIT must
+    not allocate 2^T histograms or overflow int64 bits — the pairwise
+    fallback must produce identical counts to the mask path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pgd_ray.stages.basket as bk
+
+    rng = np.random.default_rng(7)
+    items = [f"t{i:02d}" for i in range(40)]  # > MASK_VOCAB_LIMIT
+    keys, its = [], []
+    for k in range(60):
+        chosen = rng.choice(40, size=rng.integers(1, 8), replace=False)
+        for c in chosen:
+            keys.append(f"c{k}")
+            its.append(items[c])
+    pairs = rd.from_arrow(pa.table({"k": keys, "it": its}))
+    # fallback (vocab 40 > limit 32)
+    pf, nf, kf = bk.mask_overlap_counts(pairs, "k", "it", items)
+    # force the mask path on the same input by raising the limit
+    old = bk.MASK_VOCAB_LIMIT
+    bk.MASK_VOCAB_LIMIT = 64
+    try:
+        pm, nm, km = bk.mask_overlap_counts(pairs, "k", "it", items)
+    finally:
+        bk.MASK_VOCAB_LIMIT = old
+    assert kf == km and nf == nm
+    a = pf.sort_values(["item_a", "item_b"], ignore_index=True)
+    b = pm.sort_values(["item_a", "item_b"], ignore_index=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))

@@ -63,3 +63,38 @@ def test_slot_weights_rejects_uncovered_edges():
     csr = csr_from_edge_arrays(np.array([0, 1]), np.array([1, 2]), n=3)
     with pytest.raises(ValueError):
         slot_weights(csr, np.array([0]), np.array([1]), np.array([3]))
+
+
+def test_sssp_warns_on_exhausted_round_bound():
+    """Regression (ADVICE r3): a path graph longer than the round
+    bound must emit a RuntimeWarning instead of silently returning
+    overstated distances."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from pgd_ray.graph.csr import CSRGraph
+    from pgd_ray.graph.iterative import SSSP_INF, slot_weights, sssp_distances
+
+    # path 0-1-2-...-9 (hop diameter 9), unit weights
+    n = 10
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n)
+    indptr[1:] = np.cumsum(deg)
+    indices = np.zeros(indptr[-1], dtype=np.int64)
+    fill = indptr[:-1].copy()
+    for a, b in zip(src, dst):
+        indices[fill[a]] = b; fill[a] += 1
+        indices[fill[b]] = a; fill[b] += 1
+    csr = CSRGraph(n=n, m=n - 1, indptr=indptr, indices=indices)
+    w = slot_weights(csr, src, dst, np.ones(n - 1, dtype=np.int64))
+    with pytest.warns(RuntimeWarning, match="still relaxing"):
+        d = sssp_distances(csr, w, source=0, rounds=3, n_workers=2)
+    assert (d[4:] > 3).all()  # incomplete — sentinel or overstated
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning when converged
+        d2 = sssp_distances(csr, w, source=0, rounds=30, n_workers=2)
+    assert np.array_equal(d2, np.arange(n, dtype=np.int64))

@@ -542,3 +542,53 @@ def test_source_dup_rate_matches_pandas():
         assert int(out.loc[src, "n_docs"]) == len(g)
         assert int(out.loc[src, "n_distinct"]) == g["text"].nunique()
     assert out["dup_frac"].between(0, 1).all()
+
+
+def test_clean_corpus_ascii_token_contract_non_ascii_text():
+    """Regression (VERDICT r3 latent c): token_count must use re.ASCII
+    so \\w matches DuckDB's RE2 ASCII \\w byte-for-byte on non-ASCII
+    text — 'café über naïve' must count the accented letters as
+    punctuation-class, identically in engine and SQL."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.pipelines.clean_corpus import clean_corpus
+
+    texts = [
+        "café über naïve résumé — déjà vu søster",
+        "日本語のテキストです。トークン化はどうなる?",
+        "plain ascii words only here, twelve of them exactly now yes",
+        "mixed: caffè + latte = ☕ (2 shots), 100% arabica!",
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()), "text": texts}))
+    out = clean_corpus(docs, quality_min=0.0, lang="en")
+    got = dict(zip(out["doc_id"], out["token_count"]))
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            r"SELECT len(regexp_extract_all(?, '\w+|[^\w\s]'))", [t]
+        ).fetchone()[0]
+        if i in got:  # lang filter may drop non-en docs; check the kept
+            assert got[i] == want, (i, got[i], want)
+    # the pure-ascii english doc must survive and match
+    assert 2 in got
+
+
+def test_pack_assignments_rejects_duplicate_doc_ids():
+    """Regression (VERDICT r3 latent d): per-block offsets are keyed by
+    min doc_id, so duplicate doc_ids straddling a block boundary would
+    silently corrupt start_tok — the contract is an explicit error."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pgd_ray.text.packing import pack_assignments
+
+    ids = np.array([1, 2, 2, 3], dtype=np.int64)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ids, "text": ["a b", "c d", "e f", "g h"]}))
+    with pytest.raises(ValueError, match="unique"):
+        pack_assignments(docs.repartition(4), pack_len=8).to_pandas()

@@ -495,3 +495,35 @@ def test_lateness_profile_matches_brute():
     out = lateness_profile(SF)
     assert dict(zip(out["bucket"], out["n"])) == buckets
     assert abs(out["cum_frac"].iloc[-1] - 1.0) < 1e-9
+
+
+def test_peak_concurrency_exclusive_end_tie_order(tmp_path):
+    """Regression (ADVICE r3): a session starting exactly at a prior
+    session's end+1 µs must NOT be transiently counted together with
+    it — −1 deltas process before +1 at equal t.  Two users whose
+    sessions abut this way have true peak 1, not 2."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgd_ray.stages.windows import peak_concurrency
+
+    gap = 1_000_000  # 1 s session gap
+    # user 1: events at t=0 and t=10 µs → session [0, 10]
+    # user 2: single event at t=11 µs → session [11, 11] = end+1 of u1
+    ts = pd.to_datetime([0, 10, 11], unit="us")
+    df = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "event_type": ["a"] * 3,
+        "value": [0.0] * 3,
+        "props": ["{}"] * 3,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = peak_concurrency(str(tmp_path), gap_us=gap)
+    assert int(out["n_sessions"][0]) == 2
+    assert int(out["peak"][0]) == 1
+    assert int(out["peak_at_us"][0]) == 0
