@@ -107,13 +107,15 @@ def monthly_graph_stats(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
         return pa.table({"month": m[keep], "part_a": a[keep],
                          "part_b": b[keep]})
 
-    edges = (
-        j.map_batches(orient, batch_format="pyarrow")
-        .groupby(["month", "part_a", "part_b"])
-        .aggregate(Count(alias_name="n_ord"))
-        .select_columns(["month", "part_a", "part_b"])
-        .to_pandas()
-    )
+    # distinct on the sort path, not a hash aggregate: the
+    # (month, edge) key cardinality ≈ the row count, the regime where
+    # Ray's hash groupby measured ~60× slower (BASELINE.md)
+    from pgd_ray.stages.distinct import distinct_rows
+
+    edges = distinct_rows(
+        j.map_batches(orient, batch_format="pyarrow"),
+        ["month", "part_a", "part_b"],
+    ).to_pandas()
     if edges.empty:
         return pd.DataFrame({"month": pd.Series([], dtype=np.int64),
                              "n_vertices": pd.Series([], dtype=np.int64),
@@ -137,8 +139,11 @@ def monthly_edge_overlap(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     (a collapsing overlap means the co-occurrence structure is
     churning).
 
-    Scale shape: one distinct (month, edge) groupby → one sort by
-    (edge, month).  An edge contributes to pair (mᵢ, mᵢ₊₁) iff both
+    Scale shape: ONE sort by (edge, month) doing double duty —
+    position-keyed block dedup makes the rows distinct (the sort
+    path, per BASELINE.md's hash-aggregate finding) and the same
+    order feeds the adjacent-month pass directly (no second sort).
+    An edge contributes to pair (mᵢ, mᵢ₊₁) iff both
     months are present, and because mᵢ₊₁ is the globally NEXT observed
     month they are then adjacent in the edge's sorted month list — so
     per-block adjacent-row checks + the ≤ 2 boundary edges per block
@@ -188,20 +193,25 @@ def monthly_edge_overlap(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
         return pa.table({"month": m[keep], "part_a": a[keep],
                          "part_b": b[keep]})
 
-    e = (j.map_batches(orient, batch_format="pyarrow")
-         .groupby(["month", "part_a", "part_b"])
-         .aggregate(Count())
-         .select_columns(["month", "part_a", "part_b"])
-         .materialize())
+    # distinct (month, edge) on the SORT path (BASELINE.md's 638-s
+    # hash-aggregate finding): one global sort by (edge, month) —
+    # which is also exactly the order the adjacent-month pass below
+    # needs, so the old second sort disappears too — then
+    # position-keyed block dedup; block order (and thus sortedness)
+    # is preserved through the filter
+    from pgd_ray.stages.distinct import dedup_sorted_blocks
 
-    per_month = (e.groupby("month").aggregate(Count(alias_name="n"))
+    srt0 = (j.map_batches(orient, batch_format="pyarrow")
+            .sort(["part_a", "part_b", "month"]).materialize())
+    srt = dedup_sorted_blocks(
+        srt0, ["part_a", "part_b", "month"]).materialize()
+
+    per_month = (srt.groupby("month").aggregate(Count(alias_name="n"))
                  .to_pandas().sort_values("month", ignore_index=True))
     months = per_month["month"].to_numpy(np.int64)
     n_of = dict(zip(months, per_month["n"].astype(int)))
     nxt = {int(months[i]): int(months[i + 1])
            for i in range(len(months) - 1)}
-
-    srt = e.sort(["part_a", "part_b", "month"]).materialize()
 
     def adjacent(pa_arr, pb_arr, mo_arr) -> pd.DataFrame | None:
         if len(mo_arr) < 2:

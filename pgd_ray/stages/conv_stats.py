@@ -601,6 +601,16 @@ def conv_typicality(transcripts: ray.data.Dataset) -> pd.DataFrame:
     w = c.groupby("a")["n_trans"].sum()
     logp = {(a, b): float(np.log(n / w[a]))
             for a, b, n in zip(c["a"], c["b"], c["n_trans"])}
+    # dense log-prob matrix for the per-batch hot path: factorize
+    # tools to int ids once here (the vocabulary is O(#tools), tiny)
+    # so each batch indexes a numpy matrix instead of doing a Python
+    # dict lookup per consecutive-turn pair (VERDICT r3 item 5)
+    vocab = sorted({t for ab in logp for t in ab},
+                   key=lambda x: (x is None, str(x)))
+    tid = {t: i for i, t in enumerate(vocab)}
+    lpm = np.full((len(vocab), len(vocab)), np.nan, dtype=np.float64)
+    for (a, b), v in logp.items():
+        lpm[tid[a], tid[b]] = v
 
     srt = transcripts.select_columns(
         ["conv_id", "turn_idx", "tool"]
@@ -619,8 +629,12 @@ def conv_typicality(transcripts: ray.data.Dataset) -> pd.DataFrame:
         tool = t["tool"].to_numpy(zero_copy_only=False)
         tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         same = conv[1:] == conv[:-1]
-        lp = np.array([logp[(a, b)] for a, b in
-                       zip(tool[:-1][same], tool[1:][same])])
+        # tools outside the vocabulary (e.g. a single-turn conv's
+        # tool, never part of a transition) get id 0 — harmless, the
+        # `same` mask never selects those positions as a pair
+        ids = (pd.Series(tool).map(tid).fillna(0)
+               .to_numpy(np.int64))
+        lp = lpm[ids[:-1][same], ids[1:][same]]
         cv = conv[1:][same]
         kinds, convs, tidxs, tools, ss, ns = [], [], [], [], [], []
         if len(cv):
