@@ -134,6 +134,91 @@ def vertex_ids(ds: ray.data.Dataset) -> np.ndarray:
     return np.unique(np.concatenate(parts)).astype(np.int64)
 
 
+def vertex_id_map(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
+    """DISTRIBUTED dense-id assignment (the >1e9-vertex path the
+    broadcast ``vertex_ids`` can't serve — reference counterpart:
+    the id remap at graphlet_core.cpp:372-444).
+
+    Per-batch sorted-unique combiner → one global sort on ``v`` →
+    position-keyed block dedup (``dedup_sorted_blocks``) → per-block
+    dense ranks from O(#blocks) driver-held prefix offsets.  The
+    driver never pulls a row of the vertex table: block row counts
+    travel as scalars, rank assignment happens in one Ray task per
+    block.  Returns ``(vmap, n)`` where ``vmap`` has columns
+    ``(v, new_id)`` with ``new_id`` dense in sorted-``v`` order
+    (identical to ``np.searchsorted(vertex_ids(ds), v)``)."""
+    from pgd_ray.stages.distinct import dedup_sorted_blocks
+
+    def to_v(t: pa.Table) -> pa.Table:
+        vals = np.concatenate(
+            [
+                t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"v": np.unique(vals).astype(np.int64)})
+
+    srt = (ds.map_batches(to_v, batch_format="pyarrow")
+           .sort("v").materialize())
+    dd = dedup_sorted_blocks(srt, ["v"]).materialize()
+    refs = dd.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
+
+    @ray.remote
+    def _assign(t, off: int):
+        if t.num_rows == 0:  # zero-row sort blocks may be schema-less
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "new_id": pa.array([], pa.int64())})
+        return pa.table({
+            "v": pc.cast(t["v"], pa.int64()),
+            "new_id": np.arange(off, off + t.num_rows, dtype=np.int64),
+        })
+
+    out = [_assign.remote(r, int(o)) for r, o in zip(refs, offs[:-1])]
+    return ray.data.from_arrow_refs(out), int(offs[-1])
+
+
+def densify_distributed(
+    ds: ray.data.Dataset,
+    vmap: ray.data.Dataset,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Remap an edge Dataset through a DISTRIBUTED ``(v, new_id)``
+    map (``vertex_id_map``) with two hash joins — the shuffle-based
+    alternative to ``densify`` for id tables too large to broadcast.
+    The assignment is monotone in ``v``, so canonical ``src < dst``
+    orientation survives the remap (same invariant as ``densify``)."""
+
+    def keep_src(t: pa.Table) -> pa.Table:
+        return pa.table({"dst": t["dst"], "nsrc": t["new_id"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return _edge_table(t["nsrc"], t["new_id"])
+
+    # the join aggregator pool needs num_partitions × 0.25 CPUs *up
+    # front*: clamp partitions so the pool fits in at most half the
+    # cluster (at 4 CPUs an unclamped 32-partition join demands 8
+    # CPUs and hangs outright — observed), and materialize between
+    # the two joins so both pools are never alive at once — same
+    # discipline as graph/temporal.py
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    num_partitions = max(2, min(num_partitions, 2 * cpus))
+    j = ds.join(vmap, "inner", num_partitions,
+                on=("src",), right_on=("v",),
+                aggregator_ray_remote_args={"num_cpus": 0.25})
+    j = j.map_batches(keep_src, batch_format="pyarrow").materialize()
+    j = j.join(vmap, "inner", num_partitions,
+               on=("dst",), right_on=("v",),
+               aggregator_ray_remote_args={"num_cpus": 0.25})
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def densify(ds: ray.data.Dataset, vids: np.ndarray) -> ray.data.Dataset:
     """Remap raw vertex ids to dense [0, n) via the sorted id table.
 
@@ -172,16 +257,39 @@ def densify(ds: ray.data.Dataset, vids: np.ndarray) -> ray.data.Dataset:
 
 
 def normalize_edges(
-    ds: ray.data.Dataset, dense: bool = True
-) -> tuple[ray.data.Dataset, np.ndarray | None]:
+    ds: ray.data.Dataset,
+    dense: bool = True,
+    id_strategy: str = "broadcast",
+    num_partitions: int = 32,
+) -> tuple[ray.data.Dataset, np.ndarray | ray.data.Dataset | None]:
     """Full pipeline: canonicalize → dedup → (optional) dense relabel.
 
-    Returns ``(canonical_edge_ds, vids)`` where ``vids[new_id] = old_id``
-    (None when ``dense=False``).  The returned Dataset has one row per
-    undirected edge with ``src < dst`` in dense id space.
+    ``id_strategy='broadcast'`` (default): returns ``(edge_ds, vids)``
+    with ``vids`` a driver numpy array, ``vids[new_id] = old_id`` —
+    right whenever the id table fits one node (it is the same O(n)
+    array the caller holds for CSR anyway).
+
+    ``id_strategy='distributed'``: the >1e9-vertex path — dense ids
+    assigned by ``vertex_id_map`` (sort + position-keyed block dedup +
+    O(#blocks) driver offsets) and applied by two hash joins
+    (``densify_distributed``); returns ``(edge_ds, vmap)`` where
+    ``vmap`` is the ``(v, new_id)`` DATASET.  The driver never holds a
+    row of either table.  Both strategies produce identical edges
+    (dense rank in sorted-id order).
+
+    The returned Dataset has one row per undirected edge with
+    ``src < dst`` in dense id space (None id table if ``dense=False``).
     """
     ds = dedup_edges(canonicalize(ds))
     if not dense:
         return ds, None
+    if id_strategy == "distributed":
+        # materialize the deduped edges: they are consumed twice (id
+        # scan + remap joins), and leaving the dedup groupby lazy puts
+        # its aggregator pool inside the join pipeline — two actor
+        # pools contending is a deadlock on small CPU budgets
+        ds = ds.materialize()
+        vmap, _n = vertex_id_map(ds)
+        return densify_distributed(ds, vmap, num_partitions), vmap
     vids = vertex_ids(ds)
     return densify(ds, vids), vids

@@ -68,15 +68,21 @@ def dedup_sorted_blocks(
                 tuple(t[c][t.num_rows - 1].as_py() for c in cols))
 
     sums = ray.get([_bounds.remote(r) for r in refs])
-    drop = []
+    # drop empty blocks outright: zero-row sort outputs can carry a
+    # schema-less table, and unioning those with typed blocks trips
+    # Ray's schema unification downstream
+    keep_refs, drop = [], []
     prev_last = None
-    for s in sums:
+    for r, s in zip(refs, sums):
         if s is None:
-            drop.append(False)
             continue
         first, last = s
+        keep_refs.append(r)
         drop.append(prev_last is not None and first == prev_last)
         prev_last = last
+    if not keep_refs:
+        return srt
+    refs = keep_refs
 
     @ray.remote
     def _dedup(t, drop_first: bool):
