@@ -481,12 +481,40 @@ def ngram_jaccard_pairs(
     groups via minhash_neardup instead."""
     rows = num_perm // bands
     assert rows >= 1
-    pairs = candidate_pairs_minhash(
+    pairs = ngram_jaccard_pairs_ds(
+        docs, k=k, threshold=threshold, num_perm=num_perm, bands=bands,
+        pair_cap=pair_cap,
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    return pairs.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def ngram_jaccard_pairs_ds(
+    docs: ray.data.Dataset,
+    k: int = 5,
+    threshold: float = 0.45,
+    num_perm: int = 128,
+    bands: int = 64,
+    pair_cap: int | None = None,
+) -> ray.data.Dataset:
+    """Dataset-out spine of ``ngram_jaccard_pairs``: the verified-pair
+    Dataset from ``candidate_pairs_minhash_ds`` with jaccard rounded
+    to 6 — the form to compose into further stages (grouping, sinks)
+    without the pairs ever visiting the driver."""
+
+    def rd6(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_b"],
+            "jaccard": np.round(
+                t["jaccard"].to_numpy(zero_copy_only=False), 6),
+        })
+
+    return candidate_pairs_minhash_ds(
         docs, num_perm=num_perm, bands=bands, k=k,
         threshold=threshold, pair_cap=pair_cap,
-    )
-    pairs["jaccard"] = np.round(pairs["jaccard"].to_numpy(), 6)
-    return pairs.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    ).map_batches(rd6, batch_format="pyarrow", batch_size=1 << 16)
 
 
 _COSV_CACHE: dict = {}
@@ -810,41 +838,64 @@ def embedding_neardup(
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
-def containment_pairs(
+def containment_pairs_ds(
     docs: ray.data.Dataset,
     j_threshold: float = 0.45,
     k: int = 5,
     num_perm: int = 128,
     bands: int = 64,
-) -> pd.DataFrame:
-    """Broder CONTAINMENT annotation on near-dup pairs: for every
-    pair with exact shingle Jaccard ≥ ``j_threshold`` (complete-recall
-    LSH parameterization, the ngram_jaccard contract), the asymmetric
-    containments C(a→b) = |A∩B|/|A| and C(b→a) = |A∩B|/|B| — the
-    subset-style-duplicate signal symmetric Jaccard hides (a doc
-    quoted whole inside a bigger one).  Stated recall bound: pairs
-    with high containment but Jaccard < j_threshold are NOT surfaced
-    (containment search proper needs a different index).
+) -> ray.data.Dataset:
+    """Broder CONTAINMENT annotation on near-dup pairs, DATASET OUT:
+    for every pair with exact shingle Jaccard ≥ ``j_threshold``
+    (complete-recall LSH parameterization, the ngram_jaccard
+    contract), the asymmetric containments C(a→b) = |A∩B|/|A| and
+    C(b→a) = |A∩B|/|B| — the subset-style-duplicate signal symmetric
+    Jaccard hides (a doc quoted whole inside a bigger one).  Stated
+    recall bound: pairs with high containment but Jaccard <
+    j_threshold are NOT surfaced (containment search proper needs a
+    different index).
 
-    The intersection size is recovered exactly from the verified
-    Jaccard and the per-doc distinct-shingle counts
+    Scale shape (round 4 — the pairs never touch the driver): the
+    verified-pair Dataset from ``candidate_pairs_minhash_ds`` is the
+    spine; the driver holds only the PARTICIPANT doc ids and their
+    distinct-shingle counts (∝ docs with ≥ 1 verified pair — the same
+    participant bound minhash_lsh_dedup's CC accepts), broadcast once
+    with ``ray.put`` and applied to the pair stream with searchsorted
+    inside ``map_batches``.  The intersection size is recovered
+    exactly from the verified Jaccard and the two sizes
     (i = round(J·(|A|+|B|)/(1+J)) — exact integer algebra through
-    float64), so no second verify pass touches the shingle sets;
-    sizes come from one streamed pass, collected for PAIR PARTICIPANTS
-    only.  Columns (doc_a, doc_b, jaccard, cont_a, cont_b) round 6."""
-    pairs = candidate_pairs_minhash(
+    float64), so no second verify pass touches shingle sets.
+    Columns (doc_a, doc_b, jaccard, cont_a, cont_b) round 6."""
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+        "cont_a": pa.array([], pa.float64()),
+        "cont_b": pa.array([], pa.float64())}))
+    vp = candidate_pairs_minhash_ds(
         docs, num_perm=num_perm, bands=bands, k=k,
         threshold=j_threshold, pair_cap=None,
-    )
-    if pairs.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard",
-                                     "cont_a", "cont_b"])
-    cand = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
-                                     pairs["doc_b"].to_numpy()]))
+    ).materialize()
+    if vp.count() == 0:
+        return empty
 
-    def sizes(t: pa.Table) -> pa.Table:
+    # participant ids: streamed union of per-batch uniques — driver
+    # state ∝ participants, never ∝ pairs
+    cand = np.unique(np.concatenate([
+        np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
+                        b["doc_b"].to_numpy(zero_copy_only=False)])
+        for b in vp.iter_batches(batch_size=1 << 18,
+                                 batch_format="pyarrow")
+        if b.num_rows
+    ]))
+    cand_ref = ray.put(cand)
+
+    def sizes(t: pa.Table, cand_ref=cand_ref) -> pa.Table:
+        from pgd_ray.graph.cache import get_cached
+
+        cd = get_cached(cand_ref)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        keep = np.isin(doc, cand)
+        keep = np.isin(doc, cd)
         if not keep.any():
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_sh": pa.array([], pa.int64())})
@@ -861,19 +912,44 @@ def containment_pairs(
 
     sz = (docs.select_columns(["doc_id", "text"])
           .map_batches(sizes, batch_format="pyarrow", batch_size=2048)
-          .to_pandas())
-    smap = dict(zip(sz["doc_id"].astype(int), sz["n_sh"].astype(int)))
-    ja = pairs["jaccard"].to_numpy(np.float64)
-    A = np.array([smap[int(d)] for d in pairs["doc_a"]], dtype=np.int64)
-    B = np.array([smap[int(d)] for d in pairs["doc_b"]], dtype=np.int64)
-    inter = np.rint(ja * (A + B) / (1.0 + ja)).astype(np.int64)
-    return pd.DataFrame({
-        "doc_a": pairs["doc_a"].astype(np.int64),
-        "doc_b": pairs["doc_b"].astype(np.int64),
-        "jaccard": np.round(ja, 6),
-        "cont_a": np.round(inter / A, 6),
-        "cont_b": np.round(inter / B, 6),
-    }).sort_values(["doc_a", "doc_b"], ignore_index=True)
+          .to_pandas())  # ∝ participants, same bound as `cand`
+    order = np.argsort(sz["doc_id"].to_numpy(np.int64))
+    size_ref = ray.put((sz["doc_id"].to_numpy(np.int64)[order],
+                        sz["n_sh"].to_numpy(np.int64)[order]))
+
+    def decorate(t: pa.Table, size_ref=size_ref) -> pa.Table:
+        from pgd_ray.graph.cache import get_cached
+
+        sids, scnt = get_cached(size_ref)
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        ja = t["jaccard"].to_numpy(zero_copy_only=False)
+        A = scnt[np.searchsorted(sids, a)].astype(np.float64)
+        B = scnt[np.searchsorted(sids, b)].astype(np.float64)
+        inter = np.rint(ja * (A + B) / (1.0 + ja))
+        return pa.table({
+            "doc_a": a.astype(np.int64),
+            "doc_b": b.astype(np.int64),
+            "jaccard": np.round(ja, 6),
+            "cont_a": np.round(inter / A, 6),
+            "cont_b": np.round(inter / B, 6),
+        })
+
+    return vp.map_batches(decorate, batch_format="pyarrow",
+                          batch_size=1 << 16)
+
+
+def containment_pairs(
+    docs: ray.data.Dataset, **kw
+) -> pd.DataFrame:
+    """DataFrame convenience over ``containment_pairs_ds`` (the
+    Dataset-out implementation) for oracle comparison; downstream
+    state ∝ the verified-pair count."""
+    out = containment_pairs_ds(docs, **kw).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard",
+                                     "cont_a", "cont_b"])
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
 def source_dup_rate(docs: ray.data.Dataset) -> pd.DataFrame:
