@@ -45,8 +45,15 @@ def main(argv=None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", num_cpus=args.workers, include_dashboard=False,
-                 logging_level="ERROR")
+        # honor RAY_ADDRESS so the same command attaches to a running
+        # cluster head (the `ray job submit` posture) or starts a
+        # local session; num_cpus is only legal when starting locally
+        import os
+
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {"num_cpus": args.workers} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False,
+                 logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
