@@ -1040,9 +1040,116 @@ def _round3g_ops(dense, csr, vids, nw: int) -> dict:
 
 
 
+def run_frag_adversarial() -> dict:
+    """Adversarial 2-hop-fanout probe for the fragment kernel's LRU
+    (VERDICT r3 item 8): a hub-heavy graph where every hub gather
+    fans across most vertex ranges — the demand-paging worst case.
+
+    Measures (a) distributed macro wall, broadcast CSR vs fragment
+    path at the default 2 GiB cache, counts asserted EQUAL; (b) the
+    true per-worker paging profile by replaying the kernel's access
+    pattern through one FragmentAdjacency at an unconstrained cache
+    and at a thrash-sized cache (1/8 of the fragment bytes), reporting
+    hit rate, bytes re-loaded and wall.  One JSON line."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _quiet_worker_logging})
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.graph.block_csr import build_range_csr
+    from pgd_ray.graph.frag_kernel import FragGraphletKernel, FragmentAdjacency
+    from pgd_ray.graph.graphlets import graphlet_macro
+    from pgd_ray.graph.normalize import normalize_edges
+
+    out: dict = {"metric": "frag_adversarial", "num_cpus": NUM_CPUS}
+    out["calibration"] = _window_calibration()
+
+    # hub-heavy graph: 16 hubs × 25k spokes + uniform background noise;
+    # a hub's neighbor list spans every vertex range, so each 2-hop
+    # expansion through a hub touches ~all fragments
+    rng = np.random.default_rng(4)
+    n_raw, hubs = 60_000, 12
+    hs = np.repeat(np.arange(hubs, dtype=np.int64), 6_000)
+    ht = rng.integers(hubs, n_raw, hs.size)
+    bs = rng.integers(0, n_raw, 150_000)
+    bt = rng.integers(0, n_raw, 150_000)
+    raw = rd.from_arrow(pa.table({
+        "src": np.concatenate([hs, bs]).astype(np.int64),
+        "dst": np.concatenate([ht, bt]).astype(np.int64),
+    })).repartition(64)
+    eds, vids = normalize_edges(raw, dense=True)
+    eds = eds.materialize()
+    nv = len(vids)
+    with tempfile.TemporaryDirectory() as td:
+        rcsr, _ = build_range_csr(eds, n=nv, num_ranges=64, out_dir=td)
+        out["graph"] = {"n": nv, "m": int(rcsr.m), "ranges": 64,
+                        "hubs": hubs, "hub_degree": 6_000}
+
+        t0 = time.perf_counter()
+        mac_b = graphlet_macro(eds, rcsr.to_csr())
+        out["broadcast_macro_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        mac_f = graphlet_macro(eds, rcsr)
+        out["frag_macro_sec"] = round(time.perf_counter() - t0, 2)
+        keys = ["total_3_tris", "total_4_clique", "total_4_cycle",
+                "total_4_tailed_tris", "total_4_chordcycle"]
+        assert all(mac_b[k] == mac_f[k] for k in keys), "count mismatch"
+        out["counts_equal"] = True
+        out["tris"] = int(mac_b["total_3_tris"])
+
+        # paging profile: replay the kernel access pattern through ONE
+        # FragmentAdjacency (what each map worker sees on its share)
+        refs = rcsr.fragment_refs()
+        frag_bytes = 0
+        for r in refs.values():
+            p, ix = ray.get(r)
+            frag_bytes += p.nbytes + ix.nbytes
+        out["fragment_bytes_total"] = int(frag_bytes)
+        # replay a SAMPLE of batches: the paging profile converges in
+        # a few dozen batches, the full single-threaded pass does not
+        # add information (the distributed walls above cover totals)
+        blocks = []
+        for b in eds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            if b.num_rows:
+                blocks.append(b)
+            if len(blocks) >= 24:
+                break
+
+        def replay(cache_bytes: int) -> dict:
+            adj = FragmentAdjacency(rcsr.bounds, refs, nv,
+                                    cache_bytes=cache_bytes)
+            kern = FragGraphletKernel(adj, mode="macro")
+            t0 = time.perf_counter()
+            for b in blocks:
+                kern(b)
+            sec = time.perf_counter() - t0
+            st = adj.stats()
+            st["sec"] = round(sec, 2)
+            st["reload_factor"] = round(st["bytes_loaded"] / frag_bytes, 2)
+            return st
+
+        out["paging_unbounded"] = replay(2 << 30)
+        out["paging_thrash_eighth"] = replay(max(1, frag_bytes // 8))
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--frag-adversarial" in sys.argv:
+        print(json.dumps(run_frag_adversarial()))
     else:
         print(json.dumps(run_bench()))
 

@@ -63,12 +63,27 @@ class FragmentAdjacency:
         self.cache_bytes = int(cache_bytes)
         self._cache: OrderedDict = OrderedDict()
         self._bytes = 0
+        # paging telemetry: hits/misses are FRAGMENT-GROUP touches
+        # (one per contiguous rid run in a gather), bytes_loaded the
+        # cumulative decode/attach volume — cheap, read via stats()
+        self.hits = 0
+        self.misses = 0
+        self.bytes_loaded = 0
+
+    def stats(self) -> dict:
+        t = self.hits + self.misses
+        return {"hits": self.hits, "misses": self.misses,
+                "hit_rate": round(self.hits / t, 4) if t else 1.0,
+                "bytes_loaded": self.bytes_loaded,
+                "bytes_cached": self._bytes}
 
     def _frag(self, rid: int):
         ent = self._cache.get(rid)
         if ent is not None:
+            self.hits += 1
             self._cache.move_to_end(rid)
             return ent
+        self.misses += 1
         v_lo, v_hi = int(self.bounds[rid]), int(self.bounds[rid + 1])
         ref = self.refs.get(rid)
         if ref is None:
@@ -81,6 +96,7 @@ class FragmentAdjacency:
 
             _, _, ptr, idxv = _read_fragment(ref)
         nbytes = ptr.nbytes + idxv.nbytes
+        self.bytes_loaded += nbytes
         while self._cache and self._bytes + nbytes > self.cache_bytes:
             _, (optr, oidx, _) = self._cache.popitem(last=False)
             self._bytes -= optr.nbytes + oidx.nbytes

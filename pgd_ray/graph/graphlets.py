@@ -709,14 +709,20 @@ def _fragment_stage(rcsr, mode: str, tailed_mode: str = "zero",
     return fn
 
 
-def _stage_for(graph, mode: str, tailed_mode: str = "zero"):
+def _stage_for(graph, mode: str, tailed_mode: str = "zero",
+               cache_bytes: int | None = None):
     """Kernel-stage dispatch: a ``CSRGraph`` uses the broadcast kernels
     (fastest while the assembled adjacency fits a node); a ``RangeCSR``
     manifest uses the fragment-backed kernels (no whole-graph arrays
-    anywhere).  Both produce identical counts."""
+    anywhere).  Both produce identical counts.  ``cache_bytes`` bounds
+    the fragment path's per-worker LRU (ignored by the broadcast
+    kernels)."""
     if isinstance(graph, CSRGraph):
         return _kernel_stage(graph, mode, tailed_mode)
-    return _fragment_stage(graph, mode, tailed_mode)
+    if cache_bytes is None:
+        return _fragment_stage(graph, mode, tailed_mode)
+    return _fragment_stage(graph, mode, tailed_mode,
+                           cache_bytes=cache_bytes)
 
 
 @ray.remote
@@ -761,6 +767,7 @@ def graphlet_macro(
     csr: CSRGraph,
     batch_size: int = 4096,
     concurrency=(1, 32),
+    cache_bytes: int | None = None,
 ) -> MacroCounts:
     """Macro decomposition: stream canonical edges through the kernel
     stage, combine per-batch partials in Python ints on the driver,
@@ -797,7 +804,8 @@ def graphlet_macro(
             if b > a
         ]
     partials = canonical_ds.map_batches(
-        _stage_for(csr, "macro_nocyc" if dense_fast else "macro"),
+        _stage_for(csr, "macro_nocyc" if dense_fast else "macro",
+                   cache_bytes=cache_bytes),
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
