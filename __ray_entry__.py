@@ -2803,18 +2803,18 @@ def _q_macro_approx_tool_graph(sf_dir):
 
 
 def _q_media_decode(sf_dir):
-    """Real image-decode round-trip: documents → real payloads (even
-    doc_ids 24-bit BMP, odd doc_ids 8-bit PNG — both pure-numpy
-    codecs, stages/codecs.py) with dims derived from strlen(text) →
-    actor-pool decode → dims.  The closed-form dims make this
-    SQL-oracle-checkable for BOTH formats (see
-    oracle_sql()['media_decode'])."""
+    """Real image-decode round-trip: documents → real payloads
+    (doc_id % 3 cycles 24-bit BMP / 8-bit PNG / baseline JPEG — all
+    three pure-numpy codecs, stages/codecs.py) with dims derived from
+    strlen(text) → actor-pool decode → dims.  JPEG is lossy but its
+    SOF dims are exact, so the closed-form dims oracle holds for all
+    THREE formats (see oracle_sql()['media_decode'])."""
     import ray.data
 
     from pgd_ray.stages.multimodal import decode_images, media_from_documents
 
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    media = media_from_documents(docs, payload_format="mixed")
+    media = media_from_documents(docs, payload_format="mixed3")
     return decode_images(media).select_columns(["media_id", "width", "height"])
 
 
@@ -7361,11 +7361,12 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
       (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.45""",
-        # media_decode: the Ray side builds REAL payloads (BMP for even
-        # doc_ids, zlib-compressed PNG for odd) whose dims are a pure
+        # media_decode: the Ray side builds REAL payloads (doc_id % 3
+        # cycles BMP / zlib PNG / baseline JPEG) whose dims are a pure
         # function of the text's utf-8 byte length, then decodes them
         # with the numpy codecs; the oracle re-derives the dims
-        # arithmetically (round-trip check on both real paths).
+        # arithmetically (round-trip check on all three real paths —
+        # JPEG pixels are lossy, its SOF dims are exact).
         "media_decode": """
 SELECT doc_id AS media_id,
        CAST(strlen(coalesce(text, '')) % 47 + 4 AS INTEGER) AS width,

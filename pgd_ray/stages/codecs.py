@@ -248,21 +248,500 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU T.81), pure numpy (round 4).
+# The DECODER takes its Huffman/quant tables from the stream's own
+# DHT/DQT segments, so it reads real-world baseline files (including
+# Annex-K-table encoders); grayscale and up-to-2×2 subsampled YCbCr
+# (4:4:4 / 4:2:2 / 4:2:0), restart markers included.  Progressive
+# (SOF2) and arithmetic coding raise NotImplementedError honestly.
+# The ENCODER (the test/writer side) emits 4:4:4 or grayscale with
+# canonical per-image Huffman tables built from the actual symbol
+# stream — valid JPEG without relying on memorized spec tables.
+# --------------------------------------------------------------------
+
+def _zigzag_order() -> np.ndarray:
+    """8×8 zigzag scan order, generated (not transcribed)."""
+    idx = np.empty(64, dtype=np.int64)
+    k = 0
+    for s in range(15):
+        rng = range(s + 1)
+        for i in (rng if s % 2 else reversed(rng)):
+            r, c = i, s - i
+            if r < 8 and c < 8:
+                idx[k] = r * 8 + c
+                k += 1
+    return idx
+
+
+_ZZ = _zigzag_order()
+_IDCT_A = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _IDCT_A
+    if _IDCT_A is None:
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        A[0] /= np.sqrt(2.0)
+        _IDCT_A = A
+    return _IDCT_A
+
+
+_JPEG_QL = np.array([  # luminance base quant (written to DQT; any
+    16, 11, 10, 16, 24, 40, 51, 61,      # valid table round-trips)
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.d[self.pos] if self.pos < len(self.d) else 0
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            # restart markers are handled OUTSIDE via align()
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        self.nbits = 0
+        self.acc = 0
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from per-symbol code lengths, canonical
+    (JPEG DHT) order: by length then symbol value."""
+    code, last_len = 0, 0
+    out = {}
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= (ln - last_len)
+        out[sym] = (code, ln)
+        code += 1
+        last_len = ln
+    return out
+
+
+def _build_table(symbols: list[int]) -> tuple[bytes, bytes, dict]:
+    """Uniform-length canonical Huffman table over the distinct symbols
+    actually used (valid as long as count ≤ 2^L − 1, reserving the
+    all-ones code).  Returns (BITS[16], HUFFVAL, symbol→(code,len))."""
+    uniq = sorted(set(symbols)) or [0]
+    L = 1
+    while (1 << L) - 1 < len(uniq):
+        L += 1
+    bits = bytearray(16)
+    bits[L - 1] = len(uniq)
+    lengths = {s: L for s in uniq}
+    return bytes(bits), bytes(uniq), _canonical_codes(lengths)
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _block_symbols(coef_zz: np.ndarray, dc_pred: int):
+    """(dc_symbol, dc_bits, [(ac_symbol, ac_bits, size), ...], new_pred)
+    for one zigzagged quantized block."""
+    dc = int(coef_zz[0])
+    diff = dc - dc_pred
+    s = _cat(diff)
+    dcb = diff if diff >= 0 else diff + (1 << s) - 1
+    acs = []
+    run = 0
+    nz = np.flatnonzero(coef_zz[1:])
+    lastnz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, lastnz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            if run == 16:
+                acs.append((0xF0, 0, 0))  # ZRL
+                run = 0
+            continue
+        sz = _cat(v)
+        vb = v if v >= 0 else v + (1 << sz) - 1
+        acs.append(((run << 4) | sz, vb, sz))
+        run = 0
+    if lastnz < 63:
+        acs.append((0x00, 0, 0))  # EOB
+    return (s, dcb), acs, dc
+
+
+def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 85,
+                         subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) grayscale → baseline JFIF bytes
+    with per-image canonical Huffman tables.  ``subsampling``:
+    '444' (1×1 chroma) or '420' (2×2 luma MCU, box-averaged chroma)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_l = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qt_c = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        ncomp = 1
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ncomp = 3
+        if subsampling == "420":
+            # pad to even, box-average 2×2 for chroma
+            he, we = h + (h & 1), w + (w & 1)
+            pads = []
+            for pl in (y, cb, cr):
+                pp = np.empty((he, we), np.float64)
+                pp[:h, :w] = pl
+                pp[h:, :w] = pl[h - 1 :, :]
+                pp[:, w:] = pp[:, w - 1 : w]
+                pads.append(pp)
+            y = pads[0][:h, :w]
+            cb = 0.25 * (pads[1][0::2, 0::2] + pads[1][1::2, 0::2]
+                         + pads[1][0::2, 1::2] + pads[1][1::2, 1::2])
+            cr = 0.25 * (pads[2][0::2, 0::2] + pads[2][1::2, 0::2]
+                         + pads[2][0::2, 1::2] + pads[2][1::2, 1::2])
+            planes = [y, cb, cr]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+        else:
+            raise ValueError(f"subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    A = _dct_matrix()
+    qts = [qt_l, qt_c]
+    # pad each plane to its MCU grid
+    padded = []
+    for pl, (hf, vf) in zip(planes, samp):
+        ph, pw = mcuy * vf * 8, mcux * hf * 8
+        pp = np.empty((ph, pw), np.float64)
+        sh, sw = pl.shape
+        pp[:sh, :sw] = pl
+        if ph > sh:
+            pp[sh:, :sw] = pl[sh - 1 :, :]
+        if pw > sw:
+            pp[:, sw:] = pp[:, sw - 1 : sw]
+        padded.append(pp)
+
+    def zz_block(pl: np.ndarray, by: int, bx: int, tid: int) -> np.ndarray:
+        blk = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        F = A @ blk @ A.T
+        # zigzag coefficient k sits at natural position _ZZ[k], so its
+        # divisor is the natural-order table at _ZZ
+        return np.rint(F.flatten()[_ZZ]
+                       / qts[tid][_ZZ].astype(np.float64)).astype(np.int64)
+
+    # interleaved MCU scan order, symbols per (dc/ac, luma/chroma) class
+    dc_syms: list[list[int]] = [[], []]
+    ac_syms: list[list[int]] = [[], []]
+    preds = [0] * ncomp
+    enc_plan = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ncomp):
+                hf, vf = samp[c]
+                tid = min(c, 1)
+                for byy in range(vf):
+                    for bxx in range(hf):
+                        zz = zz_block(padded[c], my * vf + byy,
+                                      mx * hf + bxx, tid)
+                        (s, dcb), acs, preds[c] = _block_symbols(
+                            zz, preds[c])
+                        dc_syms[tid].append(s)
+                        ac_syms[tid].extend(a[0] for a in acs)
+                        enc_plan.append((tid, s, dcb, acs))
+    ntab = 1 if ncomp == 1 else 2
+    dct_tabs = [_build_table(dc_syms[t]) for t in range(ntab)]
+    act_tabs = [_build_table(ac_syms[t]) for t in range(ntab)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(qt_l[_ZZ][i]) for i in range(64)))
+    if ncomp == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(int(qt_c[_ZZ][i])
+                                           for i in range(64)))
+    comp_spec = b"".join(
+        struct.pack("BBB", c + 1, (samp[c][0] << 4) | samp[c][1],
+                    min(c, 1))
+        for c in range(ncomp))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    for t in range(ntab):
+        out += seg(0xFFC4, bytes([t]) + dct_tabs[t][0] + dct_tabs[t][1])
+        out += seg(0xFFC4, bytes([0x10 | t]) + act_tabs[t][0]
+                   + act_tabs[t][1])
+    out += seg(0xFFDA, bytes([ncomp]) + b"".join(
+        struct.pack("BB", c + 1, (min(c, 1) << 4) | min(c, 1))
+        for c in range(ncomp)) + b"\x00\x3f\x00")
+    bwr = _BitWriter()
+    for tid, s, dcb, acs in enc_plan:
+        code, ln = dct_tabs[tid][2][s]
+        bwr.put(code, ln)
+        if s:
+            bwr.put(dcb, s)
+        for sym, vb, sz in acs:
+            code, ln = act_tabs[tid][2][sym]
+            bwr.put(code, ln)
+            if sz:
+                bwr.put(vb, sz)
+    bwr.flush()
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JFIF → (h, w, 3) uint8 RGB.  Huffman and
+    quant tables come from the stream (DHT/DQT); grayscale and
+    sampling factors up to 2×2 supported; DRI restart markers handled;
+    SOF2 (progressive) raises NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = []  # (id, hf, vf, qid)
+    h = w = None
+    restart = 0
+    scan = None
+    scan_spec = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq == 0:
+                    tab = np.frombuffer(body[b + 1 : b + 65],
+                                        np.uint8).astype(np.int64)
+                    b += 65
+                else:
+                    tab = np.frombuffer(body[b + 1 : b + 129],
+                                        ">u2").astype(np.int64)
+                    b += 129
+                dz = np.empty(64, np.int64)
+                dz[_ZZ] = tab
+                qt[tq] = dz
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = body[b + 1 : b + 17]
+                nsym = sum(bits)
+                vals = body[b + 17 : b + 17 + nsym]
+                lengths = {}
+                vi = 0
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        lengths[vals[vi]] = L
+                        vi += 1
+                codes = _canonical_codes(
+                    {s: ln2 for s, ln2 in lengths.items()})
+                # decode map: (length, code) -> symbol
+                huff[(tc, th)] = {(ln2, c): s
+                                  for s, (c, ln2) in codes.items()}
+                b += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:
+            _, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = [(body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                      body[7 + 3 * i] & 0xF, body[8 + 3 * i])
+                     for i in range(nc)]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} not supported (baseline "
+                "sequential only)")
+        elif marker == 0xDD:
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_spec = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
+                                           body[2 + 2 * i] & 0xF)
+                         for i in range(ns)}
+            scan = payload[pos + 2 + ln :]
+            break
+        pos += 2 + ln
+    if h is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mw, mh = 8 * hmax, 8 * vmax
+    mcux, mcuy = -(-w // mw), -(-h // mh)
+    A = _dct_matrix()
+    planes = {}
+    for cid, hf, vf, qid in comps:
+        planes[cid] = np.zeros((mcuy * vf * 8, mcux * hf * 8), np.float64)
+    rdr = _BitReader(scan)
+    preds = {c[0]: 0 for c in comps}
+
+    def read_sym(table: dict) -> int:
+        code, ln2 = 0, 0
+        for _ in range(16):
+            code = (code << 1) | rdr.bit()
+            ln2 += 1
+            s = table.get((ln2, code))
+            if s is not None:
+                return s
+        raise ValueError("bad Huffman code")
+
+    def extend(v: int, sz: int) -> int:
+        return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                rdr.align()
+                # skip the RSTn marker bytes
+                while rdr.pos + 1 < len(rdr.d) and not (
+                        rdr.d[rdr.pos] == 0xFF
+                        and 0xD0 <= rdr.d[rdr.pos + 1] <= 0xD7):
+                    rdr.pos += 1
+                rdr.pos += 2
+                for k in preds:
+                    preds[k] = 0
+            mcu_i += 1
+            for cid, hf, vf, qid in comps:
+                td, ta = scan_spec[cid]
+                for byy in range(vf):
+                    for bxx in range(hf):
+                        zz = np.zeros(64, np.int64)
+                        s = read_sym(huff[(0, td)])
+                        diff = extend(rdr.bits(s), s) if s else 0
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = read_sym(huff[(1, ta)])
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = extend(rdr.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZZ] = zz * qt[qid][_ZZ]
+                        blk = A.T @ coef.reshape(8, 8) @ A + 128.0
+                        py = (my * vf + byy) * 8
+                        px = (mx * hf + bxx) * 8
+                        planes[cid][py : py + 8, px : px + 8] = blk
+    # upsample to full resolution and convert
+    full = []
+    for cid, hf, vf, qid in comps:
+        pl = planes[cid]
+        pl = np.repeat(np.repeat(pl, vmax // vf, axis=0),
+                       hmax // hf, axis=1)
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        yv = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(yv[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from BMP/PPM/PNG; codec formats that truly
-    need an external library (JPEG) raise."""
+    """(h, w, 3) uint8 RGB from BMP/PPM/PNG/baseline JPEG."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no codec for image magic {payload[:4]!r} in this environment "
-        "(BMP, P6 PPM and 8-bit PNG decode natively)"
+        "(BMP, P6 PPM, 8-bit PNG and baseline JPEG decode natively)"
     )
 
 

@@ -49,8 +49,10 @@ def media_from_documents(
 
     def fn(b: pa.Table) -> pa.Table:
         text = b["text"].to_pylist()
-        if payload_format in ("bmp", "png", "mixed"):
-            from pgd_ray.stages.codecs import encode_bmp, encode_png
+        if payload_format in ("bmp", "png", "jpeg", "mixed", "mixed3"):
+            from pgd_ray.stages.codecs import (encode_bmp,
+                                               encode_jpeg_baseline,
+                                               encode_png)
 
             ids = b["doc_id"].to_pylist()
             payloads = []
@@ -60,10 +62,23 @@ def media_from_documents(
                 px = ((np.arange(h * w * 3, dtype=np.int64) + L) % 256).astype(
                     np.uint8
                 ).reshape(h, w, 3)
-                use_png = payload_format == "png" or (
-                    payload_format == "mixed" and i % 2 == 1
-                )
-                payloads.append(encode_png(px) if use_png else encode_bmp(px))
+                # "mixed" stays LOSSLESS (BMP/PNG) — pixel-checksum
+                # oracles (thumbnail) need exact pixels; "mixed3" adds
+                # lossy JPEG for dims-contract consumers
+                if payload_format == "mixed":
+                    fmt = ("bmp", "png")[i % 2]
+                elif payload_format == "mixed3":
+                    fmt = ("bmp", "png", "jpeg")[i % 3]
+                else:
+                    fmt = payload_format
+                if fmt == "png":
+                    payloads.append(encode_png(px))
+                elif fmt == "jpeg":
+                    # lossy pixels, EXACT dims (SOF carries h, w) — the
+                    # dims oracle holds for all three codecs
+                    payloads.append(encode_jpeg_baseline(px, quality=85))
+                else:
+                    payloads.append(encode_bmp(px))
             codec = payload_format
         else:
             payloads = [(t or "").encode() for t in text]

@@ -75,7 +75,8 @@ def test_multimodal_plumbing():
 
 def test_multimodal_real_decode():
     """use_real=True REALLY decodes BMP/PPM/PNG/WAV (pure-numpy
-    codecs); JPEG still raises NotImplementedError (honest stub)."""
+    codecs); JPEG decodes too since round 4 — a truncated stream
+    errors cleanly, MP3 remains the honest stub."""
     import pytest
 
     from pgd_ray.stages.codecs import encode_bmp, encode_ppm, encode_wav
@@ -127,7 +128,12 @@ def test_multimodal_real_decode():
 
     from pgd_ray.stages.multimodal import ImageDecodeFeatures
 
-    with pytest.raises(NotImplementedError):
+    # JPEG is a real codec now: valid stream decodes, garbage errors
+    from pgd_ray.stages.codecs import decode_jpeg, encode_jpeg_baseline
+
+    small = np.full((8, 8, 3), 42, np.uint8)
+    assert (decode_jpeg(encode_jpeg_baseline(small)) == 42).all()
+    with pytest.raises((ValueError, IndexError)):
         ImageDecodeFeatures(use_real=True)._decode_real(b"\xff\xd8\xff\xe0jpeg")
 
 
@@ -365,3 +371,47 @@ def test_rbo_closed_forms():
     out3 = rbo_rankings(np.arange(10), np.arange(10)[::-1], p=0.9)
     assert out3["overlap_at_k"].iloc[0] == 1.0
     assert 0 < out3["rbo"].iloc[0] < out["rbo"].iloc[0]
+
+
+def test_jpeg_baseline_roundtrip_and_guards():
+    """Baseline JPEG codec (round 4): encode→decode round-trips with
+    high PSNR at 4:4:4 and 4:2:0 on odd dimensions, a constant image
+    survives exactly, grayscale works, and progressive (SOF2) raises
+    the honest NotImplementedError."""
+    import struct
+
+    import pytest
+
+    from pgd_ray.stages.codecs import (decode_image, decode_jpeg,
+                                       encode_jpeg_baseline)
+
+    h, w = 41, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256],
+                   axis=2).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = float(((a.astype(np.int64) - b.astype(np.int64)) ** 2).mean())
+        return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+    enc = encode_jpeg_baseline(img, quality=90)
+    dec = decode_image(enc)  # dispatch recognizes the SOI magic
+    assert dec.shape == (h, w, 3) and psnr(dec, img) > 38
+    enc420 = encode_jpeg_baseline(img, quality=90, subsampling="420")
+    dec420 = decode_jpeg(enc420)
+    assert dec420.shape == (h, w, 3) and psnr(dec420, img) > 30
+    assert len(enc420) < len(enc)  # subsampling actually shrinks it
+    # constant image → bit-exact through quantization
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg_baseline(flat, 85)) == 77).all()
+    # grayscale single-component scan
+    g = ((xx + yy) * 2 % 256).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg_baseline(g, 90))
+    assert dg.shape == (h, w, 3) and psnr(dg[:, :, 0], g) > 45
+    assert (dg[:, :, 0] == dg[:, :, 1]).all()
+    # progressive SOF2 refuses honestly
+    prog = bytearray(enc)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(prog))
