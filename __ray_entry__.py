@@ -2338,10 +2338,14 @@ def _q_lexical_diversity(sf_dir):
     per doc, no shuffle)."""
     from pgd_ray.text.entropy import lexical_diversity
 
+    from pgd_ray.util import round_half_away
+
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = lexical_diversity(docs).to_pandas()
     for c in ("entropy", "simpson", "ttr"):
-        out[c] = out[c].round(6)
+        # SQL ROUND ties half AWAY from zero; numpy rounds half-even —
+        # exact .5 ties at digit 6 otherwise mismatch (seen at sf0.01)
+        out[c] = round_half_away(out[c], 6)
     return out
 
 
@@ -2351,9 +2355,11 @@ def _q_user_activity(sf_dir):
     exact-distinct breadth, small self-join)."""
     from pgd_ray.stages.features import user_activity_features
 
+    from pgd_ray.util import round_half_away
+
     out = user_activity_features(sf_dir).to_pandas()
-    out["total_value"] = out["total_value"].round(6)
-    out["mean_value"] = out["mean_value"].round(6)
+    out["total_value"] = round_half_away(out["total_value"], 6)
+    out["mean_value"] = round_half_away(out["mean_value"], 6)
     return out.astype({"n_events": np.int64, "n_types": np.int64})
 
 
@@ -4846,6 +4852,9 @@ FROM documents d
 LEFT JOIN n ON n.doc_id = d.doc_id
 LEFT JOIN ent ON ent.doc_id = d.doc_id""",
         # stages.features.user_activity_features: one hash aggregation
+        # value is integer cents stored as double: both sides sum the
+        # exact BIGINT cents and divide once — float SUM/AVG is
+        # combine-order-dependent at digit-6 rounding boundaries
         "user_activity": """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -4853,8 +4862,10 @@ SELECT user_id,
        CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
        CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
        CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us,
-       ROUND(SUM(value), 6) AS total_value,
-       ROUND(AVG(value), 6) AS mean_value
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 6) AS total_value,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(*)), 6) AS mean_value
 FROM events GROUP BY user_id""",
         # text.sampling.weighted_sample_topk: A-ES keys u^(1/w) ranked
         # by the monotone ln(u)/w; u = (splitmix64(doc_id)>>11 + 1)/2^53
@@ -7963,19 +7974,22 @@ ORDER BY tool""",
         "user_burstiness": """
 WITH s0 AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
 g AS (SELECT user_id,
-             CAST(tu - LAG(tu) OVER (PARTITION BY user_id
-                                     ORDER BY tu, event_id) AS DOUBLE)
-               / 1000000.0 AS gs
+             tu - LAG(tu) OVER (PARTITION BY user_id
+                                ORDER BY tu, event_id) AS gus
       FROM s0),
-a AS (SELECT user_id, CAST(COUNT(gs) AS BIGINT) AS n,
-             SUM(gs) AS s1, SUM(gs * gs) AS s2
-      FROM g WHERE gs IS NOT NULL GROUP BY user_id)
+a AS (SELECT user_id, CAST(COUNT(gus) AS BIGINT) AS n,
+             CAST(SUM(gus) AS DOUBLE) AS s1us,
+             SUM((CAST(gus AS DOUBLE) / 1000000.0)
+                 * (CAST(gus AS DOUBLE) / 1000000.0)) AS s2
+      FROM g WHERE gus IS NOT NULL GROUP BY user_id),
+b AS (SELECT user_id, n, s1us / n / 1000000.0 AS mu, s2 FROM a
+      WHERE n >= 2)
 SELECT user_id, n AS n_gaps,
-       ROUND(s1 / n, 6) AS mean_gap_s,
-       ROUND((sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) - s1 / n)
-             / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) + s1 / n),
+       ROUND(mu, 6) AS mean_gap_s,
+       ROUND((sqrt(greatest(s2 / n - mu * mu, 0.0)) - mu)
+             / (sqrt(greatest(s2 / n - mu * mu, 0.0)) + mu),
              6) AS burstiness
-FROM a WHERE n >= 2 ORDER BY user_id""",
+FROM b ORDER BY user_id""",
         # text.analysis.hapax_stats: vocab frequency histogram fold
         # (same token contract as vocab_topk).
         "hapax_stats": """

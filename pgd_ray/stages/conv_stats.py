@@ -579,6 +579,10 @@ def latency_quantiles(transcripts: ray.data.Dataset,
     out = grouped_quantiles(gaps, "role", "gap", list(qs))
     out = out.rename(columns={"key": "role"}) if "key" in out.columns \
         else out
+    # gaps are integer µs and the floor-rank rule picks ACTUAL values,
+    # so the quantiles are exact integers — emit them as int64 (the
+    # oracle's type; a float64 column hash-mismatches on dtype alone)
+    out["value"] = out["value"].astype(np.int64)
     return out.sort_values(["role", "q"], ignore_index=True)
 
 

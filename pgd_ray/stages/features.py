@@ -31,9 +31,15 @@ def user_activity_features(sf_dir: str) -> ray.data.Dataset:
     def to_us(t: pa.Table) -> pa.Table:
         us = t["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
+        # value is integer CENTS stored as double: sum the exact int64
+        # cents, not floats — float partial sums are combine-ORDER-
+        # dependent and at a digit-6 rounding boundary the engine and
+        # the SQL oracle landed on opposite sides (seen at sf0.01)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
         return pa.table({"user_id": t["user_id"],
                          "ts_us": pa.array(us, pa.int64()),
-                         "value": t["value"]})
+                         "cents": pa.array(cents, pa.int64())})
 
     base = (
         ev.map_batches(to_us, batch_format="pyarrow")
@@ -42,8 +48,7 @@ def user_activity_features(sf_dir: str) -> ray.data.Dataset:
             Count(alias_name="n_events"),
             Min("ts_us", alias_name="first_us"),
             Max("ts_us", alias_name="last_us"),
-            Sum("value", alias_name="total_value"),
-            Mean("value", alias_name="mean_value"),
+            Sum("cents", alias_name="total_cents"),
         )
     )
     types = (
@@ -70,6 +75,10 @@ def user_activity_features(sf_dir: str) -> ray.data.Dataset:
     def finish(t: pa.Table) -> pa.Table:
         first = t["first_us"].to_numpy(zero_copy_only=False)
         last = t["last_us"].to_numpy(zero_copy_only=False)
+        cents = t["total_cents"].to_numpy(zero_copy_only=False
+                                          ).astype(np.float64)
+        n = t["n_events"].to_numpy(zero_copy_only=False
+                                   ).astype(np.float64)
         return pa.table({
             "user_id": t["user_id"],
             "n_events": t["n_events"],
@@ -77,8 +86,10 @@ def user_activity_features(sf_dir: str) -> ray.data.Dataset:
             "first_us": pa.array(first, pa.int64()),
             "last_us": pa.array(last, pa.int64()),
             "span_us": pa.array(last - first, pa.int64()),
-            "total_value": t["total_value"],
-            "mean_value": t["mean_value"],
+            # same expression shapes as the SQL mirror: exact int →
+            # one IEEE division each → deterministic equality
+            "total_value": pa.array(cents / 100.0, pa.float64()),
+            "mean_value": pa.array(cents / (100.0 * n), pa.float64()),
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")

@@ -1506,21 +1506,30 @@ def user_burstiness(sf_dir: str) -> pd.DataFrame:
         m = uid[1:] == uid[:-1]
         if not m.any():
             return None
-        gs = (tu[1:] - tu[:-1])[m].astype(np.float64) / 1e6
-        return (pd.DataFrame({"user_id": uid[1:][m], "g": gs, "g2": gs * gs})
+        # s1 is summed as EXACT integer µs: float partial sums are
+        # combine-order-dependent, and at a digit-6 rounding boundary
+        # the engine and the SQL oracle landed on opposite sides
+        # (mean_gap_s, sf0.01).  s2 (µs² would overflow int64) stays
+        # float with the per-element seconds conversion both sides
+        # compute identically.
+        gus = (tu[1:] - tu[:-1])[m]
+        gs = gus.astype(np.float64) / 1e6
+        return (pd.DataFrame({"user_id": uid[1:][m], "gus": gus,
+                              "g2": gs * gs})
                 .groupby("user_id", sort=False)
-                .agg(n=("g", "size"), s1=("g", "sum"), s2=("g2", "sum"))
+                .agg(n=("gus", "size"), s1us=("gus", "sum"),
+                     s2=("g2", "sum"))
                 .reset_index())
 
     def _tbl(d) -> pa.Table:
         if d is None or d.empty:
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
-                             "s1": pa.array([], pa.float64()),
+                             "s1us": pa.array([], pa.int64()),
                              "s2": pa.array([], pa.float64())})
         return pa.table({"user_id": d["user_id"].to_numpy(np.int64),
                          "n": d["n"].to_numpy(np.int64),
-                         "s1": d["s1"].to_numpy(np.float64),
+                         "s1us": d["s1us"].to_numpy(np.int64),
                          "s2": d["s2"].to_numpy(np.float64)})
 
     def _tu(t: pa.Table) -> np.ndarray:
@@ -1560,17 +1569,22 @@ def user_burstiness(sf_dir: str) -> pd.DataFrame:
                              "mean_gap_s": pd.Series([], dtype=np.float64),
                              "burstiness": pd.Series([], dtype=np.float64)})
     agg = parts.groupby("user_id", as_index=False).agg(
-        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        n=("n", "sum"), s1us=("s1us", "sum"), s2=("s2", "sum"))
     agg = agg[agg["n"] >= 2]
     n = agg["n"].to_numpy(np.float64)
-    mu = agg["s1"].to_numpy() / n
+    # exact µs total → one division chain, identical to the SQL mirror
+    mu = agg["s1us"].to_numpy(np.float64) / n / 1e6
     var = np.maximum(agg["s2"].to_numpy() / n - mu * mu, 0.0)
     sig = np.sqrt(var)
     b = (sig - mu) / (sig + mu)
+    from pgd_ray.util import round_half_away
+
+    # SQL ROUND ties half away from zero (half-even ties mismatch the
+    # oracle by exactly 1e-6; observed on mean_gap_s at sf0.01)
     return pd.DataFrame({"user_id": agg["user_id"].to_numpy(np.int64),
                          "n_gaps": agg["n"].to_numpy(np.int64),
-                         "mean_gap_s": np.round(mu, 6),
-                         "burstiness": np.round(b, 6)}).sort_values(
+                         "mean_gap_s": round_half_away(mu, 6),
+                         "burstiness": round_half_away(b, 6)}).sort_values(
         "user_id", ignore_index=True)
 
 

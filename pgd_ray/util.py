@@ -83,3 +83,15 @@ def bound_cls(cls, /, **kwargs):
     _Bound.__name__ = cls.__name__
     _Bound.__qualname__ = getattr(cls, "__qualname__", cls.__name__)
     return _Bound
+
+
+def round_half_away(x, nd: int = 6):
+    """Round half AWAY from zero at ``nd`` decimals — SQL ROUND
+    semantics (DuckDB/ANSI), unlike numpy's round-half-to-even.
+    Exact-tie values at the nd-th digit otherwise hash-mismatch the
+    oracle by exactly 10^-nd (observed at sf0.01, ADVICE-class)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
