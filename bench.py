@@ -116,7 +116,12 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         dense, csr, vids = build_graph(copurchase_pairs(SF_DIR))
         best = min(best, time.perf_counter() - t0)
-        if best <= 8.0 * max(1.0, 32.0 / max(nw, 1)):
+        # warm runs measure ~2 s at 32 CPUs; the first execution of a
+        # session pays worker spawn (~2-3x) — only early-exit once a
+        # WARM-run-shaped number is in hand, or the artifact records
+        # session warmup instead of the pipeline (seen in r4: 6.7 s
+        # cold-exit vs 2.0 s warm)
+        if best <= 3.0 * max(1.0, 32.0 / max(nw, 1)):
             break
     timings["edge_etl"] = best
     m = csr.m
