@@ -426,10 +426,13 @@ def _block_symbols(coef_zz: np.ndarray, dc_pred: int):
 
 
 def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 85,
-                         subsampling: str = "444") -> bytes:
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) grayscale → baseline JFIF bytes
     with per-image canonical Huffman tables.  ``subsampling``:
-    '444' (1×1 chroma) or '420' (2×2 luma MCU, box-averaged chroma)."""
+    '444' (1×1 chroma) or '420' (2×2 luma MCU, box-averaged chroma).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (DC predictors reset)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     q = max(1, min(100, int(quality)))
@@ -501,8 +504,14 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 85,
     ac_syms: list[list[int]] = [[], []]
     preds = [0] * ncomp
     enc_plan = []
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                enc_plan.append(("RST", (mcu_i // restart_interval - 1) % 8))
+                preds = [0] * ncomp  # DC predictors reset at RSTn
+            mcu_i += 1
             for c in range(ncomp):
                 hf, vf = samp[c]
                 tid = min(c, 1)
@@ -537,11 +546,20 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 85,
         out += seg(0xFFC4, bytes([t]) + dct_tabs[t][0] + dct_tabs[t][1])
         out += seg(0xFFC4, bytes([0x10 | t]) + act_tabs[t][0]
                    + act_tabs[t][1])
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([ncomp]) + b"".join(
         struct.pack("BB", c + 1, (min(c, 1) << 4) | min(c, 1))
         for c in range(ncomp)) + b"\x00\x3f\x00")
     bwr = _BitWriter()
-    for tid, s, dcb, acs in enc_plan:
+    for item in enc_plan:
+        if item[0] == "RST":
+            bwr.flush()  # byte-align (1-fill), then the bare marker
+            out += bwr.out
+            out += bytes([0xFF, 0xD0 + item[1]])
+            bwr = _BitWriter()
+            continue
+        tid, s, dcb, acs = item
         code, ln = dct_tabs[tid][2][s]
         bwr.put(code, ln)
         if s:
@@ -669,12 +687,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for mx in range(mcux):
             if restart and mcu_i and mcu_i % restart == 0:
                 rdr.align()
-                # skip the RSTn marker bytes
-                while rdr.pos + 1 < len(rdr.d) and not (
-                        rdr.d[rdr.pos] == 0xFF
-                        and 0xD0 <= rdr.d[rdr.pos + 1] <= 0xD7):
-                    rdr.pos += 1
-                rdr.pos += 2
+                # skip the RSTn marker.  The bit reader may already
+                # have PREFETCHED the marker's 0xFF as padding (its
+                # byte-fill peeks one ahead only for 0x00 stuffing),
+                # leaving pos ON the D0-D7 byte — handle that case
+                # before scanning forward.
+                p = rdr.pos
+                if p and rdr.d[p - 1] == 0xFF and p < len(rdr.d) \
+                        and 0xD0 <= rdr.d[p] <= 0xD7:
+                    rdr.pos = p + 1
+                else:
+                    while rdr.pos + 1 < len(rdr.d) and not (
+                            rdr.d[rdr.pos] == 0xFF
+                            and 0xD0 <= rdr.d[rdr.pos + 1] <= 0xD7):
+                        rdr.pos += 1
+                    rdr.pos += 2
                 for k in preds:
                     preds[k] = 0
             mcu_i += 1

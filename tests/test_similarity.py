@@ -415,3 +415,24 @@ def test_jpeg_baseline_roundtrip_and_guards():
     prog[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="SOF2"):
         decode_jpeg(bytes(prog))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: every restart interval must decode to the SAME
+    pixels as the no-DRI stream (DC predictors reset at each marker;
+    the decoder handles the prefetched-0xFF marker alignment case)."""
+    from pgd_ray.stages.codecs import decode_jpeg, encode_jpeg_baseline
+
+    h, w = 41, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256],
+                   axis=2).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_baseline(img, 90))
+    for ri in (1, 2, 3, 5, 7):
+        enc = encode_jpeg_baseline(img, 90, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        np.testing.assert_array_equal(decode_jpeg(enc), base)
+    b420 = decode_jpeg(encode_jpeg_baseline(img, 90, subsampling="420"))
+    enc = encode_jpeg_baseline(img, 90, subsampling="420",
+                               restart_interval=2)
+    np.testing.assert_array_equal(decode_jpeg(enc), b420)
