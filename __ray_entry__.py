@@ -4840,8 +4840,12 @@ n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
 ent AS (SELECT cnt.doc_id,
                -SUM((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n))
                  AS entropy,
-               SUM((CAST(c AS DOUBLE) / n.n) * (CAST(c AS DOUBLE) / n.n))
-                 AS simpson
+               -- simpson = SUM(c^2)/n^2: the numerator sums EXACT
+               -- integers (float SUM of (c/n)^2 is order-dependent
+               -- and straddled the digit-6 boundary at sf0.1)
+               CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n.n) AS DOUBLE)
+                    * CAST(ANY_VALUE(n.n) AS DOUBLE)) AS simpson
         FROM cnt JOIN n ON n.doc_id = cnt.doc_id GROUP BY 1)
 SELECT d.doc_id,
        COALESCE(n.n, 0) AS n_tokens, COALESCE(n.types, 0) AS n_types,
@@ -5274,12 +5278,16 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC""",
         # pipelines.tpch.q7: cross-nation volume by ship year
+        # volume summed as EXACT 1e-4-dollar integers (price = cents,
+        # discount = percent) — float SUM is combine-order-dependent
+        # at the cent rounding boundary; the engine sums the same ints
         "tpch_q7": """
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(SUM(volume), 2) AS revenue FROM (
+       ROUND(CAST(SUM(vol4) AS DOUBLE) / 10000.0, 2) AS revenue FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol4
   FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
@@ -5387,7 +5395,9 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
         "tpch_q9": """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 2) AS sum_profit
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey

@@ -745,22 +745,28 @@ def q7(
             return pa.table({"supp_nation": pa.array([], pa.string()),
                              "cust_nation": pa.array([], pa.string()),
                              "l_year": pa.array([], pa.int64()),
-                             "vol": pa.array([], pa.float64())})
+                             "vol4": pa.array([], pa.int64())})
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False)[m]
         year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        # exact 1e-4-dollar integer volume: price is integer cents,
+        # discount integer percent — float partial sums are combine-
+        # order-dependent and land on the wrong side of the cent
+        # rounding boundary at sf0.1 (same class as user_activity)
+        vol4 = (np.rint(price * 100.0).astype(np.int64)
+                * (100 - np.rint(disc * 100.0).astype(np.int64)))
         return pa.table({
             "supp_nation": pa.array(sname[m], pa.string()),
             "cust_nation": pa.array(cname[m], pa.string()),
             "l_year": pa.array(year, pa.int64()),
-            "vol": price * (1.0 - disc),
+            "vol4": pa.array(vol4, pa.int64()),
         })
 
     agg = (
         j.map_batches(volume, batch_format="pyarrow")
         .groupby(["supp_nation", "cust_nation", "l_year"])
-        .aggregate(Sum("vol", alias_name="revenue"))
+        .aggregate(Sum("vol4", alias_name="rev4"))
         .to_pandas()
     )
     if agg.empty:  # empty aggregates lose their columns
@@ -769,7 +775,10 @@ def q7(
             "cust_nation": pd.Series([], dtype=object),
             "l_year": pd.Series([], dtype=np.int64),
             "revenue": pd.Series([], dtype=np.float64)})
-    agg["revenue"] = agg["revenue"].round(2)
+    from pgd_ray.util import round_half_away
+
+    agg["revenue"] = round_half_away(
+        agg.pop("rev4").to_numpy(np.float64) / 10000.0, 2)
     return agg.sort_values(["supp_nation", "cust_nation", "l_year"],
                            ignore_index=True)
 
@@ -1363,23 +1372,31 @@ def q9(
                 .astype("datetime64[Y]").astype(np.int64) + 1970)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact 1e-4-dollar integer partials (price = integer cents,
+        # discount = integer percent): float partial sums are combine-
+        # order-dependent at the cent rounding boundary (seen sf0.1)
+        p4 = (np.rint(price * 100.0).astype(np.int64)
+              * (100 - np.rint(disc * 100.0).astype(np.int64)))
         df = pd.DataFrame({
             "nation": sup_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)],
             "o_year": year,
-            "p": price * (1.0 - disc),
+            "p4": p4,
         })
-        g = df.groupby(["nation", "o_year"], as_index=False)["p"].sum()
+        g = df.groupby(["nation", "o_year"], as_index=False)["p4"].sum()
         return pa.table({"nation": pa.array(g["nation"], pa.string()),
                          "o_year": g["o_year"].to_numpy(np.int64),
-                         "p": g["p"].to_numpy(np.float64)})
+                         "p4": g["p4"].to_numpy(np.int64)})
 
     out = (
         j.map_batches(part, fn_kwargs={"dims": dims}, batch_format="pyarrow")
         .groupby(["nation", "o_year"])
-        .aggregate(Sum("p", alias_name="sum_profit"))
+        .aggregate(Sum("p4", alias_name="sum4"))
         .to_pandas()
     )
-    out["sum_profit"] = out["sum_profit"].round(2)
+    from pgd_ray.util import round_half_away
+
+    out["sum_profit"] = round_half_away(
+        out.pop("sum4").to_numpy(np.float64) / 10000.0, 2)
     out["o_year"] = out["o_year"].astype(np.int64)
     return out.sort_values(["nation", "o_year"], ascending=[True, False],
                            ignore_index=True)

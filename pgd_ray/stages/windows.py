@@ -1028,7 +1028,9 @@ def ewma_daily(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
         e[0] = x[0]
         for i in range(1, len(x)):
             e[i] = alpha * x[i] + (1.0 - alpha) * e[i - 1]
-        out.append(g.assign(ewma=np.round(e, 6)))
+        from pgd_ray.util import round_half_away
+
+        out.append(g.assign(ewma=round_half_away(e, 6)))
     res = pd.concat(out, ignore_index=True)
     res["day"] = res["day"].astype(np.int64)
     res["n"] = res["n"].astype(np.int64)

@@ -33,7 +33,11 @@ def _doc_stats(text: str) -> tuple[int, int, float, float]:
     _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
     p = counts / n
     ent = float(-(p * np.log(p)).sum())
-    simpson = float((p * p).sum())
+    # simpson = Σc²/n²: exact integer numerator, ONE float division —
+    # same expression as the SQL mirror (a float Σ(c/n)² is summation-
+    # order-dependent and straddled the digit-6 boundary at sf0.1)
+    simpson = float(int((counts.astype(np.int64) ** 2).sum())
+                    / (float(n) * float(n)))
     return n, len(counts), ent, simpson
 
 
