@@ -4735,22 +4735,35 @@ SELECT d.v,
        vt.tri AS orbit3_triangle
 FROM d JOIN vt ON vt.v = d.v JOIN sn ON sn.v = d.v
 ORDER BY d.v""",
+        # all 2-decimal columns summed as EXACT integer units (the
+        # q7/q9 order-dependent-float-sum class), one division each
         "tpch_q1": f"""
+WITH u AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p100,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d100,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem WHERE epoch_us(l_shipdate) <= {_Q1_CUTOFF_US})
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-           AS sum_charge,
-       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-       ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
-       ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+       ROUND(CAST(SUM(q100) AS DOUBLE) / 100.0, 2) AS sum_qty,
+       ROUND(CAST(SUM(p100) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       ROUND(CAST(SUM(p100 * (100 - d100)) AS DOUBLE) / 10000.0, 2)
+           AS sum_disc_price,
+       ROUND(CAST(SUM(p100 * (100 - d100) * (100 + t100)) AS DOUBLE)
+             / 1000000.0, 2) AS sum_charge,
+       ROUND(CAST(SUM(q100) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_qty,
+       ROUND(CAST(SUM(p100) AS DOUBLE) / (100.0 * COUNT(*)), 6)
+           AS avg_price,
+       ROUND(CAST(SUM(d100) AS DOUBLE) / (100.0 * COUNT(*)), 6)
+           AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem WHERE epoch_us(l_shipdate) <= {_Q1_CUTOFF_US}
-GROUP BY l_returnflag, l_linestatus""",
+FROM u GROUP BY l_returnflag, l_linestatus""",
         "tpch_q3": f"""
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS revenue,
        CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate,
        o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -4763,7 +4776,9 @@ ORDER BY revenue DESC, o_orderdate, l.l_orderkey
 LIMIT 10""",
         "tpch_q5": f"""
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 2) AS revenue
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
      JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -4776,7 +4791,9 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name""",
         "tpch_q6": f"""
-SELECT COALESCE(ROUND(SUM(l_extendedprice * l_discount), 2), 0.0) AS revenue
+SELECT COALESCE(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT))
+                       AS DOUBLE) / 10000.0, 2), 0.0) AS revenue
 FROM lineitem
 WHERE epoch_us(l_shipdate) >= {_Q5_LO_US}
   AND epoch_us(l_shipdate) < {_Q5_HI_US}
@@ -4784,11 +4801,13 @@ WHERE epoch_us(l_shipdate) >= {_Q5_LO_US}
   AND l_quantity < 24""",
         "tpch_q8": f"""
 SELECT o_year,
-       ROUND(SUM(CASE WHEN s_nation = 'NATION_2' THEN volume ELSE 0.0 END)
-             / SUM(volume), 6) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN s_nation = 'NATION_2' THEN vol4
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol4) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS vol4,
          n2.n_name AS s_nation
   FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
        JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -4803,12 +4822,15 @@ FROM (
 GROUP BY o_year""",
         "tpch_q15": f"""
 WITH rev AS (
-  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  SELECT l_suppkey,
+         ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0, 2) AS total_revenue
   FROM lineitem
   WHERE epoch_us(l_shipdate) >= {_Q5_LO_US}
     AND epoch_us(l_shipdate) < {_Q15_HI_US}
   GROUP BY l_suppkey)
-SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+SELECT s.s_suppkey, s.s_name, r.total_revenue
 FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
         # tpch_q17: brand-only predicate (slim schema has no
@@ -5303,7 +5325,7 @@ ORDER BY 1, 2, 3""",
         # the rounded alias — same contract as the engine's sort
         "tpch_q10": """
 SELECT c_custkey, c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -5329,7 +5351,7 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100""",
         # pipelines.tpch.q19: disjunctive predicates, broadcast part dims
         "tpch_q19": """
-SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0), 2)
+SELECT ROUND(COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE), 0) / 10000.0, 2)
          AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
@@ -5777,10 +5799,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY l_returnflag""",
         # pipelines.tpch.q14: promo revenue share, broadcast dim lookup
         "tpch_q14": """
-SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                               THEN l_extendedprice * (1 - l_discount)
-                               ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'""",

@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from pgd_ray.util import round_half_away as _rha
+
 
 def q1(sf_dir: str, cutoff_us: int) -> pd.DataFrame:
     """Pricing summary report for l_shipdate <= cutoff (epoch-µs).
@@ -52,20 +54,28 @@ def q1(sf_dir: str, cutoff_us: int) -> pd.DataFrame:
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
         m = ship <= cutoff_us
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
-        tax = t["l_tax"].to_numpy(zero_copy_only=False)[m]
-        disc_price = price * (1.0 - disc)
+        # every money/rate column is an exact 2-decimal: sum EXACT
+        # integer units (qty/price/disc ×100; disc_price ×1e4; charge
+        # ×1e6) — float partial sums are combine-order-dependent at
+        # rounding boundaries (the q7/q9 class found at sf0.1)
+        q100 = np.rint(t["l_quantity"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        p100 = np.rint(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        t100 = np.rint(t["l_tax"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        dp4 = p100 * (100 - d100)
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"].filter(pa.array(m)),
                 "l_linestatus": t["l_linestatus"].filter(pa.array(m)),
-                "qty": qty,
-                "price": price,
-                "disc": disc,
-                "disc_price": disc_price,
-                "charge": disc_price * (1.0 + tax),
+                "q100": pa.array(q100, pa.int64()),
+                "p100": pa.array(p100, pa.int64()),
+                "d100": pa.array(d100, pa.int64()),
+                "dp4": pa.array(dp4, pa.int64()),
+                "ch6": pa.array(dp4 * (100 + t100), pa.int64()),
             }
         )
 
@@ -73,27 +83,37 @@ def q1(sf_dir: str, cutoff_us: int) -> pd.DataFrame:
         li.map_batches(part, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Sum("disc", alias_name="sum_disc"),
+            Sum("q100", alias_name="sum_q100"),
+            Sum("p100", alias_name="sum_p100"),
+            Sum("dp4", alias_name="sum_dp4"),
+            Sum("ch6", alias_name="sum_ch6"),
+            Sum("d100", alias_name="sum_d100"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
+    from pgd_ray.util import round_half_away
+
     n = agg["count_order"].astype("int64")
+    nf = n.to_numpy(np.float64)
     out = pd.DataFrame(
         {
             "l_returnflag": agg["l_returnflag"],
             "l_linestatus": agg["l_linestatus"],
-            "sum_qty": agg["sum_qty"].round(2),
-            "sum_base_price": agg["sum_base_price"].round(2),
-            "sum_disc_price": agg["sum_disc_price"].round(2),
-            "sum_charge": agg["sum_charge"].round(2),
-            "avg_qty": (agg["sum_qty"] / n).round(6),
-            "avg_price": (agg["sum_base_price"] / n).round(6),
-            "avg_disc": (agg["sum_disc"] / n).round(6),
+            "sum_qty": round_half_away(
+                agg["sum_q100"].to_numpy(np.float64) / 100.0, 2),
+            "sum_base_price": round_half_away(
+                agg["sum_p100"].to_numpy(np.float64) / 100.0, 2),
+            "sum_disc_price": round_half_away(
+                agg["sum_dp4"].to_numpy(np.float64) / 10000.0, 2),
+            "sum_charge": round_half_away(
+                agg["sum_ch6"].to_numpy(np.float64) / 1000000.0, 2),
+            "avg_qty": round_half_away(
+                agg["sum_q100"].to_numpy(np.float64) / (100.0 * nf), 6),
+            "avg_price": round_half_away(
+                agg["sum_p100"].to_numpy(np.float64) / (100.0 * nf), 6),
+            "avg_disc": round_half_away(
+                agg["sum_d100"].to_numpy(np.float64) / (100.0 * nf), 6),
             "count_order": n,
         }
     )
@@ -143,8 +163,11 @@ def q3(
     def revenue(t: pa.Table) -> pa.Table:
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact 1e-4-dollar integer units (the q7/q9 float-sum class)
+        rev4 = (np.rint(price * 100.0).astype(np.int64)
+                * (100 - np.rint(disc * 100.0).astype(np.int64)))
         return pa.table({"l_orderkey": t["l_orderkey"],
-                         "rev": price * (1.0 - disc)})
+                         "rev4": pa.array(rev4, pa.int64())})
 
     # fractional-CPU aggregators so a join pool never starves the rest
     # of the pipeline on small clusters, and a materialize barrier
@@ -164,15 +187,17 @@ def q3(
     )
     per_order = j2.groupby(
         ["l_orderkey", "o_orderdate", "o_orderpriority"]
-    ).aggregate(Sum("rev", alias_name="revenue"))
+    ).aggregate(Sum("rev4", alias_name="rev4"))
 
     def finish(t: pa.Table) -> pa.Table:
+        from pgd_ray.util import round_half_away
+
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "revenue": np.round(
-                    t["revenue"].to_numpy(zero_copy_only=False), 6
-                ),
+                "revenue": round_half_away(
+                    t["rev4"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64) / 10000.0, 6),
                 "o_orderdate": t["o_orderdate"].to_numpy(
                     zero_copy_only=False).astype("datetime64[us]")
                     .astype(np.int64),
@@ -269,19 +294,25 @@ def q5(
         m = (sn == cn) & (sn >= 0) & in_region[np.maximum(sn, 0)]
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        # exact 1e-4-dollar integer units (the q7/q9 float-sum class)
+        rev4 = (np.rint(price * 100.0).astype(np.int64)
+                * (100 - np.rint(disc * 100.0).astype(np.int64)))
         return pa.table({
             "n_name": pa.array(names[sn[m]], pa.string()),
-            "rev": price * (1.0 - disc),
+            "rev4": pa.array(rev4, pa.int64()),
         })
 
     agg = (
         j.map_batches(local_rev, fn_kwargs={"dims_ref": dims},
                       batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .aggregate(Sum("rev4", alias_name="rev4"))
         .to_pandas()
     )
-    agg["revenue"] = agg["revenue"].round(2)
+    from pgd_ray.util import round_half_away
+
+    agg["revenue"] = round_half_away(
+        agg.pop("rev4").to_numpy(np.float64) / 10000.0, 2)
     return agg.sort_values(
         ["revenue", "n_name"], ascending=[False, True], ignore_index=True
     )
@@ -313,15 +344,17 @@ def q6(
         m = ((ship >= date_lo_us) & (ship < date_hi_us)
              & (disc >= disc_lo) & (disc <= disc_hi) & (qty < qty_below))
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        return pa.table({"rev": pa.array(
-            [float((price[m] * disc[m]).sum())], pa.float64())})
+        # exact 1e-4-dollar integer partials (the q7/q9 class)
+        r4 = (np.rint(price[m] * 100.0).astype(np.int64)
+              * np.rint(disc[m] * 100.0).astype(np.int64))
+        return pa.table({"rev4": pa.array([int(r4.sum())], pa.int64())})
 
-    total = sum(
-        b["rev"].to_numpy(zero_copy_only=False).sum()
+    total4 = sum(
+        int(b["rev4"].to_numpy(zero_copy_only=False).sum())
         for b in li.map_batches(part, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow")
     )
-    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+    return pd.DataFrame({"revenue": [float(_rha(total4 / 10000.0, 2))]})
 
 
 def q4(
@@ -395,8 +428,11 @@ def q10(
         t = t.filter(pc.equal(t["l_returnflag"].combine_chunks(), returnflag))
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact 1e-4-dollar integer units (the q7/q9 float-sum class)
+        rev4 = (np.rint(price * 100.0).astype(np.int64)
+                * (100 - np.rint(disc * 100.0).astype(np.int64)))
         return pa.table({"l_orderkey": t["l_orderkey"],
-                         "rev": price * (1.0 - disc)})
+                         "rev4": pa.array(rev4, pa.int64())})
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -423,7 +459,7 @@ def q10(
         on=("l_orderkey",), right_on=("o_orderkey",),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
-    per_cust = j.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue"))
+    per_cust = j.groupby("o_custkey").aggregate(Sum("rev4", alias_name="rev4"))
 
     cst = pq_mod.read_table(
         f"{sf_dir}/customer.parquet",
@@ -449,7 +485,8 @@ def q10(
         return pa.table({
             "c_custkey": pa.array(c, pa.int64()),
             "c_name": pa.array(cname[c], pa.string()),
-            "revenue": np.round(t["revenue"].to_numpy(zero_copy_only=False), 2),
+            "revenue": _rha(t["rev4"].to_numpy(zero_copy_only=False)
+                            .astype(np.float64) / 10000.0, 2),
             "c_acctbal": pa.array(cbal[c], pa.float64()),
             "n_name": pa.array(nnames[cnat[c]], pa.string()),
         })
@@ -626,27 +663,30 @@ def q14(
                 "datetime64[us]").astype(np.int64)
             m = (d >= date_lo_us) & (d < date_hi_us)
             pk = t["l_partkey"].to_numpy(zero_copy_only=False)[m]
-            rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
-                   * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)[m]))
+            # exact 1e-4-dollar integer partials (the q7/q9 class)
+            pr = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            dc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+            rev4 = (np.rint(pr * 100.0).astype(np.int64)
+                    * (100 - np.rint(dc * 100.0).astype(np.int64)))
             pos = np.searchsorted(self.keys, pk)
             pos[pos == len(self.keys)] = 0
             isp = (self.keys[pos] == pk) & self.promo[pos]
             return pa.table({
-                "promo": pa.array([float(rev[isp].sum())], pa.float64()),
-                "total": pa.array([float(rev.sum())], pa.float64()),
+                "promo4": pa.array([int(rev4[isp].sum())], pa.int64()),
+                "total4": pa.array([int(rev4.sum())], pa.int64()),
             })
 
     from pgd_ray.util import bound_cls
 
-    promo_sum = total_sum = 0.0
+    promo4 = total4 = 0
     for b in li.map_batches(
         bound_cls(Part, lookup_ref=ref), batch_format="pyarrow",
         batch_size=65536, concurrency=(1, 8),
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
-        promo_sum += float(b["promo"].to_numpy(zero_copy_only=False).sum())
-        total_sum += float(b["total"].to_numpy(zero_copy_only=False).sum())
-    share = 100.0 * promo_sum / total_sum if total_sum else 0.0
-    return pd.DataFrame({"promo_revenue": [round(share, 4)]})
+        promo4 += int(b["promo4"].to_numpy(zero_copy_only=False).sum())
+        total4 += int(b["total4"].to_numpy(zero_copy_only=False).sum())
+    share = 100.0 * float(promo4) / float(total4) if total4 else 0.0
+    return pd.DataFrame({"promo_revenue": [float(_rha(share, 4))]})
 
 
 def q13(sf_dir: str, exclude_priority: str = "1-URGENT") -> pd.DataFrame:
@@ -861,20 +901,22 @@ def q8(
         m = sel_part[pk] & (cn >= 0) & in_region[np.maximum(cn, 0)]
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
-        vol = price * (1.0 - disc)
+        # exact 1e-4-dollar integer units (the q7/q9 float-sum class)
+        vol4 = (np.rint(price * 100.0).astype(np.int64)
+                * (100 - np.rint(disc * 100.0).astype(np.int64)))
         is_t = sup_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)[m]] == target
         return pa.table({
             "o_year": t["o_year"].filter(pa.array(m)),
-            "vol": vol,
-            "tvol": np.where(is_t, vol, 0.0),
+            "vol4": pa.array(vol4, pa.int64()),
+            "tvol4": pa.array(np.where(is_t, vol4, 0), pa.int64()),
         })
 
     agg = (
         j.map_batches(vols, fn_kwargs={"dims_ref": dims},
                       batch_format="pyarrow")
         .groupby("o_year")
-        .aggregate(Sum("vol", alias_name="vol"),
-                   Sum("tvol", alias_name="tvol"))
+        .aggregate(Sum("vol4", alias_name="vol4"),
+                   Sum("tvol4", alias_name="tvol4"))
         .to_pandas()
     )
     if agg.empty:
@@ -882,7 +924,8 @@ def q8(
                              "mkt_share": pd.Series([], dtype=np.float64)})
     return pd.DataFrame({
         "o_year": agg["o_year"].astype(np.int64),
-        "mkt_share": (agg["tvol"] / agg["vol"]).round(6),
+        "mkt_share": _rha(agg["tvol4"].to_numpy(np.float64)
+                          / agg["vol4"].to_numpy(np.float64), 6),
     }).sort_values("o_year", ignore_index=True)
 
 
@@ -907,10 +950,13 @@ def q15(
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[m]
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
-        df = pd.DataFrame({"s": sk, "r": price * (1.0 - disc)})
-        g = df.groupby("s", as_index=False)["r"].sum()
+        # exact 1e-4-dollar integer partials (the q7/q9 class)
+        r4 = (np.rint(price * 100.0).astype(np.int64)
+              * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        df = pd.DataFrame({"s": sk, "r4": r4})
+        g = df.groupby("s", as_index=False)["r4"].sum()
         return pa.table({"l_suppkey": g["s"].to_numpy(np.int64),
-                         "rev": g["r"].to_numpy(np.float64)})
+                         "rev4": g["r4"].to_numpy(np.int64)})
 
     rev = (
         read_parquet_clean(
@@ -920,13 +966,15 @@ def q15(
         )
         .map_batches(part, batch_format="pyarrow")
         .groupby("l_suppkey")
-        .aggregate(Sum("rev", alias_name="total_revenue"))
+        .aggregate(Sum("rev4", alias_name="rev4"))
         .to_pandas()
     )
     if rev.empty:
         return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
                              "s_name": pd.Series([], dtype=object),
                              "total_revenue": pd.Series([], dtype=np.float64)})
+    rev["total_revenue"] = _rha(rev.pop("rev4").to_numpy(np.float64)
+                                / 10000.0, 2)
     best = rev[rev["total_revenue"] == rev["total_revenue"].max()]
     names = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
@@ -934,7 +982,7 @@ def q15(
     out = pd.DataFrame({
         "s_suppkey": best["l_suppkey"].astype(np.int64).to_numpy(),
         "s_name": best["l_suppkey"].map(names).to_numpy(),
-        "total_revenue": best["total_revenue"].round(2).to_numpy(),
+        "total_revenue": best["total_revenue"].to_numpy(),
     })
     return out.sort_values("s_suppkey", ignore_index=True)
 
@@ -1054,20 +1102,22 @@ def q19(
                  & (qty >= qlo) & (qty <= qhi)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
-        return pa.table({"p": pa.array(
-            [float((price * (1.0 - disc)).sum())], pa.float64())})
+        # exact 1e-4-dollar integer partials (the q7/q9 class)
+        p4 = (np.rint(price * 100.0).astype(np.int64)
+              * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        return pa.table({"p4": pa.array([int(p4.sum())], pa.int64())})
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    total = sum(
-        b["p"].to_numpy(zero_copy_only=False).sum()
+    total4 = sum(
+        int(b["p4"].to_numpy(zero_copy_only=False).sum())
         for b in li.map_batches(part_rev, fn_kwargs={"dims": dims},
                                 batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+    return pd.DataFrame({"revenue": [float(_rha(total4 / 10000.0, 2))]})
 
 
 def q22(
