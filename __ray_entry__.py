@@ -1366,7 +1366,7 @@ def _q_rollup_events(sf_dir):
     (one base scan, coarser levels folded from the base cube)."""
     from pgd_ray.stages.cube import rollup_counts
 
-    return rollup_counts(sf_dir)
+    return rollup_counts(sf_dir, exact_cents=True)
 
 
 def _q_pivot_user_types(sf_dir):
@@ -2482,7 +2482,7 @@ def _q_funnel_events(sf_dir):
 def _q_tumbling_counts(sf_dir):
     from pgd_ray.stages.windows import tumbling_counts
 
-    df = tumbling_counts(sf_dir).to_pandas()
+    df = tumbling_counts(sf_dir, exact_cents=True).to_pandas()
     df["sum_value"] = df["sum_value"].round(6)
     return df
 
@@ -2732,28 +2732,52 @@ def _q_tpch_q14(sf_dir):
 
 
 def _q_event_type_stats(sf_dir):
-    """Per-group numeric profile via Ray Data NATIVE aggregates
-    (Count/Sum/Min/Max/Mean/Std in one hash-agg pass)."""
+    """Per-group numeric profile in one native hash-agg pass.  The
+    moment sums run over EXACT integer cents (and cents², both int64)
+    so sum/mean/std are reproducible bit-for-bit against the SQL
+    mirror regardless of combine order — Ray's float Sum/Mean/Std and
+    DuckDB's aggregates can land on opposite sides of the digit-6
+    rounding boundary (the q7/q9 class)."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as _pa
 
-    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+    from ray.data.aggregate import Count, Max, Min, Sum
 
-    from pgd_ray.util import read_parquet_clean
+    from pgd_ray.util import read_parquet_clean, round_half_away
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "value"])
-    df = ev.groupby("event_type").aggregate(
+
+    def cents(t):
+        c100 = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return _pa.table({"event_type": t["event_type"],
+                          "value": t["value"],
+                          "c100": _pa.array(c100, _pa.int64()),
+                          "c2": _pa.array(c100 * c100, _pa.int64())})
+
+    df = ev.map_batches(cents, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
         Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
+        Sum("c100", alias_name="s"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
-        Mean("value", alias_name="mean_value"),
-        Std("value", alias_name="std_value"),
+        Sum("c2", alias_name="s2"),
     ).to_pandas().sort_values("event_type", ignore_index=True)
     df["n"] = df["n"].astype("int64")
-    for c in ("sum_value", "mean_value", "std_value"):
-        df[c] = df[c].round(6)
-    return df
+    nf = df["n"].to_numpy(np.float64)
+    sf_ = df.pop("s").to_numpy(np.float64)
+    s2f = df.pop("s2").to_numpy(np.float64)
+    df["sum_value"] = round_half_away(sf_ / 100.0, 6)
+    df["mean_value"] = round_half_away(sf_ / (100.0 * nf), 6)
+    # sample std from the same exact sums, expression-identical to
+    # the SQL mirror
+    df["std_value"] = round_half_away(
+        np.sqrt(np.maximum(s2f - sf_ * sf_ / nf, 0.0) / (nf - 1.0))
+        / 100.0, 6)
+    return df[["event_type", "n", "sum_value", "min_value", "max_value",
+               "mean_value", "std_value"]]
 
 
 def _q_cms_user_counts(sf_dir):
@@ -2883,7 +2907,7 @@ def _q_hopping_counts(sf_dir):
     windows) — stages.windows.hopping_counts."""
     from pgd_ray.stages.windows import hopping_counts
 
-    df = hopping_counts(sf_dir).to_pandas()
+    df = hopping_counts(sf_dir, exact_cents=True).to_pandas()
     df["sum_value"] = df["sum_value"].round(6)
     return df
 
@@ -3802,7 +3826,7 @@ def _q_cube_events(sf_dir):
     (stages.cube.cube_counts; rollup sentinels)."""
     from pgd_ray.stages.cube import cube_counts
 
-    return cube_counts(sf_dir)
+    return cube_counts(sf_dir, exact_cents=True)
 
 
 def _q_ccf_daily(sf_dir):
@@ -4837,7 +4861,8 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
         # p_container); threshold 0.2·AVG via exact integer-valued
         # double sums on both sides.
         "tpch_q17": """
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+           AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (
@@ -5026,7 +5051,7 @@ WITH o AS (SELECT unnest(generate_series(0, 3)) AS i)
 SELECT event_type,
        CAST((epoch_us(ts) // 900000000 - o.i) * 900000000 AS BIGINT) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS sum_value
 FROM events CROSS JOIN o
 GROUP BY event_type, window_start""",
         "heavy_hitters": """
@@ -5237,7 +5262,7 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3""",
 SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS sum_value
 FROM events GROUP BY event_type, window_start""",
         "sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
@@ -5384,10 +5409,14 @@ ORDER BY w.numwait DESC, sup.s_name LIMIT 20""",
         "tpch_q22": """
 SELECT CAST(c_custkey % 10 AS BIGINT) AS cntrycode,
        CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                   WHERE c_acctbal > 0.0)
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM customer
+           WHERE ROUND(c_acctbal * 100) > 0)
+      > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+         FROM customer WHERE ROUND(c_acctbal * 100) > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_totalprice > 450000.0)
@@ -5691,7 +5720,8 @@ FROM mm""",
 WITH pc AS (
   SELECT o_custkey AS c_custkey,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         ROUND(SUM(o_totalprice), 2) AS monetary,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS monetary,
          MAX(epoch_us(o_orderdate)) AS last_ts
   FROM orders GROUP BY 1),
 mx AS (SELECT MAX(last_ts) AS m FROM pc),
@@ -5806,16 +5836,26 @@ SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'""",
-        # Ray native hash aggregates; Std is sample stddev (ddof=1)
+        # moment sums over exact integer cents; std (ddof=1) from the
+        # same sums with the engine's exact expression shape
         "event_type_stats": """
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6) AS sum_value,
-       MIN(value) AS min_value,
-       MAX(value) AS max_value,
-       ROUND(AVG(value), 6) AS mean_value,
-       ROUND(STDDEV_SAMP(value), 6) AS std_value
-FROM events GROUP BY event_type""",
+WITH c AS (SELECT event_type, value,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c100
+           FROM events),
+a AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c100) AS DOUBLE) AS s,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value,
+             CAST(SUM(c100 * c100) AS DOUBLE) AS s2
+      FROM c GROUP BY event_type)
+SELECT event_type, n,
+       ROUND(s / 100.0, 6) AS sum_value,
+       min_value, max_value,
+       ROUND(s / (100.0 * n), 6) AS mean_value,
+       ROUND(sqrt(greatest(s2 - s * s / n, 0.0) / (n - 1.0)) / 100.0, 6)
+           AS std_value
+FROM a""",
 
         # stages.cms: CMS cells = splitmix64(user_id ^ d*golden) % 128,
         # estimate = MIN over rows of the cell count
@@ -6960,7 +7000,7 @@ FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
 SELECT COALESCE(event_type, '(all)') AS event_type,
        COALESCE(day, -1) AS day,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6) AS value_sum
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS value_sum
 FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
       FROM events)
 GROUP BY ROLLUP (event_type, day)""",
@@ -7834,7 +7874,7 @@ GROUP BY lg.lag ORDER BY lag""",
 SELECT COALESCE(event_type, '(all)') AS event_type,
        COALESCE(dow, -1) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6) AS value_sum
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS value_sum
 FROM (SELECT event_type,
              CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
              value

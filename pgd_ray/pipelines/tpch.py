@@ -1040,16 +1040,19 @@ def q17(
         lim = pk.map(tm).to_numpy(np.float64)
         qty = t["l_quantity"].to_numpy(zero_copy_only=False)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        return pa.table({"p": pa.array(
-            [float(price[qty < lim].sum())], pa.float64())})
+        # price summed as exact integer cents (the q7/q9 class);
+        # quantities are pure integers so the threshold is exact
+        p100 = np.rint(price[qty < lim] * 100.0).astype(np.int64)
+        return pa.table({"p100": pa.array([int(p100.sum())], pa.int64())})
 
-    total = sum(
-        b["p"].to_numpy(zero_copy_only=False).sum()
+    total100 = sum(
+        int(b["p100"].to_numpy(zero_copy_only=False).sum())
         for b in li.map_batches(small, fn_kwargs={"thr_ref": thr_ref},
                                 batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    return pd.DataFrame({"avg_yearly": [round(float(total) / 7.0, 2)]})
+    return pd.DataFrame({"avg_yearly": [float(_rha(
+        total100 / 100.0 / 7.0, 2))]})
 
 
 def q19(
@@ -1142,19 +1145,35 @@ def q22(
 
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
-    pos = cust.filter(expr="c_acctbal > 0.0").aggregate(
-        Sum("c_acctbal", alias_name="s"), Count(alias_name="n"))
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        c100 = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return t.append_column("c100", pa.array(c100, pa.int64()))
+
+    cust = cust.map_batches(cents_col, batch_format="pyarrow"
+                            ).materialize()
+    pos = cust.filter(expr="c100 > 0").aggregate(
+        Sum("c100", alias_name="s"), Count(alias_name="n"))
     if not pos["n"]:
         return pd.DataFrame({
             "cntrycode": pd.Series([], dtype=np.int64),
             "numcust": pd.Series([], dtype=np.int64),
             "totacctbal": pd.Series([], dtype=np.float64)})
-    avg_bal = float(pos["s"]) / int(pos["n"])
+    s_cents, n_pos = int(pos["s"]), int(pos["n"])
 
     big_orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {totalprice_above!r}")
-    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+    # the avg-balance threshold compares EXACT integers
+    # (cents·n > Σcents): a float average as the cut line can place
+    # borderline customers differently than the SQL oracle.  (Ray's
+    # filter expr can't take an arithmetic left operand.)
+    def _rich(t: pa.Table, n_pos=n_pos, s_cents=s_cents) -> pa.Table:
+        c = t["c100"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c * n_pos > s_cents))
+
+    rich = cust.map_batches(_rich, batch_format="pyarrow")
     kept = anti_join(rich, big_orders,
                      left_key="c_custkey", right_key="o_custkey")
 
@@ -1162,18 +1181,19 @@ def q22(
         ck = t["c_custkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "cntrycode": pa.array(ck % 10, pa.int64()),
-            "c_acctbal": t["c_acctbal"],
+            "c100": t["c100"],
         })
 
     out = (
         kept.map_batches(code, batch_format="pyarrow")
         .groupby("cntrycode")
         .aggregate(Count(alias_name="numcust"),
-                   Sum("c_acctbal", alias_name="totacctbal"))
+                   Sum("c100", alias_name="c100"))
         .to_pandas()
     )
     out["numcust"] = out["numcust"].astype(np.int64)
-    out["totacctbal"] = np.round(out["totacctbal"].to_numpy(np.float64), 2)
+    out["totacctbal"] = _rha(
+        out.pop("c100").to_numpy(np.float64) / 100.0, 2)
     return out.sort_values("cntrycode", ignore_index=True)
 
 

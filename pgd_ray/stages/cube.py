@@ -31,9 +31,10 @@ from pgd_ray.util import read_parquet_clean
 _DAY_US = 86_400_000_000
 
 
-def rollup_counts(sf_dir: str) -> pd.DataFrame:
+def rollup_counts(sf_dir: str, exact_cents: bool = False) -> pd.DataFrame:
     """Event counts and value sums at (event_type, day), (event_type)
-    and () grains — columns (event_type, day, n, value_sum)."""
+    and () grains — columns (event_type, day, n, value_sum).
+    ``exact_cents=True`` sums int64 cents (see tumbling_counts)."""
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
@@ -41,13 +42,20 @@ def rollup_counts(sf_dir: str) -> pd.DataFrame:
     def keyed(t: pa.Table) -> pa.Table:
         day = (t["ts"].to_numpy(zero_copy_only=False)
                .astype("datetime64[us]").astype(np.int64)) // _DAY_US
+        if exact_cents:
+            # money contract: sum int64 cents (combine-order-free)
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+            vcol = pa.array(v, pa.int64())
+        else:
+            vcol = t["value"]
         return pa.table({"event_type": t["event_type"], "day": day,
-                         "value": t["value"]})
+                         "m": vcol})
 
     base = (
         ev.map_batches(keyed, batch_format="pyarrow")
         .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+        .aggregate(Count(alias_name="n"), Sum("m", alias_name="m"))
         .to_pandas()
     )
     if base.empty:
@@ -56,15 +64,19 @@ def rollup_counts(sf_dir: str) -> pd.DataFrame:
                              "n": pd.Series([], dtype=np.int64),
                              "value_sum": pd.Series([], dtype=np.float64)})
     lvl1 = base.groupby("event_type", as_index=False).agg(
-        n=("n", "sum"), value_sum=("value_sum", "sum"))
+        n=("n", "sum"), m=("m", "sum"))
     lvl1["day"] = np.int64(-1)
     lvl0 = pd.DataFrame({"event_type": ["(all)"], "day": np.int64(-1),
                          "n": [base["n"].sum()],
-                         "value_sum": [base["value_sum"].sum()]})
+                         "m": [base["m"].sum()]})
     out = pd.concat([base, lvl1, lvl0], ignore_index=True)
     out["n"] = out["n"].astype(np.int64)
     out["day"] = out["day"].astype(np.int64)
-    out["value_sum"] = out["value_sum"].astype(np.float64).round(6)
+    from pgd_ray.util import round_half_away
+
+    m = out.pop("m").to_numpy(np.float64)
+    out["value_sum"] = round_half_away(
+        m / 100.0 if exact_cents else m, 6)
     return out.sort_values(["event_type", "day"], ignore_index=True)
 
 
@@ -142,7 +154,7 @@ def json_props_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type", ignore_index=True)
 
 
-def cube_counts(sf_dir: str) -> pd.DataFrame:
+def cube_counts(sf_dir: str, exact_cents: bool = False) -> pd.DataFrame:
     """Full CUBE over (event_type, day-of-week): counts and value
     sums at ALL four grains — (type, dow), (type), (dow), () — the
     GROUP BY CUBE completion of ``rollup_counts``.  One distributed
@@ -158,14 +170,20 @@ def cube_counts(sf_dir: str) -> pd.DataFrame:
     def keyed(t: pa.Table) -> pa.Table:
         day = (t["ts"].to_numpy(zero_copy_only=False)
                .astype("datetime64[us]").astype(np.int64)) // _DAY_US
+        if exact_cents:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+            vcol = pa.array(v, pa.int64())
+        else:
+            vcol = t["value"]
         return pa.table({"event_type": t["event_type"],
                          "dow": (day + 4) % 7,
-                         "value": t["value"]})
+                         "m": vcol})
 
     base = (
         ev.map_batches(keyed, batch_format="pyarrow")
         .groupby(["event_type", "dow"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+        .aggregate(Count(alias_name="n"), Sum("m", alias_name="m"))
         .to_pandas()
     )
     if base.empty:
@@ -174,17 +192,21 @@ def cube_counts(sf_dir: str) -> pd.DataFrame:
                              "n": pd.Series([], dtype=np.int64),
                              "value_sum": pd.Series([], dtype=np.float64)})
     by_type = base.groupby("event_type", as_index=False).agg(
-        n=("n", "sum"), value_sum=("value_sum", "sum"))
+        n=("n", "sum"), m=("m", "sum"))
     by_type["dow"] = np.int64(-1)
     by_dow = base.groupby("dow", as_index=False).agg(
-        n=("n", "sum"), value_sum=("value_sum", "sum"))
+        n=("n", "sum"), m=("m", "sum"))
     by_dow["event_type"] = "(all)"
     grand = pd.DataFrame({"event_type": ["(all)"], "dow": np.int64(-1),
                           "n": [base["n"].sum()],
-                          "value_sum": [base["value_sum"].sum()]})
+                          "m": [base["m"].sum()]})
     out = pd.concat([base, by_type, by_dow, grand], ignore_index=True)
     out["dow"] = out["dow"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
-    out["value_sum"] = np.round(out["value_sum"].astype(np.float64), 6)
+    from pgd_ray.util import round_half_away
+
+    m = out.pop("m").to_numpy(np.float64)
+    out["value_sum"] = round_half_away(
+        m / 100.0 if exact_cents else m, 6)
     return out[["event_type", "dow", "n", "value_sum"]].sort_values(
         ["event_type", "dow"], ignore_index=True)

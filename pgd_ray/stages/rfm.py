@@ -38,15 +38,19 @@ def rfm_segments(sf_dir: str, k: int = 5) -> pd.DataFrame:
     def keyed(t: pa.Table) -> pa.Table:
         ts = (t["o_orderdate"].to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
+        # o_totalprice is exact integer cents: sum int64 (float
+        # partial sums are combine-order-dependent at boundaries)
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
         return pa.table({"c_custkey": t["o_custkey"],
-                         "price": t["o_totalprice"],
+                         "cents": pa.array(cents, pa.int64()),
                          "ots": pa.array(ts, pa.int64())})
 
     per_cust = (
         orders.map_batches(keyed, batch_format="pyarrow")
         .groupby("c_custkey")
         .aggregate(Count(alias_name="frequency"),
-                   Sum("price", alias_name="monetary"),
+                   Sum("cents", alias_name="cents"),
                    Max("ots", alias_name="last_ts"))
         .materialize()
     )
@@ -69,8 +73,8 @@ def rfm_segments(sf_dir: str, k: int = 5) -> pd.DataFrame:
                 t["frequency"].to_numpy(zero_copy_only=False)
                 .astype(np.int64), pa.int64()),
             "monetary": pa.array(
-                np.round(t["monetary"].to_numpy(zero_copy_only=False)
-                         .astype(np.float64), 2), pa.float64()),
+                t["cents"].to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 100.0, pa.float64()),
         })
 
     base = per_cust.map_batches(derive, batch_format="pyarrow")

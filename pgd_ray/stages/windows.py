@@ -23,9 +23,28 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
-def tumbling_counts(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
+def _cents_to_sum_value(t: pa.Table) -> pa.Table:
+    """Replace an exact int64 ``sum_cents`` column with the float
+    ``sum_value`` the public schema promises (one division; SQL
+    half-away rounding at 6)."""
+    from pgd_ray.util import round_half_away
+
+    cols = {c: t[c] for c in t.column_names if c != "sum_cents"}
+    cols["sum_value"] = pa.array(
+        round_half_away(t["sum_cents"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64) / 100.0, 6), pa.float64())
+    return pa.table(cols)
+
+
+def tumbling_counts(sf_dir: str, window_us: int = 3_600_000_000,
+                    exact_cents: bool = False) -> ray.data.Dataset:
     """Events per (event_type, hour window): columns
-    (event_type, window_start, n_events, sum_value)."""
+    (event_type, window_start, n_events, sum_value).
+
+    ``exact_cents=True`` declares the value column an exact 2-decimal
+    (money) column: sums run over int64 cents, making the result
+    independent of float combine order (the q7/q9 boundary class).
+    Off by default — generic value columns must not be quantized."""
     from pgd_ray.util import read_parquet_clean
 
     ev = read_parquet_clean(
@@ -35,25 +54,36 @@ def tumbling_counts(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dat
     def keyed(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         win = ts // window_us * window_us
+        if exact_cents:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+            vcol = pa.array(v, pa.int64())
+        else:
+            vcol = t["value"]
         return pa.table(
             {
                 "event_type": t["event_type"],
                 "window_start": win,
-                "value": t["value"],
+                ("cents" if exact_cents else "value"): vcol,
             }
         )
 
-    return (
-        ev.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-    )
+    agg = ev.map_batches(keyed, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"])
+    if exact_cents:
+        return agg.aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        ).map_batches(_cents_to_sum_value, batch_format="pyarrow")
+    return agg.aggregate(Count(alias_name="n_events"),
+                         Sum("value", alias_name="sum_value"))
 
 
 def hopping_counts(
     sf_dir: str,
     window_us: int = 3_600_000_000,
     hop_us: int = 900_000_000,
+    exact_cents: bool = False,
 ) -> ray.data.Dataset:
     """Overlapping (hopping/sliding) windows: size ``window_us``
     advancing by ``hop_us`` (must divide the size).  Each event lands
@@ -78,19 +108,29 @@ def hopping_counts(
         base = ts // hop_us
         win = (np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us
         row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        if exact_cents:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+            vcol = pa.array(np.repeat(v, k), pa.int64())
+        else:
+            vcol = t["value"].take(row_idx)
         return pa.table(
             {
                 "event_type": t["event_type"].take(row_idx),
                 "window_start": win,
-                "value": t["value"].take(row_idx),
+                ("cents" if exact_cents else "value"): vcol,
             }
         )
 
-    return (
-        ev.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-    )
+    agg = ev.map_batches(keyed, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"])
+    if exact_cents:
+        return agg.aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        ).map_batches(_cents_to_sum_value, batch_format="pyarrow")
+    return agg.aggregate(Count(alias_name="n_events"),
+                         Sum("value", alias_name="sum_value"))
 
 
 def cooccurrence_pairs(
