@@ -2482,9 +2482,9 @@ def _q_funnel_events(sf_dir):
 def _q_tumbling_counts(sf_dir):
     from pgd_ray.stages.windows import tumbling_counts
 
-    df = tumbling_counts(sf_dir, exact_cents=True).to_pandas()
-    df["sum_value"] = df["sum_value"].round(6)
-    return df
+    # exact_cents already emits round_half_away(…, 6) — no pandas
+    # half-even re-round on top (ADVICE r4)
+    return tumbling_counts(sf_dir, exact_cents=True).to_pandas()
 
 
 def _q_sessions(sf_dir):
@@ -2744,7 +2744,8 @@ def _q_event_type_stats(sf_dir):
 
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    from pgd_ray.util import read_parquet_clean, round_half_away
+    from pgd_ray.util import (int_sum_headroom, read_parquet_clean,
+                              round_half_away)
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "value"])
@@ -2767,6 +2768,10 @@ def _q_event_type_stats(sf_dir):
     ).to_pandas().sort_values("event_type", ignore_index=True)
     df["n"] = df["n"].astype("int64")
     nf = df["n"].to_numpy(np.float64)
+    # c100*c100 sums are the q1-ch6 overflow class (ADVICE r4): fail
+    # loudly before int64 wraparound rather than silently diverge
+    int_sum_headroom(df["s2"].to_numpy(np.int64), "event_type_stats s2")
+    int_sum_headroom(df["s"].to_numpy(np.int64), "event_type_stats s")
     sf_ = df.pop("s").to_numpy(np.float64)
     s2f = df.pop("s2").to_numpy(np.float64)
     df["sum_value"] = round_half_away(sf_ / 100.0, 6)
@@ -2907,9 +2912,9 @@ def _q_hopping_counts(sf_dir):
     windows) — stages.windows.hopping_counts."""
     from pgd_ray.stages.windows import hopping_counts
 
-    df = hopping_counts(sf_dir, exact_cents=True).to_pandas()
-    df["sum_value"] = df["sum_value"].round(6)
-    return df
+    # exact_cents already emits round_half_away(…, 6) — no pandas
+    # half-even re-round on top (ADVICE r4)
+    return hopping_counts(sf_dir, exact_cents=True).to_pandas()
 
 
 def _q_heavy_hitters(sf_dir):

@@ -92,8 +92,12 @@ def q1(sf_dir: str, cutoff_us: int) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    from pgd_ray.util import round_half_away
+    from pgd_ray.util import int_sum_headroom, round_half_away
 
+    # ch6 averages ~4e10 per row — per-group int64 sums wrap past
+    # ~sf150 while the oracle promotes to HUGEINT; fail loudly instead
+    int_sum_headroom(agg["sum_ch6"].to_numpy(np.int64), "q1 sum_ch6")
+    int_sum_headroom(agg["sum_dp4"].to_numpy(np.int64), "q1 sum_dp4")
     n = agg["count_order"].astype("int64")
     nf = n.to_numpy(np.float64)
     out = pd.DataFrame(

@@ -579,7 +579,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF → (h, w, 3) uint8 RGB.  Huffman and
     quant tables come from the stream (DHT/DQT); grayscale and
     sampling factors up to 2×2 supported; DRI restart markers handled;
-    SOF2 (progressive) raises NotImplementedError."""
+    SOF2 (progressive) raises NotImplementedError.
+
+    Subsampled chroma (4:2:0 / 4:2:2) is upsampled NEAREST-NEIGHBOR
+    (``np.repeat``), matching this module's encoder (box-average
+    downsampling), so encode→decode round-trips are exact — but
+    libjpeg's "fancy" (triangular) upsampling differs slightly, so
+    pixel-level comparisons against libjpeg-decoded output of
+    externally produced subsampled files are NOT expected to match
+    bit-for-bit (ADVICE r4)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

@@ -612,7 +612,13 @@ def conv_typicality(transcripts: ray.data.Dataset) -> pd.DataFrame:
     vocab = sorted({t for ab in logp for t in ab},
                    key=lambda x: (x is None, str(x)))
     tid = {t: i for i, t in enumerate(vocab)}
-    lpm = np.full((len(vocab), len(vocab)), np.nan, dtype=np.float64)
+    # one extra all-NaN sentinel row/column (index len(vocab)) for
+    # out-of-vocabulary tools: the `same` mask should never select an
+    # OOV position as a pair, but if that invariant ever breaks
+    # (nulls, filtered transitions) the pair surfaces as NaN nll
+    # instead of silently contributing tool-0's log-prob (ADVICE r4)
+    lpm = np.full((len(vocab) + 1, len(vocab) + 1), np.nan,
+                  dtype=np.float64)
     for (a, b), v in logp.items():
         lpm[tid[a], tid[b]] = v
 
@@ -634,9 +640,10 @@ def conv_typicality(transcripts: ray.data.Dataset) -> pd.DataFrame:
         tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         same = conv[1:] == conv[:-1]
         # tools outside the vocabulary (e.g. a single-turn conv's
-        # tool, never part of a transition) get id 0 — harmless, the
-        # `same` mask never selects those positions as a pair
-        ids = (pd.Series(tool).map(tid).fillna(0)
+        # tool, never part of a transition) map to the NaN sentinel
+        # index — an invariant violation yields NaN nll, not a wrong
+        # value
+        ids = (pd.Series(tool).map(tid).fillna(len(tid))
                .to_numpy(np.int64))
         lp = lpm[ids[:-1][same], ids[1:][same]]
         cv = conv[1:][same]

@@ -85,6 +85,24 @@ def bound_cls(cls, /, **kwargs):
     return _Bound
 
 
+def int_sum_headroom(x, what: str = "integer sum"):
+    """Guard exact-integer aggregate magnitudes (ADVICE r4): int64
+    partial sums of scaled-money products (e.g. q1's ch6 ≈ 4e10/row)
+    approach 2^63 near sf≈150, where the engine would silently wrap
+    while the SQL oracle's HUGEINT keeps going.  Fail loudly at 2^62
+    — one bit of headroom before wraparound — so exactness claims
+    never degrade into silent divergence.  Returns ``x`` unchanged."""
+    import numpy as np
+
+    a = np.asarray(x)
+    if a.size and int(np.abs(a).max()) >= (1 << 62):
+        raise OverflowError(
+            f"{what}: |sum| >= 2^62 — int64 exact-arithmetic headroom "
+            "exhausted at this scale factor; accumulate this column in "
+            "split hi/lo partials or object-dtype integers")
+    return x
+
+
 def round_half_away(x, nd: int = 6):
     """Round half AWAY from zero at ``nd`` decimals — SQL ROUND
     semantics (DuckDB/ANSI), unlike numpy's round-half-to-even.
