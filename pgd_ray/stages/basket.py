@@ -65,11 +65,16 @@ def pair_counts(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
         m = a < b
         return pa.table({"part_a": a[m], "part_b": b[m]})
 
-    return (
-        j.map_batches(orient, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Count(alias_name="n_both"))
-    )
+    # per-pair count on the SORT path, not a hash aggregate: the pair
+    # key's cardinality approaches the row count, exactly the regime
+    # where Ray's hash groupby measured ~60× slower than sort +
+    # run-length (638 s vs ~10 s at 30M rows — BASELINE.md session-6;
+    # VERDICT r4 item 4)
+    from pgd_ray.stages.distinct import count_sorted_blocks
+
+    srt = (j.map_batches(orient, batch_format="pyarrow")
+           .sort(["part_a", "part_b"]).materialize())
+    return count_sorted_blocks(srt, ["part_a", "part_b"], alias="n_both")
 
 
 def basket_lift(

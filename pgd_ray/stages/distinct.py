@@ -102,6 +102,63 @@ def dedup_sorted_blocks(
     return ray.data.from_arrow_refs(out)
 
 
+def count_sorted_blocks(
+    srt: ray.data.Dataset, cols: list[str], alias: str = "n"
+) -> ray.data.Dataset:
+    """Per-key row counts over a Dataset already globally sorted by
+    ``cols`` — the sort-path replacement for a high-cardinality hash
+    ``groupby().aggregate(Count)`` (the 638 s-vs-10 s BASELINE.md
+    rule, same family as ``dedup_sorted_blocks``).
+
+    Each block reduces its key runs vectorized (one Ray task per
+    block); runs that touch a block edge — the first and last run of
+    every block, whose key may continue into a neighbor — are routed
+    to the driver and re-summed there, O(#blocks) rows.  Interior runs
+    are complete by construction (globally sorted input), so no key is
+    counted twice.  Returns a Dataset with columns ``cols + [alias]``
+    (unsorted block order, like any Ray aggregate)."""
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def _runs(t):
+        empty = t.select(cols).slice(0, 0).append_column(
+            alias, pa.array([], pa.int64()))
+        if t.num_rows == 0:
+            return empty, empty
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        neq = np.zeros(t.num_rows - 1, dtype=bool)
+        for a in arrs:
+            neq |= a[1:] != a[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        ends = np.concatenate((starts[1:], [t.num_rows]))
+        n = (ends - starts).astype(np.int64)
+        key_tbl = t.select(cols).take(pa.array(starts))
+        full = key_tbl.append_column(alias, pa.array(n, pa.int64()))
+        if len(starts) <= 2:
+            return empty, full  # every run touches an edge
+        interior = full.slice(1, len(starts) - 2)
+        edge = pa.concat_tables([full.slice(0, 1),
+                                 full.slice(len(starts) - 1, 1)])
+        return interior, edge
+
+    if not refs:
+        return srt
+    out = [_runs.remote(r) for r in refs]
+    interior_refs = [o[0] for o in out]
+    edge_tbls = ray.get([o[1] for o in out])
+    nonempty = [e for e in edge_tbls if e.num_rows]
+    parts = [ray.data.from_arrow_refs(interior_refs)]
+    if nonempty:
+        edges = pa.concat_tables(nonempty)
+        edf = edges.to_pandas().groupby(cols, sort=False, dropna=False)[
+            alias].sum().reset_index()
+        edf[alias] = edf[alias].astype(np.int64)
+        parts.append(ray.data.from_arrow(
+            pa.Table.from_pandas(edf, preserve_index=False)
+            .cast(edges.schema)))
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+
+
 def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """High-cardinality SELECT DISTINCT as a first-class operator.
 
