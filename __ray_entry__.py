@@ -134,6 +134,34 @@ _D_CTE = """
 d AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM s GROUP BY src)
 """
 
+# Streaming-form per-vertex triangle counts (round 5, VERDICT r4 item
+# 5): the old mirrors joined every edge against the full adjacency
+# (`e × s`, Σdeg-per-edge intermediate) which OOMed DuckDB at sf0.1.
+# This is the degree-oriented wedge join instead — orient each edge
+# from the lower-(degree, id) endpoint, enumerate each triangle
+# exactly once at its minimum-rank vertex (two oriented out-edges +
+# one undirected closure probe against canonical `e`), then count
+# triangle incidences per vertex.  The intermediate is the oriented
+# wedge set, O(m^1.5) worst case, streamable.  Requires e/s/d CTEs.
+_VT_STREAM_CTE = """
+oe AS (SELECT CASE WHEN da.degree < db.degree
+                     OR (da.degree = db.degree AND e.src < e.dst)
+                   THEN e.src ELSE e.dst END AS u,
+              CASE WHEN da.degree < db.degree
+                     OR (da.degree = db.degree AND e.src < e.dst)
+                   THEN e.dst ELSE e.src END AS w
+       FROM e JOIN d da ON da.v = e.src JOIN d db ON db.v = e.dst),
+tr AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+       FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.w < e2.w
+            JOIN e e3 ON e3.src = LEAST(e1.w, e2.w)
+                     AND e3.dst = GREATEST(e1.w, e2.w)),
+tv AS (SELECT a AS v FROM tr UNION ALL SELECT b FROM tr
+       UNION ALL SELECT c FROM tr),
+vt AS (SELECT d.v, CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri
+       FROM d LEFT JOIN (SELECT v, COUNT(*) AS tri FROM tv GROUP BY v) t
+            ON t.v = d.v)
+"""
+
 
 def _macro17_sql(edge_cte: str, n_expr: str) -> str:
     """Full 17-count graphlet SQL over a (small) edge CTE ``e`` —
@@ -4744,15 +4772,7 @@ FROM up GROUP BY v ORDER BY v""",
         # graph.graphlets.orbit_spearman — see _orbit_spearman_sql
         "orbit_spearman": _orbit_spearman_sql(),
         "vertex_orbits3": f"""
-WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
-et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
-       FROM e LEFT JOIN s s1 ON s1.src = e.src
-              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
-       GROUP BY e.src, e.dst),
-up AS (SELECT src AS v, triangle FROM et
-       UNION ALL SELECT dst AS v, triangle FROM et),
-vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS tri
-       FROM up GROUP BY v),
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE}, {_VT_STREAM_CTE},
 sn AS (SELECT s.src AS v, CAST(SUM(d2.degree) AS BIGINT) AS snbr
        FROM s JOIN d d2 ON d2.v = s.dst GROUP BY 1)
 SELECT d.v,
@@ -5039,16 +5059,10 @@ SELECT event_type AS type_from, nxt AS type_to,
 FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         # pipelines.tpch.q4: EXISTS semi-join, distributed strategy
         "local_cc": f"""
-WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
-et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
-       FROM e LEFT JOIN s s1 ON s1.src = e.src
-              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
-       GROUP BY e.src, e.dst),
-up AS (SELECT src AS v, triangle FROM et UNION ALL SELECT dst AS v, triangle FROM et),
-vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles FROM up GROUP BY v)
-SELECT d.v, d.degree, vt.triangles,
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE}, {_VT_STREAM_CTE}
+SELECT d.v, d.degree, vt.tri AS triangles,
        ROUND(CASE WHEN d.degree >= 2
-             THEN 2.0 * vt.triangles / (d.degree * (d.degree - 1.0))
+             THEN 2.0 * vt.tri / (d.degree * (d.degree - 1.0))
              ELSE 0.0 END, 6) AS local_cc
 FROM d JOIN vt ON vt.v = d.v""",
         "hopping_counts": """
@@ -6450,18 +6464,10 @@ FROM k GROUP BY event_type""",
         # clustering_spectrum: c(k) over the same per-vertex triangle
         # CTE as local_cc; degree<2 vertices contribute 0.
         "clustering_spectrum": f"""
-WITH {_E_CTE}, {_S_CTE}, {_D_CTE},
-et AS (SELECT e.src, e.dst, COUNT(s2.dst) AS triangle
-       FROM e LEFT JOIN s s1 ON s1.src = e.src
-              LEFT JOIN s s2 ON s2.src = e.dst AND s2.dst = s1.dst
-       GROUP BY e.src, e.dst),
-up AS (SELECT src AS v, triangle FROM et
-       UNION ALL SELECT dst AS v, triangle FROM et),
-vt AS (SELECT v, CAST(SUM(triangle) // 2 AS BIGINT) AS triangles
-       FROM up GROUP BY v)
+WITH {_E_CTE}, {_S_CTE}, {_D_CTE}, {_VT_STREAM_CTE}
 SELECT d.degree, CAST(COUNT(*) AS BIGINT) AS n_vertices,
        ROUND(AVG(CASE WHEN d.degree >= 2
-                 THEN 2.0 * vt.triangles / (d.degree * (d.degree - 1.0))
+                 THEN 2.0 * vt.tri / (d.degree * (d.degree - 1.0))
                  ELSE 0.0 END), 6) AS c_k
 FROM d JOIN vt ON vt.v = d.v GROUP BY d.degree""",
         # ewma_daily: observed-day EWMA recurrence, seed = first day;
