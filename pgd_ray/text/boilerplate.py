@@ -6,9 +6,17 @@ scored by the fraction of their lines that are corpus-duplicated.
 Distribution shape: docs → per-batch (doc_id, distinct line) pairs
 (vectorized split/explode/strip, in-batch dedup) → one hash groupby
 for global line-document counts → the duplicated-line KEY SET is
-broadcast back (∝ #duplicated distinct lines; raise min_docs for
-adversarial corpora) → a second stateless pass scores each document.
-No driver state ∝ corpus besides the per-doc result itself.
+broadcast back (∝ #duplicated distinct lines) → a second stateless
+pass scores each document.  No driver state ∝ corpus besides the
+per-doc result itself.
+
+Adversarial-corpus bound (round 5, VERDICT r4 item 7): the broadcast
+set is explicitly capped by ``max_broadcast_lines``.  A corpus where
+most distinct lines are duplicated (e.g. templated pages) would
+otherwise grow the broadcast ∝ corpus; past the cap the scoring pass
+switches to a distributed hash join of the line pairs against the
+duplicated-line Dataset — identical results, no broadcast, at the
+price of one extra shuffle.
 
 Line contract (mirrored in SQL): split on '\\n', strip whitespace,
 drop empty lines, count each line once per document (in-doc repetition
@@ -45,12 +53,17 @@ def boilerplate_lines(
     docs: ray.data.Dataset,
     min_docs: int = 2,
     concurrency=(1, 16),
+    max_broadcast_lines: int = 1_000_000,
 ) -> pd.DataFrame:
     """Per-document boilerplate profile: columns (doc_id, n_lines,
     n_boiler, boiler_frac), ordered by doc_id; n_lines counts DISTINCT
     non-empty stripped lines, n_boiler those appearing in ≥ min_docs
     documents, boiler_frac their ratio rounded to 6 (0.0 for line-less
-    docs)."""
+    docs).
+
+    ``max_broadcast_lines`` bounds driver/broadcast state: if the
+    duplicated-line set exceeds it, scoring switches to a distributed
+    hash join on the line key (same results, one extra shuffle)."""
     cap = concurrency[-1] if isinstance(
         concurrency, (tuple, list)) else concurrency
 
@@ -61,27 +74,45 @@ def boilerplate_lines(
 
     dup = (pairs.groupby("line")
            .aggregate(Count(alias_name="n_docs"))
-           .filter(expr=f"n_docs >= {int(min_docs)}"))
-    dup_set = frozenset(
-        ln for b in dup.select_columns(["line"]).iter_batches(
-            batch_size=1 << 18, batch_format="pyarrow")
-        for ln in b["line"].to_pylist())
-    dup_ref = ray.put(dup_set)
+           .filter(expr=f"n_docs >= {int(min_docs)}")
+           .select_columns(["line"])
+           .materialize())
+    if dup.count() <= max_broadcast_lines:
+        dup_set = frozenset(
+            ln for b in dup.iter_batches(
+                batch_size=1 << 18, batch_format="pyarrow")
+            for ln in b["line"].to_pylist())
+        dup_ref = ray.put(dup_set)
 
-    def score(b: pd.DataFrame, dup_ref) -> pd.DataFrame:
-        ds_ = _BOILER_CACHE_GET(dup_ref)
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(np.int64),
-            "is_b": b["line"].isin(ds_).to_numpy(np.int64)})
+        def score(b: pd.DataFrame, dup_ref) -> pd.DataFrame:
+            ds_ = _BOILER_CACHE_GET(dup_ref)
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "is_b": b["line"].isin(ds_).to_numpy(np.int64)})
 
-    per_doc = (
-        pairs.map_batches(score, batch_format="pandas",
-                          batch_size=65536, fn_kwargs={"dup_ref": dup_ref})
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_lines"),
-                   Sum("is_b", alias_name="n_boiler"))
-        .to_pandas()
-    )
+        per_doc = (
+            pairs.map_batches(score, batch_format="pandas",
+                              batch_size=65536,
+                              fn_kwargs={"dup_ref": dup_ref})
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="n_lines"),
+                       Sum("is_b", alias_name="n_boiler"))
+            .to_pandas()
+        )
+    else:
+        # adversarial corpus: duplicated-line set too big to broadcast
+        # — distributed hash join marks the boilerplate pairs instead
+        n_lines_df = (pairs.groupby("doc_id")
+                      .aggregate(Count(alias_name="n_lines")).to_pandas())
+        # 8 × 0.25-cpu aggregators: leaves CPU headroom for the
+        # upstream map tasks even on a 4-cpu test cluster (a full-cpu
+        # aggregator pool deadlocks against its own producers)
+        matched = pairs.join(
+            dup, "inner", 8, on=("line",),
+            aggregator_ray_remote_args={"num_cpus": 0.25})
+        nb_df = (matched.groupby("doc_id")
+                 .aggregate(Count(alias_name="n_boiler")).to_pandas())
+        per_doc = n_lines_df.merge(nb_df, on="doc_id", how="left").fillna(0)
     all_ids = docs.select_columns(["doc_id"]).to_pandas()
     out = all_ids.merge(per_doc, on="doc_id", how="left").fillna(0)
     n = out["n_lines"].to_numpy(np.float64)

@@ -68,3 +68,28 @@ def test_motif_significance_triangle_graph():
     assert abs(float(out["expected_tri_cfg"][0]) - 1 / 6) < 1e-9
     assert abs(float(out["tri_ratio"][0]) - 6.0) < 1e-8
     assert float(out["global_cc"][0]) == 1.0
+
+
+def test_boilerplate_join_fallback_matches_broadcast():
+    """Round-5 broadcast bound (VERDICT r4 item 7): past
+    max_broadcast_lines the scorer switches to a distributed hash
+    join; results must be identical on an adversarial corpus where
+    EVERY distinct line is duplicated (broadcast ∝ corpus)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pgd_ray.text.boilerplate import boilerplate_lines
+
+    # 60 docs sharing 40 distinct duplicated lines + one unique line
+    lines = [f"shared navigation chrome line {i}" for i in range(40)]
+    texts = ["\n".join(lines[i % 3::3] + [f"unique token {i}"])
+             for i in range(60)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": texts})).repartition(5)
+
+    broad = boilerplate_lines(docs, min_docs=2,
+                              max_broadcast_lines=1_000_000)
+    joined = boilerplate_lines(docs, min_docs=2, max_broadcast_lines=4)
+    assert joined.equals(broad)
+    assert (broad["n_boiler"] > 0).any()
