@@ -2867,17 +2867,18 @@ def _q_macro_approx_tool_graph(sf_dir):
 
 def _q_media_decode(sf_dir):
     """Real image-decode round-trip: documents → real payloads
-    (doc_id % 3 cycles 24-bit BMP / 8-bit PNG / baseline JPEG — all
-    three pure-numpy codecs, stages/codecs.py) with dims derived from
-    strlen(text) → actor-pool decode → dims.  JPEG is lossy but its
-    SOF dims are exact, so the closed-form dims oracle holds for all
-    THREE formats (see oracle_sql()['media_decode'])."""
+    (doc_id % 4 cycles 24-bit BMP / 8-bit PNG / baseline JPEG /
+    progressive SOF2 JPEG — all pure-numpy codecs, stages/codecs.py)
+    with dims derived from strlen(text) → actor-pool decode → dims.
+    JPEG is lossy but its SOF dims are exact, so the closed-form dims
+    oracle holds for all FOUR formats (see
+    oracle_sql()['media_decode'])."""
     import ray.data
 
     from pgd_ray.stages.multimodal import decode_images, media_from_documents
 
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    media = media_from_documents(docs, payload_format="mixed3")
+    media = media_from_documents(docs, payload_format="mixed4")
     return decode_images(media).select_columns(["media_id", "width", "height"])
 
 

@@ -575,11 +575,287 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+def _jpeg_coef_arrays(pixels: np.ndarray, quality: int,
+                      subsampling: str):
+    """Quantized zigzag DCT coefficient arrays (BY, BX, 64) int64 per
+    component on the MCU-padded grid, plus frame metadata — the shared
+    front half of the encoders, vectorized over all blocks (einsum
+    DCT).  Identical numbers to encode_jpeg_baseline's per-block
+    path."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_l = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qt_c = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        ncomp = 1
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ncomp = 3
+        if subsampling == "420":
+            he, we = h + (h & 1), w + (w & 1)
+            pads = []
+            for pl in (y, cb, cr):
+                pp = np.empty((he, we), np.float64)
+                pp[:h, :w] = pl
+                pp[h:, :w] = pl[h - 1 :, :]
+                pp[:, w:] = pp[:, w - 1 : w]
+                pads.append(pp)
+            y = pads[0][:h, :w]
+            cb = 0.25 * (pads[1][0::2, 0::2] + pads[1][1::2, 0::2]
+                         + pads[1][0::2, 1::2] + pads[1][1::2, 1::2])
+            cr = 0.25 * (pads[2][0::2, 0::2] + pads[2][1::2, 0::2]
+                         + pads[2][0::2, 1::2] + pads[2][1::2, 1::2])
+            planes = [y, cb, cr]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+        else:
+            raise ValueError(f"subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    A = _dct_matrix()
+    qts = [qt_l, qt_c]
+    coefs = []
+    for c, (pl, (hf, vf)) in enumerate(zip(planes, samp)):
+        ph, pw = mcuy * vf * 8, mcux * hf * 8
+        pp = np.empty((ph, pw), np.float64)
+        sh, sw = pl.shape
+        pp[:sh, :sw] = pl
+        if ph > sh:
+            pp[sh:, :sw] = pl[sh - 1 :, :]
+        if pw > sw:
+            pp[:, sw:] = pp[:, sw - 1 : sw]
+        by, bx = ph // 8, pw // 8
+        b8 = (pp - 128.0).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        F = np.einsum("ik,yxkl,jl->yxij", A, b8, A)
+        zz = np.rint(
+            F.reshape(by, bx, 64)[:, :, _ZZ]
+            / qts[min(c, 1)][_ZZ].astype(np.float64)).astype(np.int64)
+        coefs.append(zz)
+    return coefs, samp, ncomp, qt_l, qt_c, h, w, mcux, mcuy
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) grayscale → progressive (SOF2)
+    JFIF bytes.  The scan script exercises every progressive decode
+    shape: an interleaved DC-first scan at Al=1, per-component
+    spectral-selection AC-first scans at nonzero Al, AC
+    successive-approximation refinement scans (correction bits + EOB
+    runs, JPEG G.1.2.2), and a DC refinement scan.  Per-scan canonical
+    Huffman tables are emitted as DHT segments immediately before each
+    SOS (also exercising the decoder's between-scan table updates).
+    Coefficients are identical to encode_jpeg_baseline at the same
+    quality/subsampling, so decode(progressive) == decode(baseline)
+    exactly."""
+    coefs, samp, ncomp, qt_l, qt_c, h, w, mcux, mcuy = \
+        _jpeg_coef_arrays(pixels, quality, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ndims = []
+    for hf, vf in samp:
+        cw = -(-(w * hf) // hmax)
+        ch = -(-(h * vf) // vmax)
+        ndims.append((-(-ch // 8), -(-cw // 8)))
+
+    if ncomp == 1:
+        script = [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                  ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                  ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    else:
+        script = [([0, 1, 2], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                  ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+                  ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                  ([0, 1, 2], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+                  ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0)]
+
+    def dc_traverse(scomps):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in scomps:
+                    hf, vf = samp[c]
+                    for byy in range(vf):
+                        for bxx in range(hf):
+                            yield c, my * vf + byy, mx * hf + bxx
+
+    def plan_scan(scomps, ss, se, ah, al):
+        """(ops, used_tables): ops are ('s', tkey, sym, extra, nbits)
+        Huffman items and ('b', val, nbits) raw bits."""
+        ops: list = []
+        used: set = set()
+        if ss == 0:  # DC scan (interleaved when len(scomps) > 1)
+            if ah == 0:
+                preds = {c: 0 for c in scomps}
+                for c, by, bx in dc_traverse(scomps):
+                    v = int(coefs[c][by, bx, 0]) >> al
+                    diff = v - preds[c]
+                    preds[c] = v
+                    s = _cat(diff)
+                    vb = diff if diff >= 0 else diff + (1 << s) - 1
+                    tkey = (0, min(c, 1))
+                    used.add(tkey)
+                    ops.append(("s", tkey, s, vb, s))
+            else:
+                for c, by, bx in dc_traverse(scomps):
+                    ops.append(("b", (int(coefs[c][by, bx, 0]) >> al) & 1,
+                                1))
+            return ops, used
+        # AC scans are single-component, raster over the component's
+        # own (non-interleaved) block grid
+        (c,) = scomps
+        tkey = (1, min(c, 1))
+        used.add(tkey)
+        bh, bw = ndims[c]
+        eobrun = 0
+        pend: list[int] = []  # correction bits of completed EOB blocks
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("s", tkey, r << 4, eobrun - (1 << r), r))
+                eobrun = 0
+                for bit in pend:
+                    ops.append(("b", bit, 1))
+                pend = []
+
+        if ah == 0:  # AC first (values scaled down by 2^al)
+            for by in range(bh):
+                for bx in range(bw):
+                    band = coefs[c][by, bx, ss : se + 1]
+                    tv = np.sign(band) * (np.abs(band) >> al)
+                    if not tv.any():
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    last = int(np.flatnonzero(tv)[-1])
+                    for idx in range(last + 1):
+                        x = int(tv[idx])
+                        if x == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ops.append(("s", tkey, 0xF0, 0, 0))
+                            run -= 16
+                        s = _cat(x)
+                        vb = x if x > 0 else x + (1 << s) - 1
+                        ops.append(("s", tkey, (run << 4) | s, vb, s))
+                        run = 0
+                    if last < len(tv) - 1:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+            return ops, used
+        # AC refinement (JPEG G.1.2.3): one correction bit per
+        # previously-nonzero coefficient, (run, 1) symbols appoint
+        # newly-significant ones, trailing zeros fold into EOB runs
+        for by in range(bh):
+            for bx in range(bw):
+                band = coefs[c][by, bx, ss : se + 1]
+                absv = np.abs(band) >> al
+                newly = np.flatnonzero(absv == 1)
+                eobpos = int(newly[-1]) if len(newly) else -1
+                run = 0
+                br: list[int] = []  # bits since last symbol, this block
+                for idx in range(len(band)):
+                    a = int(absv[idx])
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and idx <= eobpos:
+                        flush_eob()
+                        ops.append(("s", tkey, 0xF0, 0, 0))
+                        run -= 16
+                        for bit in br:
+                            ops.append(("b", bit, 1))
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    ops.append(("s", tkey, (run << 4) | 1, 0, 0))
+                    ops.append(("b", 1 if int(band[idx]) > 0 else 0, 1))
+                    for bit in br:
+                        ops.append(("b", bit, 1))
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF or len(pend) > 930:
+                        flush_eob()
+        flush_eob()
+        return ops, used
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(qt_l[_ZZ][i]) for i in range(64)))
+    if ncomp == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(int(qt_c[_ZZ][i])
+                                           for i in range(64)))
+    comp_spec = b"".join(
+        struct.pack("BBB", c + 1, (samp[c][0] << 4) | samp[c][1],
+                    min(c, 1))
+        for c in range(ncomp))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    for scomps, ss, se, ah, al in script:
+        ops, used = plan_scan(scomps, ss, se, ah, al)
+        tables = {}
+        for tkey in sorted(used):
+            syms = [op[2] for op in ops
+                    if op[0] == "s" and op[1] == tkey]
+            bits, vals, codes = _build_table(syms)
+            tables[tkey] = codes
+            out += seg(0xFFC4, bytes([(tkey[0] << 4) | tkey[1]])
+                       + bits + vals)
+        out += seg(0xFFDA, bytes([len(scomps)]) + b"".join(
+            struct.pack("BB", c + 1,
+                        (min(c, 1) << 4) | min(c, 1))
+            for c in scomps) + bytes([ss, se, (ah << 4) | al]))
+        bwr = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                _, tkey, sym, extra, nbits = op
+                code, ln = tables[tkey][sym]
+                bwr.put(code, ln)
+                if nbits:
+                    bwr.put(extra, nbits)
+            else:
+                bwr.put(op[1], op[2])
+        bwr.flush()
+        out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JFIF → (h, w, 3) uint8 RGB.  Huffman and
-    quant tables come from the stream (DHT/DQT); grayscale and
-    sampling factors up to 2×2 supported; DRI restart markers handled;
-    SOF2 (progressive) raises NotImplementedError.
+    """Sequential (SOF0/1) and progressive (SOF2) JFIF → (h, w, 3)
+    uint8 RGB.  Huffman and quant tables come from the stream
+    (DHT/DQT, updated between progressive scans); grayscale and
+    sampling factors up to 2×2 supported; DRI restart markers handled.
+    Progressive streams decode all spectral-selection and
+    successive-approximation scan shapes (DC first/refine, AC
+    first/refine with EOB runs) into per-block coefficient arrays,
+    then share the sequential path's dequant + IDCT + upsample
+    finalization.
 
     Subsampled chroma (4:2:0 / 4:2:2) is upsampled NEAREST-NEIGHBOR
     (``np.repeat``), matching this module's encoder (box-average
@@ -598,6 +874,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart = 0
     scan = None
     scan_spec = None
+    progressive = False
+    pscans: list[dict] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -644,16 +922,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = {(ln2, c): s
                                   for s, (c, ln2) in codes.items()}
                 b += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             _, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = [(body[6 + 3 * i], body[7 + 3 * i] >> 4,
                       body[7 + 3 * i] & 0xF, body[8 + 3 * i])
                      for i in range(nc)]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} not supported (baseline "
-                "sequential only)")
+                "sequential and progressive only)")
         elif marker == 0xDD:
             restart = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
@@ -661,9 +940,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan_spec = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
                                            body[2 + 2 * i] & 0xF)
                          for i in range(ns)}
-            scan = payload[pos + 2 + ln :]
-            break
+            if not progressive:
+                scan = payload[pos + 2 + ln :]
+                break
+            # progressive: slice this scan's entropy bytes (up to the
+            # next non-RST, non-stuffing marker), snapshot the current
+            # Huffman tables (DHT may redefine them between scans),
+            # and keep walking the marker stream
+            order = [body[1 + 2 * i] for i in range(ns)]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            p = pos + 2 + ln
+            q = p
+            while q + 1 < len(payload):
+                if payload[q] == 0xFF and payload[q + 1] != 0x00 \
+                        and not (0xD0 <= payload[q + 1] <= 0xD7):
+                    break
+                q += 1
+            else:
+                q = len(payload)
+            pscans.append({
+                "order": order, "spec": dict(scan_spec),
+                "ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF,
+                "data": payload[p:q], "huff": dict(huff),
+                "restart": restart,
+            })
+            pos = q
+            continue
         pos += 2 + ln
+    if progressive:
+        if h is None or not pscans:
+            raise ValueError("missing SOF/SOS")
+        return _decode_jpeg_progressive(h, w, comps, qt, pscans)
     if h is None or scan is None:
         raise ValueError("missing SOF/SOS")
     hmax = max(c[1] for c in comps)
@@ -742,7 +1050,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         py = (my * vf + byy) * 8
                         px = (mx * hf + bxx) * 8
                         planes[cid][py : py + 8, px : px + 8] = blk
-    # upsample to full resolution and convert
+    return _jpeg_finalize(planes, comps, h, w, hmax, vmax)
+
+
+def _jpeg_finalize(planes: dict, comps, h: int, w: int,
+                   hmax: int, vmax: int) -> np.ndarray:
+    """Upsample component planes to full resolution (nearest-neighbor,
+    see decode_jpeg docstring) and convert YCbCr→RGB — shared by the
+    sequential and progressive paths."""
     full = []
     for cid, hf, vf, qid in comps:
         pl = planes[cid]
@@ -758,6 +1073,203 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0,
                    255).astype(np.uint8)
+
+
+def _jpeg_extend(v: int, sz: int) -> int:
+    """JPEG F.12 EXTEND: sz-bit magnitude v → signed value."""
+    return v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+
+
+def _decode_jpeg_progressive(h: int, w: int, comps, qt: dict,
+                             pscans: list[dict]) -> np.ndarray:
+    """Progressive (SOF2) scan sequence → pixels.  Every scan refines
+    a per-block zigzag coefficient array (int64); spectral selection
+    picks the band [Ss, Se], successive approximation the bit plane
+    (Ah = previously-coded precision, Al = this scan's).  Multi-
+    component scans (DC only, per the standard) traverse MCUs
+    interleaved; single-component scans traverse the component's own
+    block raster (which is SMALLER than its MCU-padded grid when
+    sampling factors pad the frame).  After the last scan the
+    coefficients run through the same dequant + IDCT + upsample tail
+    as the sequential decoder."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    info = {c[0]: c for c in comps}
+    coef = {cid: np.zeros((mcuy * vf, mcux * hf, 64), np.int64)
+            for cid, hf, vf, qid in comps}
+    ndims = {}
+    for cid, hf, vf, qid in comps:
+        cw = -(-(w * hf) // hmax)
+        ch = -(-(h * vf) // vmax)
+        ndims[cid] = (-(-ch // 8), -(-cw // 8))
+
+    for sc in pscans:
+        rdr = _BitReader(sc["data"])
+        huff = sc["huff"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        restart = sc["restart"]
+
+        def read_sym(table: dict) -> int:
+            code, ln2 = 0, 0
+            for _ in range(16):
+                code = (code << 1) | rdr.bit()
+                ln2 += 1
+                s = table.get((ln2, code))
+                if s is not None:
+                    return s
+            raise ValueError("bad Huffman code")
+
+        preds = {cid: 0 for cid in sc["order"]}
+        eobrun = 0
+
+        def dec_dc_first(blk, cid):
+            td = huff[(0, sc["spec"][cid][0])]
+            s = read_sym(td)
+            diff = _jpeg_extend(rdr.bits(s), s) if s else 0
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+
+        def dec_dc_refine(blk):
+            if rdr.bit():
+                blk[0] |= 1 << al
+
+        def dec_ac_first(blk, ta):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = read_sym(ta)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflow")
+                blk[k] = _jpeg_extend(rdr.bits(s), s) << al
+                k += 1
+
+        def dec_ac_refine(blk, ta):
+            # JPEG G.1.2.3 successive-approximation AC refinement:
+            # every nonzero-history coefficient traversed gets one
+            # correction bit; zero-history coefficients consume the
+            # run length and the (r, 1) symbol appoints a newly-
+            # significant one with a sign bit
+            nonlocal eobrun
+            p1 = 1 << al
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = read_sym(ta)
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rdr.bits(r)
+                            break
+                    else:
+                        val = p1 if rdr.bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if rdr.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        if rdr.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        def at_restart():
+            nonlocal eobrun
+            rdr.align()
+            p = rdr.pos
+            if p and rdr.d[p - 1] == 0xFF and p < len(rdr.d) \
+                    and 0xD0 <= rdr.d[p] <= 0xD7:
+                rdr.pos = p + 1
+            else:
+                while rdr.pos + 1 < len(rdr.d) and not (
+                        rdr.d[rdr.pos] == 0xFF
+                        and 0xD0 <= rdr.d[rdr.pos + 1] <= 0xD7):
+                    rdr.pos += 1
+                rdr.pos += 2
+            for c in preds:
+                preds[c] = 0
+            eobrun = 0
+
+        ui = 0
+        if len(sc["order"]) > 1:  # interleaved (DC band only)
+            if ss != 0 or se != 0:
+                raise ValueError(
+                    "invalid progressive stream: interleaved scans "
+                    "must be DC-only (Ss=Se=0)")
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and ui and ui % restart == 0:
+                        at_restart()
+                    ui += 1
+                    for cid in sc["order"]:
+                        _, hf, vf, qid = info[cid]
+                        for byy in range(vf):
+                            for bxx in range(hf):
+                                blk = coef[cid][my * vf + byy,
+                                                mx * hf + bxx]
+                                if ah == 0:
+                                    dec_dc_first(blk, cid)
+                                else:
+                                    dec_dc_refine(blk)
+        else:
+            cid = sc["order"][0]
+            bh, bw = ndims[cid]
+            ta = huff.get((1, sc["spec"][cid][1]))
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and ui and ui % restart == 0:
+                        at_restart()
+                    ui += 1
+                    blk = coef[cid][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            dec_dc_first(blk, cid)
+                        else:
+                            dec_dc_refine(blk)
+                    elif ah == 0:
+                        dec_ac_first(blk, ta)
+                    else:
+                        dec_ac_refine(blk, ta)
+
+    # dequant + IDCT, vectorized over all blocks per component
+    A = _dct_matrix()
+    planes = {}
+    for cid, hf, vf, qid in comps:
+        c = coef[cid]
+        by, bx = c.shape[0], c.shape[1]
+        nat = np.zeros((by, bx, 64), np.float64)
+        nat[:, :, _ZZ] = c * qt[qid][_ZZ][None, None, :].astype(np.float64)
+        b8 = nat.reshape(by, bx, 8, 8)
+        blk = np.einsum("ki,yxkl,lj->yxij", A, b8, A) + 128.0
+        planes[cid] = blk.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return _jpeg_finalize(planes, comps, h, w, hmax, vmax)
 
 
 # --------------------------------------------------------------------

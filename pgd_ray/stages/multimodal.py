@@ -49,9 +49,11 @@ def media_from_documents(
 
     def fn(b: pa.Table) -> pa.Table:
         text = b["text"].to_pylist()
-        if payload_format in ("bmp", "png", "jpeg", "mixed", "mixed3"):
+        if payload_format in ("bmp", "png", "jpeg", "mixed", "mixed3",
+                              "mixed4"):
             from pgd_ray.stages.codecs import (encode_bmp,
                                                encode_jpeg_baseline,
+                                               encode_jpeg_progressive,
                                                encode_png)
 
             ids = b["doc_id"].to_pylist()
@@ -69,14 +71,21 @@ def media_from_documents(
                     fmt = ("bmp", "png")[i % 2]
                 elif payload_format == "mixed3":
                     fmt = ("bmp", "png", "jpeg")[i % 3]
+                elif payload_format == "mixed4":
+                    fmt = ("bmp", "png", "jpeg", "jpeg_prog")[i % 4]
                 else:
                     fmt = payload_format
                 if fmt == "png":
                     payloads.append(encode_png(px))
                 elif fmt == "jpeg":
                     # lossy pixels, EXACT dims (SOF carries h, w) — the
-                    # dims oracle holds for all three codecs
+                    # dims oracle holds for every codec here
                     payloads.append(encode_jpeg_baseline(px, quality=85))
+                elif fmt == "jpeg_prog":
+                    # progressive SOF2 — multi-scan decode, same exact
+                    # dims contract
+                    payloads.append(encode_jpeg_progressive(px,
+                                                            quality=85))
                 else:
                     payloads.append(encode_bmp(px))
             codec = payload_format

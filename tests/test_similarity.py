@@ -376,8 +376,8 @@ def test_rbo_closed_forms():
 def test_jpeg_baseline_roundtrip_and_guards():
     """Baseline JPEG codec (round 4): encode→decode round-trips with
     high PSNR at 4:4:4 and 4:2:0 on odd dimensions, a constant image
-    survives exactly, grayscale works, and progressive (SOF2) raises
-    the honest NotImplementedError."""
+    survives exactly, grayscale works, and an invalid progressive
+    stream (interleaved full-band scan) raises."""
     import struct
 
     import pytest
@@ -409,12 +409,49 @@ def test_jpeg_baseline_roundtrip_and_guards():
     dg = decode_jpeg(encode_jpeg_baseline(g, 90))
     assert dg.shape == (h, w, 3) and psnr(dg[:, :, 0], g) > 45
     assert (dg[:, :, 0] == dg[:, :, 1]).all()
-    # progressive SOF2 refuses honestly
+    # flipping a BASELINE stream's SOF marker to SOF2 yields an
+    # invalid progressive stream (interleaved full-band scan) — the
+    # decoder rejects it instead of producing garbage
     prog = bytearray(enc)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="interleaved"):
         decode_jpeg(bytes(prog))
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive SOF2 codec (round 5, VERDICT r4 item 6): the scan
+    script covers DC first/refine, spectral-selection AC first scans
+    at nonzero Al, and AC successive-approximation refinement with EOB
+    runs and correction bits.  Coefficients are identical to the
+    baseline encoder's, so decode(progressive) must equal
+    decode(baseline) EXACTLY — every shape, both subsamplings,
+    grayscale and color, odd dims that pad the MCU grid (where the
+    non-interleaved scan grid is smaller than the MCU grid)."""
+    from pgd_ray.stages.codecs import (decode_image, decode_jpeg,
+                                       encode_jpeg_baseline,
+                                       encode_jpeg_progressive)
+
+    rng = np.random.default_rng(9)
+    cases = [((16, 16, 3), "444", 85), ((24, 17, 3), "444", 85),
+             ((33, 21), "444", 60), ((20, 20, 3), "420", 75),
+             ((37, 29, 3), "420", 92)]
+    for shape, sub, q in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        enc = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        assert b"\xff\xc2" in enc  # really SOF2
+        np.testing.assert_array_equal(
+            decode_jpeg(enc),
+            decode_jpeg(encode_jpeg_baseline(img, quality=q,
+                                             subsampling=sub)))
+    # smooth gradient (long zero runs → deep EOB runs) + dispatch
+    yy, xx = np.mgrid[0:41, 0:53]
+    img = np.stack([(xx * 4) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 3) % 256], axis=2).astype(np.uint8)
+    enc = encode_jpeg_progressive(img, quality=90)
+    np.testing.assert_array_equal(
+        decode_image(enc),
+        decode_jpeg(encode_jpeg_baseline(img, quality=90)))
 
 
 def test_jpeg_restart_markers_roundtrip():
