@@ -444,9 +444,18 @@ def candidate_pairs_minhash_ds(
     # exactly once — complete recall holds.
     from pgd_ray.stages.distinct import dedup_sorted_blocks
 
+    cap = concurrency[1] if isinstance(concurrency, (tuple, list)) \
+        else concurrency
     psort = cand_pairs.select_columns(["doc_a", "doc_b"]) \
         .sort(["doc_a", "doc_b"]).materialize()
-    cand = dedup_sorted_blocks(psort, ["doc_a", "doc_b"]).materialize()
+    # repartition before the verify fan-out: dedup_sorted_blocks
+    # inherits the sort's block count (~5 on a small pair set), which
+    # serializes the exact-Jaccard stage into that many tasks — at
+    # sf0.1 the verify measured 91 s of remote wall squeezed through 5
+    # tasks.  2×cap blocks keep every verify worker busy; the
+    # repartition itself moves only the (small) pair rows.
+    cand = dedup_sorted_blocks(psort, ["doc_a", "doc_b"]) \
+        .repartition(max(16, 2 * cap)).materialize()
     if cand.count() == 0:
         return _empty_pairs_ds()
 
@@ -492,8 +501,6 @@ def candidate_pairs_minhash_ds(
         keep = np.minimum(sa, sb) >= tau * np.maximum(sa, sb)
         return t.filter(pa.array(keep))
 
-    cap = concurrency[1] if isinstance(concurrency, (tuple, list)) \
-        else concurrency
     filtered = cand.map_batches(length_filter, batch_format="pyarrow",
                                 batch_size=1 << 16, concurrency=cap)
     verified = filtered.map_batches(
@@ -924,12 +931,15 @@ def embedding_neardup_ds(
                             batch_size=batch_size),
         ["doc_id"], bucket_pairs, empty_pairs,
     )
-    psort = cand.sort(["doc_a", "doc_b"]).materialize()
-    pairs = dedup_sorted_blocks(psort, ["doc_a", "doc_b"])
-
-    refs = norm_ds.to_arrow_refs()
     cap = concurrency[1] if isinstance(concurrency, (tuple, list)) \
         else concurrency
+    psort = cand.sort(["doc_a", "doc_b"]).materialize()
+    # spread the exact-cosine verify across the pool (see the
+    # candidate_pairs_minhash_ds repartition note)
+    pairs = dedup_sorted_blocks(psort, ["doc_a", "doc_b"]) \
+        .repartition(max(16, 2 * cap))
+
+    refs = norm_ds.to_arrow_refs()
     return pairs.map_batches(
         _cos_verify, batch_format="pyarrow", batch_size=1 << 16,
         concurrency=cap,
