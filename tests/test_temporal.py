@@ -72,3 +72,26 @@ def test_monthly_edge_overlap_matches_pandas():
         assert int(r["n_both"]) == len(a & b)
         exp = len(a & b) / len(a | b) if (a | b) else 0.0
         assert abs(r["jaccard"] - round(exp, 9)) < 1e-12
+
+
+def test_tri_total_vectorized_matches_brute():
+    """Round-5 vectorized oriented-wedge kernel vs brute-force
+    triangle enumeration on random graphs (gappy ids, hubs)."""
+    from itertools import combinations
+
+    rng = np.random.default_rng(31)
+    for _ in range(25):
+        n = int(rng.integers(3, 25))
+        mx = n * (n - 1) // 2
+        m = int(rng.integers(1, mx + 1))
+        pairs = set()
+        while len(pairs) < m:
+            x, y = rng.integers(0, n, 2) * 7 + 3  # gappy external ids
+            if x != y:
+                pairs.add((min(x, y), max(x, y)))
+        E = np.array(sorted(pairs), dtype=np.int64)
+        adj = set(map(tuple, E))
+        verts = sorted({v for e in pairs for v in e})
+        brute = sum(1 for a, b, c in combinations(verts, 3)
+                    if (a, b) in adj and (a, c) in adj and (b, c) in adj)
+        assert _tri_total(E[:, 0], E[:, 1]) == brute
