@@ -11,7 +11,9 @@ from pgd_ray.text.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     simhash_dedup,
+    simhash_pairs_ds,
     embedding_neardup,
+    embedding_neardup_ds,
 )
 from pgd_ray.text.sampling import cap_per_group, sample_by_hash, stratified_sample
 
@@ -24,7 +26,9 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "simhash_pairs_ds",
     "embedding_neardup",
+    "embedding_neardup_ds",
     "sample_by_hash",
     "stratified_sample",
     "cap_per_group",
