@@ -105,9 +105,15 @@ def attack_profile(
     rows = []
     for f in fracs:
         k = int(np.ceil(f * n))
-        removed = np.sort(vids[order[:k]])
+        # broadcast the removed-id set once (ray.put + per-worker
+        # cache) rather than pickling it into every task closure —
+        # at 0.2·n ids the closure copy is the expensive path
+        removed_ref = ray.put(np.sort(vids[order[:k]]))
 
-        def keep(t: pa.Table, removed=removed) -> pa.Table:
+        def keep(t: pa.Table, removed_ref=removed_ref) -> pa.Table:
+            from pgd_ray.graph.cache import get_cached
+
+            removed = get_cached(removed_ref)
             s = t["src"].to_numpy(zero_copy_only=False)
             d = t["dst"].to_numpy(zero_copy_only=False)
             bad = np.isin(s, removed) | np.isin(d, removed)

@@ -119,12 +119,15 @@ def count_sorted_blocks(
     (unsorted block order, like any Ray aggregate)."""
     refs = srt.to_arrow_refs()
 
-    @ray.remote(num_returns=2)
+    @ray.remote(num_returns=3)
     def _runs(t):
+        # zero-row sort outputs can carry a schema-less table (same
+        # hazard dedup_sorted_blocks documents) — flag such blocks so
+        # the driver can drop their refs without pulling any table
+        if t.num_rows == 0:
+            return None, None, False
         empty = t.select(cols).slice(0, 0).append_column(
             alias, pa.array([], pa.int64()))
-        if t.num_rows == 0:
-            return empty, empty
         arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
         neq = np.zeros(t.num_rows - 1, dtype=bool)
         for a in arrs:
@@ -135,18 +138,22 @@ def count_sorted_blocks(
         key_tbl = t.select(cols).take(pa.array(starts))
         full = key_tbl.append_column(alias, pa.array(n, pa.int64()))
         if len(starts) <= 2:
-            return empty, full  # every run touches an edge
+            return empty, full, True  # every run touches an edge
         interior = full.slice(1, len(starts) - 2)
         edge = pa.concat_tables([full.slice(0, 1),
                                  full.slice(len(starts) - 1, 1)])
-        return interior, edge
+        return interior, edge, True
 
     if not refs:
         return srt
     out = [_runs.remote(r) for r in refs]
-    interior_refs = [o[0] for o in out]
-    edge_tbls = ray.get([o[1] for o in out])
+    flags = ray.get([o[2] for o in out])
+    edge_tbls = ray.get([o[1] for o, f in zip(out, flags) if f])
+    # interior tables stay in plasma — the driver keeps refs only
+    interior_refs = [o[0] for o, f in zip(out, flags) if f]
     nonempty = [e for e in edge_tbls if e.num_rows]
+    if not interior_refs:
+        return srt  # every block empty: srt is already the answer
     parts = [ray.data.from_arrow_refs(interior_refs)]
     if nonempty:
         edges = pa.concat_tables(nonempty)

@@ -285,3 +285,24 @@ def test_count_sorted_blocks_matches_pandas():
     assert run([[4], [], [4]]) == {4: 2}
     # single-block, single-run
     assert run([[2, 2, 2]]) == {2: 3}
+
+
+def test_count_sorted_blocks_string_keys():
+    """count_sorted_blocks is key-type-generic: string runs spanning
+    block boundaries re-sum exactly like int ones."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pgd_ray.stages.distinct import count_sorted_blocks
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.choice(
+        ["alpha", "beta", "gamma", "delta"], 3000)})
+    srt = (ray.data.from_pandas(df).repartition(12)
+           .sort(["k"]).materialize())
+    out = (count_sorted_blocks(srt, ["k"], alias="n").to_pandas()
+           .sort_values("k", ignore_index=True))
+    ref = (df.groupby("k").size().rename("n").reset_index()
+           .sort_values("k", ignore_index=True))
+    assert (out.to_numpy() == ref.to_numpy()).all()
