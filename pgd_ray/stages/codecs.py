@@ -647,7 +647,8 @@ def _jpeg_coef_arrays(pixels: np.ndarray, quality: int,
 
 
 def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
-                            subsampling: str = "444") -> bytes:
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) grayscale → progressive (SOF2)
     JFIF bytes.  The scan script exercises every progressive decode
     shape: an interleaved DC-first scan at Al=1, per-component
@@ -656,9 +657,12 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
     runs, JPEG G.1.2.2), and a DC refinement scan.  Per-scan canonical
     Huffman tables are emitted as DHT segments immediately before each
     SOS (also exercising the decoder's between-scan table updates).
-    Coefficients are identical to encode_jpeg_baseline at the same
-    quality/subsampling, so decode(progressive) == decode(baseline)
-    exactly."""
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (interleaved scans) / blocks (single-
+    component scans); DC predictors and EOB runs reset at each marker
+    per the standard.  Coefficients are identical to
+    encode_jpeg_baseline at the same quality/subsampling, so
+    decode(progressive) == decode(baseline) exactly."""
     coefs, samp, ncomp, qt_l, qt_c, h, w, mcux, mcuy = \
         _jpeg_coef_arrays(pixels, quality, subsampling)
     hmax = max(s[0] for s in samp)
@@ -680,36 +684,48 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
                   ([0, 1, 2], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
                   ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0)]
 
-    def dc_traverse(scomps):
+    ri = int(restart_interval)
+
+    def dc_units(scomps):
+        """Blocks grouped per MCU — the restart-counting unit for
+        interleaved scans."""
         for my in range(mcuy):
             for mx in range(mcux):
+                blocks = []
                 for c in scomps:
                     hf, vf = samp[c]
                     for byy in range(vf):
                         for bxx in range(hf):
-                            yield c, my * vf + byy, mx * hf + bxx
+                            blocks.append((c, my * vf + byy,
+                                           mx * hf + bxx))
+                yield blocks
 
     def plan_scan(scomps, ss, se, ah, al):
         """(ops, used_tables): ops are ('s', tkey, sym, extra, nbits)
-        Huffman items and ('b', val, nbits) raw bits."""
+        Huffman items, ('b', val, nbits) raw bits, and ('r',) restart
+        boundaries."""
         ops: list = []
         used: set = set()
         if ss == 0:  # DC scan (interleaved when len(scomps) > 1)
-            if ah == 0:
-                preds = {c: 0 for c in scomps}
-                for c, by, bx in dc_traverse(scomps):
-                    v = int(coefs[c][by, bx, 0]) >> al
-                    diff = v - preds[c]
-                    preds[c] = v
-                    s = _cat(diff)
-                    vb = diff if diff >= 0 else diff + (1 << s) - 1
-                    tkey = (0, min(c, 1))
-                    used.add(tkey)
-                    ops.append(("s", tkey, s, vb, s))
-            else:
-                for c, by, bx in dc_traverse(scomps):
-                    ops.append(("b", (int(coefs[c][by, bx, 0]) >> al) & 1,
-                                1))
+            preds = {c: 0 for c in scomps}
+            for ui, blocks in enumerate(dc_units(scomps)):
+                if ri and ui and ui % ri == 0:
+                    ops.append(("r",))
+                    preds = {c: 0 for c in scomps}
+                for c, by, bx in blocks:
+                    if ah == 0:
+                        v = int(coefs[c][by, bx, 0]) >> al
+                        diff = v - preds[c]
+                        preds[c] = v
+                        s = _cat(diff)
+                        vb = diff if diff >= 0 else diff + (1 << s) - 1
+                        tkey = (0, min(c, 1))
+                        used.add(tkey)
+                        ops.append(("s", tkey, s, vb, s))
+                    else:
+                        ops.append(
+                            ("b", (int(coefs[c][by, bx, 0]) >> al) & 1,
+                             1))
             return ops, used
         # AC scans are single-component, raster over the component's
         # own (non-interleaved) block grid
@@ -730,9 +746,19 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
                     ops.append(("b", bit, 1))
                 pend = []
 
+        ui = 0
+
+        def maybe_restart():
+            nonlocal ui
+            if ri and ui and ui % ri == 0:
+                flush_eob()  # EOB runs cannot cross a restart
+                ops.append(("r",))
+            ui += 1
+
         if ah == 0:  # AC first (values scaled down by 2^al)
             for by in range(bh):
                 for bx in range(bw):
+                    maybe_restart()
                     band = coefs[c][by, bx, ss : se + 1]
                     tv = np.sign(band) * (np.abs(band) >> al)
                     if not tv.any():
@@ -766,6 +792,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
         # newly-significant ones, trailing zeros fold into EOB runs
         for by in range(bh):
             for bx in range(bw):
+                maybe_restart()
                 band = coefs[c][by, bx, ss : se + 1]
                 absv = np.abs(band) >> al
                 newly = np.flatnonzero(absv == 1)
@@ -816,6 +843,8 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
                     min(c, 1))
         for c in range(ncomp))
     out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
     for scomps, ss, se, ah, al in script:
         ops, used = plan_scan(scomps, ss, se, ah, al)
         tables = {}
@@ -831,6 +860,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
                         (min(c, 1) << 4) | min(c, 1))
             for c in scomps) + bytes([ss, se, (ah << 4) | al]))
         bwr = _BitWriter()
+        rst = 0
         for op in ops:
             if op[0] == "s":
                 _, tkey, sym, extra, nbits = op
@@ -838,6 +868,12 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
                 bwr.put(code, ln)
                 if nbits:
                     bwr.put(extra, nbits)
+            elif op[0] == "r":
+                bwr.flush()  # byte-align (1-fill), then the marker
+                out += bwr.out
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                bwr = _BitWriter()
             else:
                 bwr.put(op[1], op[2])
         bwr.flush()

@@ -473,3 +473,24 @@ def test_jpeg_restart_markers_roundtrip():
     enc = encode_jpeg_baseline(img, 90, subsampling="420",
                                restart_interval=2)
     np.testing.assert_array_equal(decode_jpeg(enc), b420)
+
+
+def test_jpeg_progressive_restart_markers():
+    """DRI/RSTn inside progressive scans: EOB runs and DC predictors
+    reset at every marker (both the interleaved-MCU and the per-block
+    single-component counting), and the pixels still equal the
+    baseline decode exactly at every interval."""
+    from pgd_ray.stages.codecs import (decode_jpeg, encode_jpeg_baseline,
+                                       encode_jpeg_progressive)
+
+    rng = np.random.default_rng(7)
+    for shape, sub, q in [((24, 17, 3), "444", 85),
+                          ((20, 20, 3), "420", 75), ((33, 21), "444", 60)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_baseline(img, quality=q,
+                                                subsampling=sub))
+        for ri in (1, 2, 5):
+            enc = encode_jpeg_progressive(img, quality=q, subsampling=sub,
+                                          restart_interval=ri)
+            assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+            np.testing.assert_array_equal(decode_jpeg(enc), base)
