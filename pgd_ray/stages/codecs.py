@@ -1,16 +1,21 @@
 """Pure-numpy media codecs for the multimodal stages.
 
-This container ships no image/audio libraries, but three common
-formats need none — they are fixed headers + raw samples:
+This container ships no image/audio libraries; everything here is
+implemented against the public format specs:
 
 * BMP  (uncompressed 24/32-bit BITMAPINFOHEADER)
-* PPM  (binary P6)
-* WAV  (RIFF PCM 8/16-bit)
+* PPM  (binary P6, 8- and 16-bit)
+* WAV  (RIFF PCM 8/16/24/32-bit, IEEE float32/64, EXTENSIBLE)
+* PNG  (8/16-bit gray/RGB/palette/alpha, sequential or Adam7,
+  stdlib zlib + numpy unfiltering)
+* JPEG (baseline sequential AND progressive SOF2 decode, incl.
+  grayscale, 4:2:2/4:2:0 subsampling and restart markers; baseline
+  + scan-scripted progressive encoders)
 
 ``decode_image`` / ``decode_audio`` dispatch on magic bytes and raise
-``NotImplementedError`` for codec formats (JPEG/PNG/MP3/...), which
-keeps the "real decode" path honest: real for container-feasible
-formats, stubbed only where a codec genuinely isn't available.
+``NotImplementedError`` only for formats a pure-numpy sandbox
+genuinely cannot cover (MP3/video codecs, JPEG arithmetic coding,
+exotic BMP variants) — the "real decode" path stays honest.
 Encoders exist so tests can round-trip without fixtures.
 """
 
@@ -90,7 +95,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+        # 16-bit samples are big-endian per the spec; rescale to the
+        # uint8 contract with round-half-away (v·255/maxval)
+        raw = np.frombuffer(payload, dtype=">u2", count=w * h * 3,
+                            offset=pos).astype(np.float64)
+        v = np.floor(raw * 255.0 / maxval + 0.5).astype(np.uint8)
+        return v.reshape(h, w, 3)
     raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raw.reshape(h, w, 3).copy()
 
@@ -113,11 +123,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF PCM WAV → (sample_rate, (n, channels) float32 in [-1, 1])."""
+    """RIFF WAV → (sample_rate, (n, channels) float32 in [-1, 1]).
+    PCM 8/16/24/32-bit (fmt 1), IEEE float32/float64 (fmt 3), and
+    WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE, resolved via the SubFormat
+    GUID's leading tag) are decoded; anything else raises."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     sr = ch = bits = None
+    fmt_tag = None
     data = None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
@@ -125,15 +139,34 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             fmt_tag, ch, sr = struct.unpack_from("<HHI", payload, body)
             bits = struct.unpack_from("<H", payload, body + 14)[0]
-            if fmt_tag != 1 or bits not in (8, 16):
-                raise NotImplementedError(f"WAV format={fmt_tag} bits={bits} not supported")
+            if fmt_tag == 0xFFFE and size >= 26:
+                # EXTENSIBLE: the real format is the SubFormat GUID's
+                # first two bytes (1 = PCM, 3 = IEEE float)
+                fmt_tag = struct.unpack_from("<H", payload, body + 24)[0]
+            if (fmt_tag, bits) not in ((1, 8), (1, 16), (1, 24),
+                                       (1, 32), (3, 32), (3, 64)):
+                raise NotImplementedError(
+                    f"WAV format={fmt_tag} bits={bits} not supported")
         elif cid == b"data":
             data = payload[body : body + size]
         pos = body + size + (size & 1)
     if sr is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits == 16:
+    if fmt_tag == 3:
+        dt = "<f4" if bits == 32 else "<f8"
+        arr = np.frombuffer(data, dtype=dt).astype(np.float32)
+    elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 24:
+        # 3-byte little-endian signed → sign-extended int32
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) // 3 * 3].reshape(-1, 3).astype(np.int64)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float32) / float(1 << 23)
+    elif bits == 32:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.float32) \
+            / float(1 << 31)
     else:
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     n = len(arr) // ch * ch
@@ -166,42 +199,19 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG (gray / RGB / palette / gray+alpha /
-    RGBA) → (h, w, 3) uint8 RGB.  All five row filters (None/Sub/Up/
-    Average/Paeth) are supported; Sub is a per-row mod-256 cumsum, Up
-    a vector add, Average/Paeth fall back to a per-byte row loop (the
-    only sequential recurrences in the spec)."""
-    import zlib
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, idat, plte = 8, [], None
-    w = h = ch = ct = None
-    while pos + 8 <= len(payload):
-        ln, tag = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8 : pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or inter != 0 or comp != 0 or filt != 0:
-                raise NotImplementedError(
-                    f"PNG depth={depth} interlace={inter} not supported (8-bit "
-                    "non-interlaced only)")
-            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
-            if ch is None:
-                raise NotImplementedError(f"PNG color type {ct}")
-        elif tag == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    stride = w * ch
-    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+
+def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """Filtered rows (h, 1 + stride) uint8 → reconstructed (h, stride)
+    bytes.  All five row filters (None/Sub/Up/Average/Paeth); Sub is a
+    per-row mod-256 cumsum, Up a vector add, Average/Paeth fall back
+    to a per-byte row loop (the only sequential recurrences in the
+    spec).  ``bpp`` is the filter unit in BYTES (channels × depth/8)."""
+    h = rows.shape[0]
+    stride = rows.shape[1] - 1
     ftype = rows[:, 0]
     data = rows[:, 1:]
     out = np.zeros((h, stride), np.uint8)
@@ -213,18 +223,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = cur
         elif f == 2:  # Up
             rec = cur + up
-        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]  (mod 256)
-            rec = np.cumsum(cur.reshape(-1, ch), axis=0).reshape(stride)
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]  (mod 256)
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(stride)
         elif f == 3:  # Average
             rec = np.empty(stride, np.int32)
             for x in range(stride):
-                left = rec[x - ch] & 0xFF if x >= ch else 0
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
                 rec[x] = cur[x] + ((left + up[x]) >> 1)
         elif f == 4:  # Paeth
             rec = np.empty(stride, np.int32)
             for x in range(stride):
-                a = rec[x - ch] & 0xFF if x >= ch else 0
-                c = up[x - ch] if x >= ch else 0
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                c = up[x - bpp] if x >= bpp else 0
                 b = up[x]
                 p = a + b - c
                 pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -233,7 +243,73 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[r] = rec & 0xFF
-    px = out.reshape(h, w, ch)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8/16-bit PNG (gray / RGB / palette / gray+alpha / RGBA),
+    sequential OR Adam7-interlaced → (h, w, 3) uint8 RGB.  16-bit
+    samples rescale to 8 bits by round(v·255/65535); each Adam7 pass
+    is unfiltered as its own sub-image (its rows' left/up neighbors
+    are pass-local, per the spec) and scattered into place."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = ch = ct = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if depth not in (8, 16) or inter not in (0, 1) \
+                    or comp != 0 or filt != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} interlace={inter} not supported "
+                    "(8/16-bit, sequential or Adam7 only)")
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+            if ch is None:
+                raise NotImplementedError(f"PNG color type {ct}")
+            if ct == 3 and depth == 16:
+                raise ValueError("palette PNG cannot be 16-bit")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    nb = depth // 8
+    bpp = ch * nb
+    if inter == 0:
+        stride = w * bpp
+        rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+        samples = _png_unfilter(rows, bpp).reshape(h, w, ch, nb)
+    else:
+        samples = np.zeros((h, w, ch, nb), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            rows = raw[off : off + ph * (stride + 1)].reshape(
+                ph, stride + 1)
+            off += ph * (stride + 1)
+            samples[y0::dy, x0::dx] = _png_unfilter(rows, bpp).reshape(
+                ph, pw, ch, nb)
+    if nb == 1:
+        px = samples[:, :, :, 0]
+    else:
+        v = (samples[:, :, :, 0].astype(np.uint32) << 8) \
+            | samples[:, :, :, 1]
+        px = np.floor(v.astype(np.float64) * 255.0 / 65535.0
+                      + 0.5).astype(np.uint8)
     if ct == 2:
         return px.copy()
     if ct == 0:
@@ -253,7 +329,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 # DHT/DQT segments, so it reads real-world baseline files (including
 # Annex-K-table encoders); grayscale and up-to-2×2 subsampled YCbCr
 # (4:4:4 / 4:2:2 / 4:2:0), restart markers included.  Progressive
-# (SOF2) and arithmetic coding raise NotImplementedError honestly.
+# (SOF2) decodes too (round 5); arithmetic coding raises honestly.
 # The ENCODER (the test/writer side) emits 4:4:4 or grayscale with
 # canonical per-image Huffman tables built from the actual symbol
 # stream — valid JPEG without relying on memorized spec tables.

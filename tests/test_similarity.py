@@ -494,3 +494,106 @@ def test_jpeg_progressive_restart_markers():
                                           restart_interval=ri)
             assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
             np.testing.assert_array_equal(decode_jpeg(enc), base)
+
+
+def test_wav_extended_formats():
+    """Round-5 WAV surface: IEEE float32/float64 (fmt 3), 24/32-bit
+    PCM, and WAVE_FORMAT_EXTENSIBLE resolve exactly; unsupported
+    combos still raise."""
+    import struct
+
+    import pytest
+
+    from pgd_ray.stages.codecs import decode_wav
+
+    rng = np.random.default_rng(5)
+
+    def wav_bytes(fmt_tag, bits, data, ch=1, sr=8000, extensible=False):
+        if extensible:
+            sub = struct.pack("<H", fmt_tag) + \
+                b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            body = struct.pack("<HHIIHHH", 0xFFFE, ch, sr,
+                               sr * ch * bits // 8, ch * bits // 8,
+                               bits, 22) + struct.pack("<HI", bits, 0) + sub
+            fmt = struct.pack("<4sI", b"fmt ", len(body)) + body
+        else:
+            fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt_tag, ch, sr,
+                              sr * ch * bits // 8, ch * bits // 8, bits)
+        hdr = struct.pack("<4sI4s", b"RIFF",
+                          4 + len(fmt) + 8 + len(data), b"WAVE")
+        return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+    f32 = (rng.standard_normal(100) * 0.5).astype("<f4")
+    _, arr = decode_wav(wav_bytes(3, 32, f32.tobytes()))
+    np.testing.assert_allclose(arr[:, 0], f32)
+    f64 = (rng.standard_normal(50) * 0.5).astype("<f8")
+    _, arr = decode_wav(wav_bytes(3, 64, f64.tobytes()))
+    np.testing.assert_allclose(arr[:, 0], f64.astype(np.float32))
+    v24 = rng.integers(-(1 << 23), 1 << 23, 64).astype(np.int64)
+    b24 = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little") for x in v24)
+    _, arr = decode_wav(wav_bytes(1, 24, b24))
+    np.testing.assert_allclose(arr[:, 0], v24.astype(np.float32) / (1 << 23))
+    v32 = rng.integers(-(1 << 31), 1 << 31, 64).astype("<i4")
+    _, arr = decode_wav(wav_bytes(1, 32, v32.tobytes()))
+    np.testing.assert_allclose(arr[:, 0], v32.astype(np.float32) / (1 << 31))
+    _, arr = decode_wav(wav_bytes(3, 32, f32.tobytes(), extensible=True))
+    np.testing.assert_allclose(arr[:, 0], f32)
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav_bytes(2, 4, b"\x00\x00"))  # ADPCM stays honest
+
+
+def test_png_16bit_adam7_and_ppm16():
+    """Round-5 image surface: 16-bit PNG samples rescale by
+    round(v·255/65535); Adam7 passes unfilter pass-locally and
+    scatter exactly (odd dims included); 16-bit big-endian PPM."""
+    import struct
+    import zlib
+
+    from pgd_ray.stages.codecs import _PNG_SIG, decode_png, decode_ppm
+
+    rng = np.random.default_rng(5)
+
+    def png_bytes(ihdr, raw):
+        def chunk(tag, body):
+            return struct.pack(">I", len(body)) + tag + body + \
+                struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        return bytes(bytearray(_PNG_SIG) + chunk(b"IHDR", ihdr)
+                     + chunk(b"IDAT", zlib.compress(raw))
+                     + chunk(b"IEND", b""))
+
+    # 16-bit sequential RGB
+    h, w = 6, 5
+    v = rng.integers(0, 65536, (h, w, 3)).astype(">u2")
+    raw = b"".join(b"\x00" + v[r].tobytes() for r in range(h))
+    out = decode_png(png_bytes(struct.pack(">IIBBBBB", w, h, 16, 2,
+                                           0, 0, 0), raw))
+    exp = np.floor(v.astype(np.float64) * 255.0 / 65535.0
+                   + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(out, exp)
+
+    # Adam7 8-bit RGB with Sub-filtered pass rows, odd dims
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    for hh, ww in [(16, 16), (11, 7), (3, 3), (1, 9)]:
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            pw = (ww - x0 + dx - 1) // dx
+            ph = (hh - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = img[y0::dy, x0::dx].astype(np.int64)
+            for r in range(ph):
+                row = sub[r]
+                delta = np.concatenate([row[:1], row[1:] - row[:-1]])
+                raw += b"\x01" + delta.astype(np.uint8).tobytes()
+        out = decode_png(png_bytes(
+            struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, 1), bytes(raw)))
+        np.testing.assert_array_equal(out, img)
+
+    # 16-bit PPM
+    v16 = rng.integers(0, 65536, (5, 7, 3)).astype(">u2")
+    out = decode_ppm(b"P6\n7 5\n65535\n" + v16.tobytes())
+    exp = np.floor(v16.astype(np.float64) * 255.0 / 65535.0
+                   + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(out, exp)
