@@ -45,19 +45,70 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BMP → (h, w, 3) uint8 RGB."""
+    """BMP → (h, w, 3) uint8 RGB: uncompressed 8-bit-palette / 24 /
+    32-bit BITMAPINFOHEADER (and later), RLE8-compressed 8-bit, and
+    the OS/2 BITMAPCOREHEADER (12-byte, uint16 dims, 3-byte palette
+    entries).  Anything else raises."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
-    w, h_signed = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    comp = struct.unpack_from("<I", payload, 30)[0]
-    if comp != 0 or bpp not in (24, 32):
+    if hdr_size == 12:  # BITMAPCOREHEADER: uint16 dims, no compression
+        w, h_signed = struct.unpack_from("<HH", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 24)[0]
+        comp = 0
+        pal_entry = 3
+        pal_off = 14 + 12
+    elif hdr_size >= 40:
+        w, h_signed = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        pal_entry = 4
+        pal_off = 14 + hdr_size
+    else:
+        raise NotImplementedError(f"BMP header size {hdr_size} not supported")
+    if (comp, bpp) not in ((0, 8), (0, 24), (0, 32), (1, 8)):
         raise NotImplementedError(f"BMP compression={comp} bpp={bpp} not supported")
     h = abs(h_signed)
+    if bpp == 8:
+        # palette: stored BGR(X); index rows (raw or RLE8-decoded)
+        pal = np.frombuffer(payload, np.uint8,
+                            count=256 * pal_entry, offset=pal_off
+                            ) if len(payload) >= pal_off + 256 * pal_entry \
+            else np.frombuffer(payload[pal_off:data_off], np.uint8)
+        pal = pal.reshape(-1, pal_entry)[:, 2::-1]  # BGR(X) → RGB
+        if comp == 1:  # RLE8: (count, value) runs / escapes (0, n)
+            idx = np.zeros((h, w), np.uint8)
+            x = y = 0
+            p = data_off
+            while p + 1 < len(payload):
+                c, v = payload[p], payload[p + 1]
+                p += 2
+                if c > 0:  # run
+                    idx[y, x : x + c] = v
+                    x += c
+                elif v == 0:  # end of line
+                    x, y = 0, y + 1
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta jump
+                    x += payload[p]
+                    y += payload[p + 1]
+                    p += 2
+                else:  # absolute mode: v literal indices, word-aligned
+                    idx[y, x : x + v] = np.frombuffer(
+                        payload, np.uint8, count=v, offset=p)
+                    x += v
+                    p += v + (v & 1)
+            rows = idx[:, :, None]
+        else:
+            stride = (w + 3) & ~3
+            raw = np.frombuffer(payload, np.uint8, count=stride * h,
+                                offset=data_off)
+            rows = raw.reshape(h, stride)[:, :w, None]
+        if h_signed > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return pal[rows[:, :, 0]]
     nbytes = bpp // 8
     stride = (w * nbytes + 3) & ~3
     raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)

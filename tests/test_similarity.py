@@ -597,3 +597,69 @@ def test_png_16bit_adam7_and_ppm16():
     exp = np.floor(v16.astype(np.float64) * 255.0 / 65535.0
                    + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(out, exp)
+
+
+def test_bmp_extended_variants():
+    """Round-5 BMP surface: OS/2 BITMAPCOREHEADER, 8-bit palette
+    (uncompressed and RLE8 with runs / EOL / delta / absolute-mode
+    escapes), all against hand-built streams."""
+    import struct
+
+    from pgd_ray.stages.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(9)
+    h, w = 5, 7
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    # BITMAPCOREHEADER 24-bit (bottom-up, BGR, 4-byte row padding)
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = px[r, :, ::-1].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 12
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(rows), 0, 0,
+                      data_off)
+    core = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    np.testing.assert_array_equal(decode_bmp(hdr + core + bytes(rows)), px)
+
+    # 8-bit palette, uncompressed
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    stride = (w + 3) & ~3
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):
+        rows += idx[r].tobytes() + b"\x00" * (stride - w)
+    pal_bytes = b"".join(bytes([pal[i, 2], pal[i, 1], pal[i, 0], 0])
+                         for i in range(256))
+    data_off = 14 + 40 + len(pal_bytes)
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(rows), 0, 0,
+                      data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows),
+                       2835, 2835, 256, 0)
+    np.testing.assert_array_equal(
+        decode_bmp(hdr + info + pal_bytes + bytes(rows)), pal[idx])
+
+    # RLE8: runs, EOL, delta jump, absolute mode (odd count → pad), EOB
+    h2, w2 = 4, 10
+    img_idx = np.zeros((h2, w2), np.uint8)
+    rle = bytearray()
+    img_idx[0, :7] = 3
+    img_idx[0, 7:10] = [9, 8, 7]
+    rle += bytes([7, 3]) + bytes([0, 3, 9, 8, 7, 0]) + bytes([0, 0])
+    img_idx[1, 2:10] = 5
+    rle += bytes([0, 2, 2, 0]) + bytes([8, 5]) + bytes([0, 0])
+    img_idx[2, :] = 1
+    rle += bytes([10, 1]) + bytes([0, 0])
+    rle += bytes([0, 1])
+    data_off = 14 + 40 + len(pal_bytes)
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(rle), 0, 0,
+                      data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w2, h2, 1, 8, 1, len(rle),
+                       2835, 2835, 256, 0)
+    np.testing.assert_array_equal(
+        decode_bmp(hdr + info + pal_bytes + bytes(rle)),
+        pal[img_idx[::-1]])
+
+    # regression: the standard 24-bit encoder still round-trips
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
