@@ -297,12 +297,31 @@ def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_samples(rows: np.ndarray, pw: int, ch: int,
+                 depth: int) -> np.ndarray:
+    """Unfiltered row bytes (ph, stride) → sample array
+    (ph, pw, ch, bytes-per-sample) uint8.  Sub-byte depths (1/2/4,
+    single-channel only) unpack MSB-first within each byte."""
+    ph = rows.shape[0]
+    if depth == 16:
+        return rows.reshape(ph, pw, ch, 2)
+    if depth == 8:
+        return rows.reshape(ph, pw, ch, 1)
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(ph, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (vals * weights).sum(axis=2).astype(np.uint8)
+    return v[:, :pw].reshape(ph, pw, 1, 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """8/16-bit PNG (gray / RGB / palette / gray+alpha / RGBA),
-    sequential OR Adam7-interlaced → (h, w, 3) uint8 RGB.  16-bit
-    samples rescale to 8 bits by round(v·255/65535); each Adam7 pass
-    is unfiltered as its own sub-image (its rows' left/up neighbors
-    are pass-local, per the spec) and scattered into place."""
+    """PNG → (h, w, 3) uint8 RGB: 8/16-bit gray / RGB / palette /
+    gray+alpha / RGBA plus 1/2/4-bit gray and palette, sequential OR
+    Adam7-interlaced.  16-bit samples rescale to 8 bits by
+    round(v·255/65535), sub-byte gray by exact bit replication
+    (v·255/(2^d−1)); each Adam7 pass is unfiltered as its own
+    sub-image (its rows' left/up neighbors are pass-local, per the
+    spec) and scattered into place."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -314,14 +333,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body)
-            if depth not in (8, 16) or inter not in (0, 1) \
+            if depth not in (1, 2, 4, 8, 16) or inter not in (0, 1) \
                     or comp != 0 or filt != 0:
                 raise NotImplementedError(
-                    f"PNG depth={depth} interlace={inter} not supported "
-                    "(8/16-bit, sequential or Adam7 only)")
+                    f"PNG depth={depth} interlace={inter} not supported")
             ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
             if ch is None:
                 raise NotImplementedError(f"PNG color type {ct}")
+            if depth < 8 and ct not in (0, 3):
+                raise ValueError(f"PNG color type {ct} cannot be {depth}-bit")
             if ct == 3 and depth == 16:
                 raise ValueError("palette PNG cannot be 16-bit")
         elif tag == b"PLTE":
@@ -334,12 +354,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    nb = depth // 8
-    bpp = ch * nb
+    nb = max(1, depth // 8)
+    bpp = max(1, ch * depth // 8)  # filter unit in bytes
     if inter == 0:
-        stride = w * bpp
+        stride = (w * ch * depth + 7) // 8
         rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
-        samples = _png_unfilter(rows, bpp).reshape(h, w, ch, nb)
+        samples = _png_samples(_png_unfilter(rows, bpp), w, ch, depth)
     else:
         samples = np.zeros((h, w, ch, nb), np.uint8)
         off = 0
@@ -348,13 +368,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * bpp
+            stride = (pw * ch * depth + 7) // 8
             rows = raw[off : off + ph * (stride + 1)].reshape(
                 ph, stride + 1)
             off += ph * (stride + 1)
-            samples[y0::dy, x0::dx] = _png_unfilter(rows, bpp).reshape(
-                ph, pw, ch, nb)
-    if nb == 1:
+            samples[y0::dy, x0::dx] = _png_samples(
+                _png_unfilter(rows, bpp), pw, ch, depth)
+    if depth < 8:
+        px = samples[:, :, :, 0]
+        if ct == 0:  # exact bit replication to 8 bits
+            px = (px.astype(np.uint16)
+                  * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif nb == 1:
         px = samples[:, :, :, 0]
     else:
         v = (samples[:, :, :, 0].astype(np.uint32) << 8) \

@@ -663,3 +663,64 @@ def test_bmp_extended_variants():
 
     # regression: the standard 24-bit encoder still round-trips
     np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_png_subbyte_depths():
+    """Round-5 PNG surface: 1/2/4-bit gray (exact bit-replication
+    rescale) and palette, sequential and Adam7, MSB-first packing —
+    hand-built streams."""
+    import struct
+    import zlib
+
+    from pgd_ray.stages.codecs import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(3)
+
+    def png_bytes(ihdr, raw, plte=None):
+        def chunk(tag, body):
+            return struct.pack(">I", len(body)) + tag + body + \
+                struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        out = bytearray(_PNG_SIG) + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        out += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        return bytes(out)
+
+    def pack_row(vals, depth):
+        bits = np.zeros(len(vals) * depth, np.uint8)
+        for i, v in enumerate(vals):
+            for b in range(depth):
+                bits[i * depth + b] = (v >> (depth - 1 - b)) & 1
+        return np.packbits(bits).tobytes()
+
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    for depth in (1, 2, 4):
+        h, w = 7, 13
+        maxv = (1 << depth) - 1
+        g = rng.integers(0, maxv + 1, (h, w)).astype(np.uint8)
+        raw = b"".join(b"\x00" + pack_row(g[r], depth) for r in range(h))
+        exp = (g.astype(np.uint16) * (255 // maxv)).astype(np.uint8)
+        out = decode_png(png_bytes(
+            struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0), raw))
+        np.testing.assert_array_equal(
+            out, np.repeat(exp[:, :, None], 3, axis=2))
+        pal = rng.integers(0, 256, (maxv + 1, 3), dtype=np.uint8)
+        out = decode_png(png_bytes(
+            struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0), raw,
+            pal.tobytes()))
+        np.testing.assert_array_equal(out, pal[g])
+        raw7 = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = g[y0::dy, x0::dx]
+            for r in range(ph):
+                raw7 += b"\x00" + pack_row(sub[r], depth)
+        out = decode_png(png_bytes(
+            struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1),
+            bytes(raw7)))
+        np.testing.assert_array_equal(
+            out, np.repeat(exp[:, :, None], 3, axis=2))
